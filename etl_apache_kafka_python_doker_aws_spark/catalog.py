@@ -1,0 +1,55 @@
+"""Fixture-table catalog: load the TESTDATA.md star schema as DataFrames.
+
+Tables (TPC-H-ish): region nation customer supplier part orders lineitem,
+plus events (stream fixture), documents and embeddings (LLM-pipeline
+fixtures). All parquet; schemas in FIXTURES.md.
+
+At 100 TB these would be partitioned/bucketed tables behind a metastore;
+here the loader is a thin seam so every operator takes DataFrames, never
+paths — swapping in a real catalog touches only this module.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar parquet scan → Catalyst gets
+    predicate pushdown + column pruning for free on every operator."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all fixture tables present in sf_dir."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for spark.sql queries)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
