@@ -33,8 +33,24 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar parquet scan → Catalyst gets
-    predicate pushdown + column pruning for free on every operator."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    predicate pushdown + column pruning for free on every operator.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read nanos as long (runtime conf,
+    works on any session incl. the driver's) and convert to a microsecond
+    TimestampType column — sub-µs digits are truncated, so oracle SQL must
+    compare through ``CAST(ts AS TIMESTAMP)`` on the DuckDB side.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,108 @@
+"""Join compositions Spark lacks as native operators — SURVEY.md §2.3
+(J7 as-of join, J8 interval join).
+
+Both are built from shuffle-friendly primitives (union + window, equi-join
++ range filter) rather than per-group pandas merges: one hash shuffle on
+the key column, no driver-side collection, no nested-loop blowup — the
+shapes that survive a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the payload of the latest
+    right row with ``right.ts <= left.ts`` and equal ``key``.
+
+    Implementation (scale-first): tag and union both sides, hash-shuffle
+    once on ``key``, sort each partition by (ts, side), and forward-fill
+    the right payload with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame. Right rows sort before left rows at equal
+    ts, so an exactly-simultaneous right row matches (<= semantics).
+
+    Contrast with the driver-side or merge_asof-per-group alternatives:
+    this is a single shuffle + sort, identical in shape to a sort-merge
+    join, and spills via Spark's external sorter at any scale.
+    """
+    lcols = [c for c in left.columns]
+    marker = "_asof_side"
+    order_cols: list[Column] = [F.col("_asof_ts"), F.col(marker)]
+    if tiebreak is not None:
+        order_cols.append(F.col(tiebreak))
+
+    if key not in right.columns:
+        raise ValueError(f"key column {key!r} must exist on the right side")
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias(marker),
+        *[F.lit(None).cast(right_types[c]).alias(f"_r_{c}") for c in payload_cols],
+    )
+    # Right rows carry their own key; every other left column rides as NULL.
+    r_tagged = right.select(
+        *[
+            F.col(key).alias(c) if c == key else F.lit(None).cast(left_types[c]).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias(marker),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col(marker),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_filled_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col(marker) == 1).select(
+        *lcols, *[F.col(f"_filled_{c}").alias(f"asof_{c}") for c in payload_cols]
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key: str | None,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Interval/overlap join (J8): event rows matched to interval rows with
+    ``lo <= ts < hi``, optionally on an equi key.
+
+    With an equi key Catalyst plans a hash/sort-merge join and applies the
+    range predicate as a post-join filter — linear shuffle, no nested loop.
+    Without a key the intervals side must be small enough to broadcast
+    (BroadcastNestedLoopJoin); callers with large keyless interval sets
+    should bucketize ts first.
+    """
+    range_pred = (F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) < F.col(hi_col))
+    if key is not None:
+        return events.join(intervals, on=[key], how="inner").filter(range_pred)
+    return events.join(F.broadcast(intervals), range_pred, "inner")

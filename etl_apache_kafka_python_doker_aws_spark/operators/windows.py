@@ -1,0 +1,93 @@
+"""Window-function compositions — SURVEY.md §2.5/§2.6 (W*, O3).
+
+These are library operators (reusable, documented) rather than inline
+query code. All are single-shuffle: one hash partition on the group key,
+per-partition sort, no driver involvement — the shape that scales.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via row_number ≤ k (SURVEY.md §2.6 O3).
+
+    order_cols should end with a unique tiebreaker for determinism.
+    Scale note: one shuffle on group_cols; AQE handles group skew. For
+    extreme k≪group-size cases a partial per-partition top-k pre-filter
+    could shrink the shuffle, but Spark's sort-based window already spills
+    gracefully.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_col: str = "running",
+    agg: str = "sum",
+) -> DataFrame:
+    """Cumulative aggregate over an ordered frame (W3/W4):
+    rows between unbounded preceding and current row."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(out_col, fn(value_col).over(w))
+
+
+def moving_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    value_col: str,
+    window_rows: int = 3,
+    out_col: str = "mavg",
+) -> DataFrame:
+    """Moving average over the trailing `window_rows` rows + current (W5)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-window_rows, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the previous
+    event (per user) exceeds `gap_minutes`. Classic lag + cumulative-sum
+    composition; single shuffle on the user key. Streaming equivalent is
+    `session_window` (streaming/ops.py)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    is_new = (
+        F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap_sec
+    ).cast("int")
+    return df.withColumn(
+        session_col,
+        F.sum(F.coalesce(is_new, F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -6,6 +6,11 @@ queries/oracles into ``registry.QUERIES`` / ``registry.ORACLES``.
 
 from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     aggregates,
+    joins,
+    projection,
+    scalars,
+    sorts_setops,
+    windows,
 )
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import ORACLES, QUERIES
 

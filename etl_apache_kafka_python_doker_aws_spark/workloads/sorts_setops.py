@@ -1,0 +1,159 @@
+"""Sort / limit / top-k and set operations — SURVEY.md §2.6 (O1-O5).
+
+Every ordering used with LIMIT includes a unique tiebreaker key so results
+are total-ordered — without it, LIMIT across engines (or across Spark
+partitions) is nondeterministic. Global sorts use range partitioning
+(Spark's TakeOrderedAndProject for sort+limit avoids a full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.operators.windows import top_k_per_group
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+
+@query(
+    "o1_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def o1_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort + limit. Spark plans TakeOrderedAndProject:
+    per-partition top-100 heaps, then a single driver merge — no global
+    shuffle, which is what makes top-k viable at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(100)
+    )
+
+
+@query(
+    "o2_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50 OFFSET 20
+    """,
+)
+def o2_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET over a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").offset(20).limit(50)
+
+
+@query(
+    "o3_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rk <= 5
+    """,
+)
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — engine operator `top_k_per_group` (window
+    row_number ≤ k; single shuffle on the group key)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        joined,
+        group_cols=["c_mktsegment"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=5,
+        rank_col="rk",
+    )
+
+
+@query(
+    "o4_union",
+    oracle="""
+    SELECT key, name FROM (
+      SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT s_suppkey AS key, s_name AS name FROM supplier
+    )
+    """,
+)
+def o4_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of schema-aligned projections (unionByName)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    b = s.select(F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"))
+    return a.unionByName(b)
+
+
+@query(
+    "o4_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def o4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup (union + distinct → hash aggregate)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nk"))
+        .union(s.select(F.col("s_nationkey").alias("nk")))
+        .distinct()
+    )
+
+
+@query(
+    "o5_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — nations having both customers
+    and suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nk")).intersect(
+        s.select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+@query(
+    "o5_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def o5_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — nations with customers but no
+    suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nk")).subtract(
+        s.select(F.col("s_nationkey").alias("nk"))
+    )
