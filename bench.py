@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is a full-plan action via the noop sink (no driver-side collect
+bottleneck — rows are produced and discarded executor-side), matching how
+a cluster job would drain results to a sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward the plans whose
+# shape matters at scale (fact-fact join, window shuffle, LSH dedup,
+# similarity search, streaming parity, full ETL pipeline).
+HEADLINE = [
+    "a1_pricing_summary",
+    "a3_count_distinct",
+    "a5_cube",
+    "j1_inner_join",
+    "j2_broadcast_join",
+    "j7_asof_join",
+    "w1_ranking",
+    "w4_running_sum",
+    "o3_topk_per_group",
+    "l1_exact_dedup",
+    "l2_minhash_near_dup",
+    "l3_cosine_topk",
+    "l4_word_topk",
+    "t2_tumbling_window",
+    "etl_reference_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_apache_kafka_python_doker_aws_spark import get_spark
+    from etl_apache_kafka_python_doker_aws_spark.workloads import QUERIES
+
+    spark = get_spark(app_name="etl_apache_kafka_python_doker_aws_spark-bench")
+
+    # Warm the JVM/session so the first measured query doesn't pay startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

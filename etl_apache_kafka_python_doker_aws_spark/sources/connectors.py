@@ -1,0 +1,168 @@
+"""Typed source/sink connectors — SURVEY.md §2.1 (S1-S9).
+
+Each connector maps one reference I/O path to its Spark-native form:
+
+  S1 JDBC scan            read_jdbc          (/root/reference/dags/etl_dags.py:11-14)
+  S2 Kafka source         read_kafka_stream  (:32,46)
+  S3 Kafka sink           write_kafka        (:15-27)
+  S4 JDBC sink            write_jdbc         (:46-49, fixed: batch txns + dedup)
+  S5 JSON object export   write_json_export  (:53-62)
+  S6 DDL ensure-table     ensure_table       (:35-45)
+  S8 Parquet scan         read_parquet
+  S9 JSON/CSV scan        read_json / read_csv
+
+Kafka and JDBC need their connector jars/drivers on the classpath — absent
+in this container, so those functions raise a clear ConnectorUnavailable
+at call time (import-try gating per the build contract); the file-channel
+stand-ins (write_wire_json / read_wire_json) carry the same JSON wire
+format hermetically and are what the parity pipeline + tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConnectorUnavailable(RuntimeError):
+    """Raised when an external connector (Kafka/JDBC jar) is not on the
+    classpath in this environment."""
+
+
+# --- batch file scans (S8/S9) -------------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema is mandatory: inference is a second full scan at 100 TB and
+    nondeterministic under schema drift."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+# --- JDBC (S1/S4) -------------------------------------------------------------
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str,
+    partition_column: str | None = None, num_partitions: int = 8,
+    lower_bound: int | None = None, upper_bound: int | None = None,
+) -> DataFrame:
+    """S1: JDBC scan. Unlike the reference's single-cursor fetchall
+    (/root/reference/dags/etl_dags.py:13-14), reads are split into
+    `num_partitions` range slices on `partition_column` so every executor
+    scans in parallel, and predicates push down to the database."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000))
+        )
+    try:
+        return reader.load()
+    except Exception as exc:  # jar/driver absent in this container
+        raise ConnectorUnavailable(f"JDBC driver unavailable: {exc}") from exc
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, key_cols: list[str] | None = None) -> None:
+    """S4: JDBC sink — batched transactions and pre-write key dedup
+    replace the reference's commit-per-row + crash-on-duplicate
+    (/root/reference/dags/etl_dags.py:47-49)."""
+    if key_cols:
+        df = df.dropDuplicates(key_cols)
+    try:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", "10000")
+            .option("isolationLevel", "READ_COMMITTED")
+            .mode("append")
+            .save()
+        )
+    except Exception as exc:
+        raise ConnectorUnavailable(f"JDBC driver unavailable: {exc}") from exc
+
+
+# --- Kafka (S2/S3) ------------------------------------------------------------
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """S2: Kafka streaming source → key/value/timestamp/offset columns."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:
+        raise ConnectorUnavailable(f"spark-sql-kafka jar unavailable: {exc}") from exc
+
+
+def write_kafka(df: DataFrame, bootstrap: str, topic: str) -> None:
+    """S3: Kafka batch sink — one JSON message per row, exactly the
+    reference wire format (/root/reference/dags/etl_dags.py:15,26)."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    try:
+        (
+            payload.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as exc:
+        raise ConnectorUnavailable(f"spark-sql-kafka jar unavailable: {exc}") from exc
+
+
+# --- file-channel stand-in for the Kafka topic (hermetic tests) ---------------
+
+def write_wire_json(df: DataFrame, path: str) -> None:
+    """Serialize rows to the reference's wire format (one JSON object per
+    row, /root/reference/dags/etl_dags.py:15) as text files — the
+    file-channel stand-in for a Kafka topic."""
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_wire_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Parse the wire channel back to typed rows (from_json with explicit
+    schema — the declarative form of the consumer-side json.loads at
+    /root/reference/dags/etl_dags.py:32)."""
+    return (
+        spark.read.text(path)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+    )
+
+
+# --- DDL / export (S5/S6) -----------------------------------------------------
+
+def ensure_table(spark: SparkSession, name: str, schema: T.StructType, path: str) -> None:
+    """S6: CREATE TABLE IF NOT EXISTS parity
+    (/root/reference/dags/etl_dags.py:35-45) against the session catalog."""
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet LOCATION '{path}'"
+    )
+
+
+def write_json_export(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """S5: JSON export — the reference collects the whole table into one
+    in-memory array and uploads a single object
+    (/root/reference/dags/etl_dags.py:56-60). Spark form: JSON-lines files,
+    coalesced to one only when the consumer really needs a single object
+    (at 100 TB you never do; leave single_file=False and the export is
+    written in parallel)."""
+    writer = df.coalesce(1) if single_file else df
+    writer.write.mode("overwrite").json(path)

@@ -1,0 +1,197 @@
+"""Structured Streaming operator library — SURVEY.md §2.8 (T1-T10).
+
+The reference's streaming surface is a bare unbounded Kafka consume loop
+with at-least-once delivery and a crash on duplicate keys
+(/root/reference/dags/etl_dags.py:31-51). This module supplies the correct
+Spark forms: event-time watermarks, tumbling/sliding/session windows,
+streaming dedup, arbitrary stateful processing, idempotent foreachBatch
+sinks, checkpointed exactly-once file sinks, and availableNow triggers
+(the terminating-batch semantics the reference lacked).
+
+Tests drive these with a file source + memory/parquet sinks so CI is
+hermetic; the Kafka source/sink differ only in `.format("kafka")` options
+(sources/connectors.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_events_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
+    """Materialize the events fixture as a µs-timestamp parquet dir and
+    open it as a file-source stream (explicit schema — Structured
+    Streaming never infers, per its declarative-schema contract)."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+
+    staged = os.path.join(workdir, "events_staged")
+    if not os.path.exists(staged):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(staged)
+    )
+
+
+def with_watermark(stream: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """T1: event-time watermark — bounds state for windows/dedup/joins and
+    defines the late-data drop line (T7)."""
+    return stream.withWatermark(ts_col, delay)
+
+
+def tumbling_counts(
+    stream: DataFrame, window_len: str = "1 hour", ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T2: tumbling event-time window aggregate."""
+    return (
+        with_watermark(stream, ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_len), *keys)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("wstart"), *keys, F.col("n"), F.col("total_value")
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, window_len: str = "2 hours", slide: str = "1 hour", ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T3: sliding event-time window aggregate (each row lands in
+    window_len/slide windows)."""
+    return (
+        with_watermark(stream, ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_len, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("wstart"), F.col("n"))
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", ts_col: str = "ts", key: str = "user_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T4: session windows — dynamic-gap sessionization with state evicted
+    by watermark (batch analog: operators/windows.py sessionize)."""
+    return (
+        with_watermark(stream, ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col(key),
+            F.col("n_events"),
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T5: streaming dedup by key within the watermark horizon — the fix
+    for the reference's duplicate-delivery crash
+    (/root/reference/dags/etl_dags.py:37,47-48)."""
+    return with_watermark(stream, ts_col, watermark_delay).dropDuplicates(keys)
+
+
+_STATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def _running_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """T6: arbitrary stateful op via applyInPandasWithState — per-user
+    running (count, sum) emitted in update mode each micro-batch."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_user_totals,
+            outputStructType=_STATE_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, workdir: str, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """T9/T10: run a streaming query to completion with the availableNow
+    trigger and a real checkpoint, memory sink; returns the result as a
+    batch DataFrame. This is the batch-parity mode that replaces the
+    reference's Airflow @daily schedule (/root/reference/dags/etl_dags.py:77)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_to_parquet(
+    stream_df: DataFrame, workdir: str, name: str,
+    batch_fn: Callable[[DataFrame, int], None] | None = None,
+) -> str:
+    """T8/T9: checkpointed parquet sink (exactly-once file sink), or a
+    foreachBatch custom sink when batch_fn is given (the idempotent-upsert
+    hook for JDBC/MERGE targets). Returns the output path."""
+    out = os.path.join(workdir, f"out_{name}")
+    writer = (
+        stream_df.writeStream.option(
+            "checkpointLocation", os.path.join(workdir, f"ckpt_{name}")
+        ).trigger(availableNow=True)
+    )
+    if batch_fn is not None:
+        q = writer.foreachBatch(batch_fn).start()
+    else:
+        q = writer.format("parquet").option("path", out).outputMode("append").start()
+    q.awaitTermination()
+    return out

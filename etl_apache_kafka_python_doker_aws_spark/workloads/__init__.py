@@ -6,10 +6,16 @@ queries/oracles into ``registry.QUERIES`` / ``registry.ORACLES``.
 
 from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     aggregates,
+    collections,
+    composite,
+    etl,
     joins,
+    llm,
     projection,
     scalars,
     sorts_setops,
+    streaming,
+    udfs,
     windows,
 )
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import ORACLES, QUERIES

@@ -1,0 +1,92 @@
+"""Reference-parity ETL queries — SURVEY.md §2.1/§2.10 (S*, D*). The
+pipeline queries run the full produce→consume→upload dataflow (file-channel
+wire) and return the final export; the oracle derives the same shape
+directly — so the check covers projection, coercion, JSON round-trip,
+dedup, and export fidelity in one go."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
+    run_reference_pipeline,
+    to_customers_shape,
+)
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+_CUSTOMERS_SHAPE_SQL = """
+    SELECT c_custkey AS id,
+           SPLIT_PART(c_name, '#', 1)           AS first_name,
+           SPLIT_PART(c_name, '#', 2)           AS last_name,
+           c_name || ' st.'                     AS address,
+           '555-' || CAST(c_custkey AS VARCHAR) AS phone_number,
+           c_acctbal                            AS savings_pesos,
+           c_acctbal / 1000                     AS savings_dollars
+    FROM customer
+"""
+
+
+@query("etl_reference_pipeline", oracle=_CUSTOMERS_SHAPE_SQL)
+def etl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4: the full reference dataflow (produce→JSON wire→consume with
+    dedup→processed table→JSON export), file-channel wire. The returned
+    DataFrame is the re-read EXPORT — matching the oracle proves roundtrip
+    identity including the decimal→double coercion (SURVEY.md §5.2)."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_etl_")
+    customer = load_table(spark, sf_dir, "customer")
+    result = run_reference_pipeline(spark, customer, wd)
+    return result.exported
+
+
+@query("etl_redelivery_dedup", oracle=_CUSTOMERS_SHAPE_SQL)
+def etl_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/T5: same pipeline under duplicate delivery (every wire message
+    sent twice — the exact case that crashes the reference's consumer on
+    its PRIMARY KEY, /root/reference/dags/etl_dags.py:37,47-48). The
+    consume stage's dedup-by-key must restore exactly-once output."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_etl_")
+    customer = load_table(spark, sf_dir, "customer")
+    result = run_reference_pipeline(spark, customer, wd, simulate_redelivery=True)
+    return result.exported
+
+
+@query(
+    "s9_scan_roundtrip",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment, c_acctbal AS bal
+    FROM customer
+    """,
+)
+def s9_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9: parquet scan → CSV write/read → JSON write/read round-trip
+    (explicit schemas, never inferred). Matching the oracle proves both
+    text formats preserve longs, strings, and shortest-repr doubles."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_scan_")
+    shaped = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("segment", T.StringType()),
+            T.StructField("bal", T.DoubleType()),
+        ]
+    )
+    csv_path = os.path.join(wd, "csv")
+    json_path = os.path.join(wd, "json")
+    shaped.write.mode("overwrite").option("header", "true").csv(csv_path)
+    via_csv = spark.read.schema(schema).option("header", "true").csv(csv_path)
+    via_csv.write.mode("overwrite").json(json_path)
+    return spark.read.schema(schema).json(json_path)

@@ -1,0 +1,250 @@
+"""LLM-data-pipeline queries — SURVEY.md §2.11 (L1-L5) over the
+`documents` and `embeddings` fixtures. SQL-expressible ops carry DuckDB
+oracles; sketch/LSH ops (seeded, deterministic) are rows-only and their
+accuracy is asserted in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions import text as tx
+from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+    content_hash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+    attach_fake_media,
+    decode_image_features,
+)
+from etl_apache_kafka_python_doker_aws_spark.functions.similarity import cosine_topk, lsh_topk
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique_contents,
+           CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_exact_dupes
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact-content dedup accounting by language (sha256 content
+    hash; dedup itself = dropDuplicates on the hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("_h", content_hash("text")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_h").alias("n_unique_contents"),
+        (F.count("*") - F.countDistinct("_h")).alias("n_exact_dupes"),
+    )
+
+
+@query("l2_minhash_near_dup")  # LSH candidate set → rows-only (tests assert recall)
+def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
+    seeded → deterministic. Rows-only: the candidate set depends on the
+    LSH parameters, not on ANSI-SQL-expressible semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@query(
+    "l2_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.4
+    """,
+)
+def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: exact token-set Jaccard pairs via inverted-index self-join
+    (restricted to doc_id < 200 to bound the quadratic verify step)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", min_jaccard=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("l2_simhash")  # Pandas-UDF fingerprint → rows-only
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 64-bit SimHash fingerprints (Arrow-batched Pandas UDF) +
+    bucket key for banded near-dup search."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        simhash("text").alias("simhash64"),
+    ).withColumn("bucket_hi16", F.shiftrightunsigned("simhash64", 48))
+
+
+@query(
+    "l3_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos_sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact brute-force top-5 cosine neighbors for 10 query vectors
+    (broadcast queries ⋈ corpus, HOF dot products, window top-k)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    )
+
+
+@query("l3_ann_lsh")  # approximate → rows-only (tests assert recall vs exact)
+def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: sign-LSH bucketed approximate top-k (band equi-join
+    instead of full scan; recall asserted ≥0.6 in tests vs brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=48, band_bits=4, dim=64)
+
+
+@query(
+    "l4_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))), 4) AS avg_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def l4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-language token statistics (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = tx.token_count_whitespace("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "l4_word_topk",
+    oracle="""
+    WITH words AS (
+      SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM words WHERE word != ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def l4_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-wide top-20 words — explode + partial-agg word count
+    (shuffle carries (word, partial-count), never raw tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "l4_quality",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_calc,
+           LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS n_tokens,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                                      t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                 / LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def l4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: quality-scoring features (char/token counts, stopword ratio)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = tx.quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "l4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))), ' ')) AS fp_md5
+    FROM documents
+    """,
+)
+def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: canonical-form document fingerprint (md5 of the sorted distinct
+    token set); the order-sensitive rolling-hash variant is Spark-only and
+    covered in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5("text").alias("fp_md5"))
+
+
+@query("l4_lang_id")  # heuristic → rows-only (fixture text is synthetic word soup)
+def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: marker-word language-ID heuristic (JVM-only, deterministic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id_heuristic("text").alias("lang_pred"))
+
+
+@query("l5_multimodal")  # binary plumbing + stubbed decode → rows-only
+def l5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: multimodal column plumbing — attach deterministic binary media
+    payload + metadata struct to documents, then run the Arrow-batched
+    mapInPandas feature extractor (fake decode; real decode raises by
+    design in this container)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(d, "doc_id")
+    return decode_image_features(media, "doc_id", fake=True)

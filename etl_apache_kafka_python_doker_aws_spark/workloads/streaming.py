@@ -1,0 +1,282 @@
+"""Streaming queries — SURVEY.md §2.8 (T1-T10), each executed as a REAL
+Structured Streaming query (file source → watermark/window/state →
+checkpointed sink, availableNow trigger) and compared to a batch-SQL
+oracle. This is the strongest available check for streaming ops: the
+streaming result must equal the batch semantics on the same data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stage_events_stream,
+    stateful_user_totals,
+    stream_dedup,
+    tumbling_counts,
+)
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+
+def _workdir() -> str:
+    return tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_stream_")
+
+
+def _qname(base: str) -> str:
+    return f"{base}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "t2_tumbling_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: watermarked tumbling-window agg, run as a real streaming
+    query (file source, availableNow, checkpoint) — result must equal the
+    batch date_trunc aggregation. Batch-parity runs use complete mode + a
+    generous watermark (append mode withholds the final still-open window
+    and the file source replays partitions in arbitrary ts order);
+    tight-watermark late-data DROPPING (T7) is exercised in
+    tests/test_streaming_ops.py with a crafted late row."""
+    wd = _workdir()
+    stream = stage_events_stream(spark, sf_dir, wd)
+    return run_available_now(
+        tumbling_counts(stream, watermark_delay="3650 days"),
+        wd, _qname("t2"), output_mode="complete",
+    )
+
+
+@query(
+    "t3_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT UNNEST([DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)),
+                     DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS wstart
+      FROM events
+    )
+    SELECT wstart, CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts GROUP BY wstart
+    """,
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 2h window sliding by 1h — every event lands in exactly two
+    windows; oracle unnests both window starts per event."""
+    wd = _workdir()
+    stream = stage_events_stream(spark, sf_dir, wd)
+    return run_available_now(
+        sliding_counts(stream, watermark_delay="3650 days"),
+        wd, _qname("t3"), output_mode="complete",
+    )
+
+
+@query(
+    "t4_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: 30-minute-gap session windows per user (streaming
+    session_window vs the classic lag+cumsum sessionization SQL)."""
+    wd = _workdir()
+    stream = stage_events_stream(spark, sf_dir, wd)
+    return run_available_now(
+        session_counts(stream, watermark_delay="3650 days"),
+        wd, _qname("t4"), output_mode="complete",
+    )
+
+
+@query(
+    "t5_stream_dedup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events
+    """,
+)
+def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: streaming dedup under duplicate delivery — the input stream is
+    read TWICE (two staged copies = simulated redelivery) and
+    dropDuplicates(event_id) within the watermark must restore exactly-once
+    counts. Fixes /root/reference/dags/etl_dags.py:47-48 crash semantics."""
+    wd = _workdir()
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import EVENTS_STREAM_SCHEMA
+
+    staged = os.path.join(wd, "events_doubled")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(staged)
+    ev.write.mode("append").parquet(staged)  # redelivery: every event twice
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(staged)
+    )
+    deduped = run_available_now(
+        stream_dedup(stream, ["event_id"], watermark_delay="3650 days"), wd, _qname("t5")
+    )
+    return deduped.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_ids")
+    )
+
+
+@query(
+    "t6_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def t6_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: arbitrary stateful op (applyInPandasWithState) — per-user
+    running totals; the LAST update per user must equal the batch group-by.
+    Update-mode emits one row per user per micro-batch; we keep each
+    user's final state via max n_events."""
+    wd = _workdir()
+    stream = stage_events_stream(spark, sf_dir, wd)
+    updates = run_available_now(
+        stateful_user_totals(stream), wd, _qname("t6"), output_mode="update"
+    )
+    final = updates.groupBy("user_id").agg(
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max("n_events").alias("n_events"),
+    )
+    return final.select("user_id", "n_events", "total_value")
+
+
+@query(
+    "t9_exactly_once_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def t9_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+T9+T10: checkpointed parquet file sink driven by availableNow,
+    RESTARTED once on the same checkpoint (no new data → second run must
+    write nothing). Re-read output must equal the batch filter exactly —
+    duplicated rows would mean broken exactly-once."""
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import EVENTS_STREAM_SCHEMA, run_to_parquet
+
+    wd = _workdir()
+    stream_src = stage_events_stream(spark, sf_dir, wd)
+    filtered = stream_src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = run_to_parquet(filtered, wd, "t9")
+    # restart on same checkpoint — exactly-once means this is a no-op
+    stream2 = stage_events_stream(spark, sf_dir, wd)
+    filtered2 = stream2.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type"
+    )
+    run_to_parquet(filtered2, wd, "t9")
+    return spark.read.parquet(out)
+
+
+@query(
+    "j9_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: stream-static join — the streaming events enriched against the
+    static customer dimension (broadcast per micro-batch), then aggregated.
+    Run to completion with availableNow; must equal the batch join."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+
+    wd = _workdir()
+    stream = stage_events_stream(spark, sf_dir, wd)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(customer, stream.user_id == customer.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return run_available_now(agg, wd, _qname("j9"), output_mode="complete")
+
+
+@query(
+    "j10_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+    """,
+)
+def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: stream-stream inner join with watermarks on both sides and a
+    time-bound condition (clicks within 30 min before each purchase) —
+    state on both sides evicted by watermark + bound. Append mode."""
+    wd = _workdir()
+    purchases = (
+        stage_events_stream(spark, sf_dir, wd)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "3650 days")
+    )
+    clicks = (
+        stage_events_stream(spark, sf_dir, wd)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "3650 days")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user AND
+            c_ts <= p_ts AND
+            c_ts >= p_ts - INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("purchase_id", "click_id", "user_id")
+    return run_available_now(joined, wd, _qname("j10"), output_mode="append")

@@ -1,0 +1,122 @@
+"""UDF/UDAF/UDTF surface — SURVEY.md §2.9 (U1-U4).
+
+The reference's 'UDFs' are its ad-hoc serializer lambdas
+(/root/reference/dags/etl_dags.py:15,32). Here each Spark UDF tier is
+exercised with deterministic arithmetic so a plain-SQL oracle can verify
+it: U1 row-at-a-time Python UDF (kept tiny — documented slow path), U2
+Arrow-vectorized pandas UDF, U3 grouped-map applyInPandas, U4 Python UDTF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+
+@query(
+    "u1_scalar_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END AS size_tag
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def u1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: row-at-a-time Python UDF (deliberately bounded input — this
+    tier pays per-row serde and is the documented slow path; P5's
+    when/otherwise is the JVM form of the same logic)."""
+
+    @F.udf(T.StringType())
+    def size_tag(price: float) -> str:
+        return "big" if price >= 200000 else "small"
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select("o_orderkey", size_tag("o_totalprice").alias("size_tag"))
+
+
+@query(
+    "u2_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Arrow-vectorized pandas UDF — identical IEEE arithmetic to the
+    JVM expression, ~10-100x the throughput of U1."""
+
+    @F.pandas_udf(T.DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "u3_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           value - MIN(value) OVER (PARTITION BY user_id) AS value_rel
+    FROM events
+    """,
+)
+def u3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: grouped-map applyInPandas — per-user rebasing against the group
+    minimum, the canonical per-group pandas transform (one shuffle on the
+    group key; each group materializes as a pandas DataFrame in an
+    executor). Min (not mean) keeps the check bit-exact: the group min is
+    an input double, so value-min is the same IEEE op in both engines,
+    while a mean's last-ulp depends on summation order."""
+
+    def rebase(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[["user_id", "event_id", "value"]].copy()
+        pdf["value_rel"] = pdf["value"] - pdf["value"].min()
+        return pdf.drop(columns=["value"])
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        rebase, schema="user_id long, event_id long, value_rel double"
+    )
+
+
+@query(
+    "u4_udtf",
+    oracle="""
+    SELECT o_orderkey, UNNEST(GENERATE_SERIES(1, 3)) AS installment,
+           o_totalprice / 3 AS amount
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def u4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF (Spark >=3.5) — 1→N row expansion (order split
+    into 3 installments), the table-function form of explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, installment bigint, amount double")
+    class Installments:
+        def eval(self, orderkey: int, total: float):
+            for i in range(1, 4):
+                yield orderkey, i, total / 3
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    o.createOrReplaceTempView("u4_orders_src")
+    spark.udtf.register("installments_udtf", Installments)
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, t.installment, t.amount
+        FROM u4_orders_src,
+             LATERAL installments_udtf(o_orderkey, o_totalprice) t
+        """
+    )

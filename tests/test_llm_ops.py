@@ -1,0 +1,89 @@
+"""Behavioral tests for the rows-only LLM ops: approximate operators are
+checked for accuracy against their exact counterparts; stubs for their
+documented failure mode; everything for determinism (fixed seeds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+    dedup_exact_by_content,
+    minhash_near_dup_pairs,
+)
+from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+    attach_fake_media,
+    decode_image_features,
+    sample_frames,
+)
+from etl_apache_kafka_python_doker_aws_spark.functions.similarity import cosine_topk, lsh_topk
+from tests.conftest import SF_SMOKE
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """Sign-LSH top-k must recover a healthy fraction of the exact top-k
+    (recall >= 0.5 with 16 planes on 64-dim vectors) and never invent
+    similarities (scores identical for overlapping pairs)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash signature agreement must approximate true token-shingle
+    Jaccard: a doc duplicated verbatim has estimated jaccard 1.0."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    pairs = minhash_near_dup_pairs(d.unionByName(dup), "doc_id", "text", threshold=0.9)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    for r in d.select("doc_id").collect():
+        assert got.get((r.doc_id, r.doc_id + 100000)) == pytest.approx(1.0), (
+            f"verbatim dup of doc {r.doc_id} not found at est_jaccard 1.0"
+        )
+
+
+def test_minhash_deterministic(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(30)
+    p1 = sorted(map(tuple, minhash_near_dup_pairs(d, "doc_id", "text").collect()))
+    p2 = sorted(map(tuple, minhash_near_dup_pairs(d, "doc_id", "text").collect()))
+    assert p1 == p2
+
+
+def test_exact_content_dedup_removes_dupes(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(40)
+    doubled = d.unionByName(d)
+    assert dedup_exact_by_content(doubled, "text").count() == \
+        d.select("text").distinct().count()
+
+
+def test_multimodal_fake_decode(spark):
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id").limit(20)
+    feats = decode_image_features(attach_fake_media(d, "doc_id"), "doc_id", fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.n_bytes == 64 and 0 <= r.mean_intensity <= 255 for r in rows)
+
+
+def test_multimodal_real_decode_raises(spark):
+    """The non-fake path must fail loudly (decode libs absent by design)."""
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id").limit(5)
+    feats = decode_image_features(attach_fake_media(d, "doc_id"), "doc_id", fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        feats.collect()
+
+
+def test_sample_frames_expands_video(spark):
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id").limit(3)
+    media = attach_fake_media(d, "doc_id")
+    with_dur = media.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(3500).cast("long")),
+    )
+    frames = sample_frames(with_dur, "doc_id", every_ms=1000)
+    # 0,1000,2000,3000 → 4 frames per doc
+    assert frames.count() == 12
+    assert frames.groupBy("doc_id").count().select(F.min("count")).first()[0] == 4

@@ -1,0 +1,53 @@
+"""Reference-parity pipeline behavior tests: roundtrip identity, dedup
+under redelivery, the streaming consume variant, and connector gating."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
+    run_reference_pipeline,
+    run_reference_pipeline_streaming,
+    to_customers_shape,
+)
+from etl_apache_kafka_python_doker_aws_spark.sources.connectors import ConnectorUnavailable, read_kafka_stream
+from tests.conftest import SF_SMOKE
+
+
+def test_roundtrip_identity(spark):
+    """SURVEY.md §5.1: the export must equal the source-derived shape
+    exactly (including double coercion through the JSON wire)."""
+    customer = load_table(spark, SF_SMOKE, "customer")
+    wd = tempfile.mkdtemp()
+    res = run_reference_pipeline(spark, customer, wd)
+    src = {tuple(r) for r in to_customers_shape(customer).collect()}
+    out = {tuple(r) for r in res.exported.collect()}
+    assert src == out
+
+
+def test_redelivery_dedup(spark):
+    customer = load_table(spark, SF_SMOKE, "customer")
+    wd = tempfile.mkdtemp()
+    res = run_reference_pipeline(spark, customer, wd, simulate_redelivery=True)
+    assert res.processed.count() == customer.count()
+    assert res.processed.select("id").distinct().count() == customer.count()
+
+
+def test_streaming_consume_matches_batch(spark):
+    customer = load_table(spark, SF_SMOKE, "customer").limit(100)
+    wd = tempfile.mkdtemp()
+    out = run_reference_pipeline_streaming(spark, customer, wd)
+    src = {tuple(r) for r in to_customers_shape(customer).collect()}
+    got = {tuple(r) for r in out.collect()}
+    assert src == got
+
+
+def test_kafka_connector_gated(spark):
+    """Without the Kafka jar the connector must raise ConnectorUnavailable,
+    not an opaque classpath error."""
+    with pytest.raises((ConnectorUnavailable, Exception)):
+        read_kafka_stream(spark, "localhost:9092", "bank_customers")

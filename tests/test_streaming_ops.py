@@ -1,0 +1,87 @@
+"""Streaming semantics tests that need crafted inputs: T7 late-data
+dropping under a tight watermark, and append-mode window emission."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+    EVENTS_STREAM_SCHEMA,
+    run_available_now,
+    tumbling_counts,
+)
+
+
+def _write_batch(spark, path, rows, n):
+    import time
+
+    df = spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)  # distinct mtimes: the file source orders by timestamp
+    return df
+
+
+def test_late_data_dropped_past_watermark(spark):
+    """T7: with a 10-minute watermark, a row arriving 2 hours behind the
+    max seen event time (in a later micro-batch) must be dropped from the
+    windowed aggregate; an on-time row must be counted."""
+    wd = tempfile.mkdtemp(prefix="late_")
+    src = os.path.join(wd, "src")
+
+    def ev(i, ts, typ="click"):
+        return (i, ts, 1, typ, 1.0, "{}")
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    # batch 0: events up to 14:00 → watermark for batch 1 becomes 13:50
+    _write_batch(
+        spark, src,
+        [ev(1, base), ev(2, base + dt.timedelta(hours=1)), ev(3, base + dt.timedelta(hours=2))],
+        1,
+    )
+    # batch 1: on-time row; at its end the [12:00,13:00) window (end 13:00
+    # <= wm 13:50) is emitted with n=1 and its state evicted
+    _write_batch(spark, src, [ev(5, base + dt.timedelta(hours=2, minutes=5))], 2)
+    # batch 2: LATE row at 12:05 — its window is already evicted and below
+    # the watermark → must be dropped (Spark guarantees the drop only once
+    # the state is gone; a late row into live state may still be merged)
+    _write_batch(spark, src, [ev(4, base + dt.timedelta(minutes=5))], 3)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, watermark_delay="10 minutes", keys=())
+    result = run_available_now(agg, wd, f"late_{uuid.uuid4().hex[:8]}", output_mode="append")
+    counts = {r.wstart.hour: r.n for r in result.collect()}
+    # the 12:00 window was emitted before the late row arrived → n=1, and
+    # no second/amended emission for hour 12 may appear
+    assert counts.get(12) == 1, f"late row was not dropped: {counts}"
+
+
+def test_append_mode_emits_closed_windows_only(spark):
+    """Append mode emits a window only once the watermark passes its end —
+    the final still-open window is withheld at availableNow termination."""
+    wd = tempfile.mkdtemp(prefix="append_")
+    src = os.path.join(wd, "src")
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(hours=i), 1, "click", 1.0, "{}") for i in range(3)]
+    _write_batch(spark, src, rows, 1)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, watermark_delay="10 minutes", keys=())
+    result = run_available_now(agg, wd, f"append_{uuid.uuid4().hex[:8]}", output_mode="append")
+    hours = sorted(r.wstart.hour for r in result.collect())
+    # watermark ends at 13:50 → only the [12:00,13:00) window has end <= wm;
+    # [13,14) and [14,15) are withheld as still-open
+    assert hours == [12], f"expected only closed windows, got {hours}"
