@@ -1,0 +1,82 @@
+"""Coverage for operators without DuckDB oracles: S6 DDL, batch
+sessionization, Spark-only hashes, approximate-aggregate accuracy,
+rolling fingerprint determinism."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.text import fingerprint_rolling
+from etl_apache_kafka_python_doker_aws_spark.operators.windows import sessionize
+from etl_apache_kafka_python_doker_aws_spark.sources.connectors import ensure_table
+from tests.conftest import SF_SMOKE
+
+
+def test_ensure_table_idempotent(spark):
+    """S6: CREATE TABLE IF NOT EXISTS — second call is a no-op, table is
+    queryable through the catalog."""
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "t")
+    load_table(spark, SF_SMOKE, "region").write.mode("overwrite").parquet(path)
+    schema = T.StructType(
+        [T.StructField("r_regionkey", T.IntegerType()), T.StructField("r_name", T.StringType())]
+    )
+    ensure_table(spark, "ensured_region", schema, path)
+    ensure_table(spark, "ensured_region", schema, path)  # idempotent
+    assert spark.sql("SELECT COUNT(*) FROM ensured_region").first()[0] == 5
+    spark.sql("DROP TABLE ensured_region")
+
+
+def test_batch_sessionize_matches_streaming_session_count(spark):
+    """Batch sessionize (lag+cumsum) must produce the same number of
+    sessions per user as the streaming session_window query (same 30-min
+    gap)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    batch = sessionize(e, "user_id", "ts", gap_minutes=30)
+    n_batch = (
+        batch.select("user_id", "session_id").distinct().groupBy("user_id").count()
+    )
+    streaming_equiv = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+    )
+    a = {r.user_id: r["count"] for r in n_batch.collect()}
+    b = {r.user_id: r["count"] for r in streaming_equiv.collect()}
+    assert a == b
+
+
+def test_spark_native_hashes(spark):
+    """xxhash64 / hash (no DuckDB analog): deterministic across runs and
+    collision-free on the fixture keys."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    h1 = d.select("doc_id", F.xxhash64("text").alias("h"), F.hash("text").alias("h32"))
+    h2 = d.select("doc_id", F.xxhash64("text").alias("h"), F.hash("text").alias("h32"))
+    assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
+    n_texts = d.select("text").distinct().count()
+    assert h1.select("h").distinct().count() == n_texts
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """A4: HLL++ within 5% of exact at rsd=0.02."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """L4 rolling hash: deterministic, and sensitive to token order
+    (unlike the sorted-set md5 fingerprint)."""
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], ["text"])
+    rows = df.select(fingerprint_rolling("text").alias("fp")).collect()
+    assert rows[0].fp == rows[2].fp
+    assert rows[0].fp != rows[1].fp

@@ -1,0 +1,65 @@
+"""Property-based cross-engine check (SURVEY.md §5.2): hypothesis
+generates random predicate/aggregation combos; Spark and DuckDB must
+agree on the result. Catches operator-semantics drift the curated
+corpus misses."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+OPS = ["<", "<=", ">", ">=", "=", "!="]
+
+predicate = st.one_of(
+    st.tuples(st.sampled_from(NUM_COLS), st.sampled_from(OPS),
+              st.floats(min_value=0, max_value=100, allow_nan=False,
+                        allow_infinity=False).map(lambda x: round(x, 2))),
+    st.tuples(st.sampled_from(STR_COLS), st.sampled_from(["=", "!="]),
+              st.sampled_from(["A", "N", "R", "O", "F"])),
+)
+
+
+def sql_of(preds) -> str:
+    clauses = [
+        f"{c} {op} {v!r}" if isinstance(v, str) else f"{c} {op} {v}"
+        for c, op, v in preds
+    ]
+    return " AND ".join(clauses)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(preds=st.lists(predicate, min_size=1, max_size=3))
+def test_random_conjunctive_predicates(spark, duck_smoke, preds):
+    where = sql_of(preds)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    li.createOrReplaceTempView("li_prop")
+    spark_n = spark.sql(f"SELECT COUNT(*) FROM li_prop WHERE {where}").first()[0]
+    duck_n = duck_smoke.execute(
+        f"SELECT COUNT(*) FROM lineitem WHERE {where}"
+    ).fetchone()[0]
+    assert spark_n == duck_n, f"WHERE {where}: spark={spark_n} duck={duck_n}"
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    group_col=st.sampled_from(STR_COLS),
+    agg_col=st.sampled_from(["l_quantity", "l_orderkey"]),
+    pred=predicate,
+)
+def test_random_grouped_counts(spark, duck_smoke, group_col, agg_col, pred):
+    where = sql_of([pred])
+    q = (
+        f"SELECT {group_col}, COUNT(*), MIN({agg_col}), MAX({agg_col}) "
+        f"FROM {{t}} WHERE {where} GROUP BY {group_col}"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
+    s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
+    d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
+    assert s == d
