@@ -113,7 +113,10 @@ def minhash_signatures_df(
     Returns (id_col, _sig array<long>). Docs with no shingles (shorter
     than shingle_n words) get the sentinel all-p signature.
     """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
     params = _hash_params(num_hashes, seed)
+    df = ensure_parallelism(df)
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(shingles(text_col, shingle_n)).alias("_sh"),
@@ -276,7 +279,9 @@ def ngram_jaccard_pairs(
     bounded by document frequency; hot tokens should be stop-worded first
     (df > threshold) to cap skew, which is the standard trick.
     """
-    toks = df.select(
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("tok"),
     )
