@@ -13,6 +13,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     llm,
     projection,
     scalars,
+    scalars2,
     sorts_setops,
     streaming,
     udfs,

@@ -1,0 +1,88 @@
+"""Storage-layout scale features: partition pruning must show in the
+plan, bucketed joins must not shuffle, merge/SCD2 must upsert correctly."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.plans.merge import merge_upsert, scd2_apply
+from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_partition_pruning(spark):
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "orders_part")
+    o = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(o, path, ["order_year"])
+    pruned = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "order_year" in plan
+    expected = o.filter(F.col("order_year") == 1997).count()
+    assert pruned.count() == expected
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # disable broadcast so the join strategy question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+        write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_upsert(spark):
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    merge_upsert(spark, path, base, ["id"])
+    upd = spark.createDataFrame([(2, "B2"), (4, "d")], "id long, v string")
+    out = merge_upsert(spark, path, upd, ["id"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # idempotent re-apply
+    out2 = merge_upsert(spark, path, upd, ["id"])
+    assert {(r.id, r.v) for r in out2.collect()} == got
+
+
+def test_scd2_versions(spark):
+    import datetime as dt
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "dim")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    base = spark.createDataFrame([(1, "alpha", t0), (2, "beta", t0)], "id long, v string, ts timestamp")
+    scd2_apply(spark, path, base, ["id"], "ts")
+    upd = spark.createDataFrame([(1, "alpha2", t1)], "id long, v string, ts timestamp")
+    out = scd2_apply(spark, path, upd, ["id"], "ts")
+    rows = {(r.id, r.v, r.valid_to) for r in out.collect()}
+    assert (1, "alpha", t1) in rows          # closed-out old version
+    assert (1, "alpha2", None) in rows       # new current version
+    assert (2, "beta", None) in rows         # untouched
+    assert len(rows) == 3
