@@ -47,8 +47,10 @@ def main() -> None:
 
     spark = get_spark(app_name="etl_apache_kafka_python_doker_aws_spark-bench")
 
-    # Warm the JVM/session so the first measured query doesn't pay startup.
+    # Warm the JVM/session so the first measured query doesn't pay
+    # startup, codegen-compiler, or page-cache costs.
     spark.range(1000).selectExpr("sum(id)").collect()
+    QUERIES[HEADLINE[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -168,3 +168,149 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """L2 (embedding-cosine near-dup): pairs (id_a < id_b, cos_sim) with
+    cosine >= threshold.
+
+    exact=False (default, the scale path): sign-LSH band self-join for
+    candidates, exact cosine verify within buckets — same
+    bucket-then-verify shape as MinHash dedup.
+    exact=True: brute-force all-pairs (bounded inputs only; the oracle
+    path for correctness checks).
+    """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    if exact:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
+        banded = ensure_parallelism(corpus).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.explode(lsh_signature(F.col(vec_col), planes, band_bits)).alias("band"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a._id") < F.col("b._id")))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"),
+                F.col("b._v").alias("_vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """L3 scale path #2: IVF (inverted-file) approximate top-k.
+
+    Train KMeans centroids (MLlib, seeded) on the corpus, assign every
+    vector to its nearest cell, and search each query only in its
+    `n_probe` nearest cells. Candidate generation is an equi-join on
+    cell_id — like LSH but with data-adaptive partitions, which beats
+    random hyperplanes when the corpus is clustered. At 100 TB the
+    centroid model is tiny (n_cells × dim) and broadcast everywhere;
+    training samples the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    dense = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(dense.select("features"))
+    centroids = km.clusterCenters()
+
+    def cell_dists(vec_column):
+        # squared L2 distance to each centroid, as an array expression
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec_column,
+                        F.array(*[F.lit(float(c)) for c in centroid]),
+                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for centroid in centroids
+            ]
+        )
+
+    c_assigned = dense.select(
+        "neighbor_id",
+        "_cvec",
+        (F.array_position(cell_dists(F.col("_cvec")), F.array_min(cell_dists(F.col("_cvec")))) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            cell_dists(F.col(vec_col)),
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s.getField("i"),
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cell"),
+    )
+    cand = c_assigned.join(q_cells, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -248,3 +248,49 @@ def l5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(d, "doc_id")
     return decode_image_features(media, "doc_id", fake=True)
+
+
+@query(
+    "l2_embedding_cosine_dup",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+             AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+    """,
+)
+def l2_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant 5: embedding-cosine near-dup pairs — exact all-pairs on
+    a bounded subset (the oracle-checkable form; the LSH-bucketed form is
+    l2_embedding_cosine_lsh)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = embedding_near_dup_pairs(e, threshold=0.5, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query("l2_embedding_cosine_lsh")  # LSH candidates → rows-only (recall in tests)
+def l2_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant 5 at scale: the same cosine-threshold pairs via sign-LSH
+    band self-join (bucket-then-verify; no cross join)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.5, exact=False)
+
+
+@query("l3_ann_ivf")  # approximate → rows-only (recall vs exact in tests)
+def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2: IVF top-k (seeded KMeans cells + n_probe search) —
+    data-adaptive alternative to the LSH variant."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)

@@ -87,3 +87,29 @@ def test_sample_frames_expands_video(spark):
     # 0,1000,2000,3000 → 4 frames per doc
     assert frames.count() == 12
     assert frames.groupBy("doc_id").count().select(F.min("count")).first()[0] == 4
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF top-k must also recover a healthy fraction of exact top-k."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(e, q, k=5, n_cells=16, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_lsh_dup_pairs_subset_of_exact(spark):
+    """LSH-bucketed cosine dup pairs must be a subset of the exact
+    threshold pairs (no false positives — verify step is exact) with
+    decent recall."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import embedding_near_dup_pairs
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(e, threshold=0.5, exact=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(e, threshold=0.5, exact=False).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5, f"recall {len(lsh)}/{len(exact)}"
