@@ -80,3 +80,22 @@ def test_rolling_fingerprint_order_sensitive(spark):
     rows = df.select(fingerprint_rolling("text").alias("fp")).collect()
     assert rows[0].fp == rows[2].fp
     assert rows[0].fp != rows[1].fp
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting must be semantically invisible: salted_join == plain
+    join on a deliberately skewed fact (90% of rows share one key)."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.skew import salted_group_count, salted_join
+
+    skewed = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dval"))
+    plain = skewed.join(dim, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("dval").alias("s"))
+    salted = salted_join(skewed, dim, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("dval").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    counts = {r.k: r.n for r in salted_group_count(skewed, "k").collect()}
+    exact = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
+    assert counts == exact
