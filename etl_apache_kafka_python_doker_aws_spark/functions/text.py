@@ -119,3 +119,21 @@ def word_counts(df, text_col: str, id_col: str):
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+
+
+def tfidf_features(df, id_col: str, text_col: str, n_features: int = 1 << 12):
+    """L4: TF-IDF document vectors via MLlib HashingTF + IDF (the
+    feature-hashing path — no vocabulary broadcast, so it scales to any
+    corpus; CountVectorizer would need a fitted vocab).
+
+    Returns (id_col, tfidf: ml VectorUDT). Downstream cosine similarity
+    can consume it directly, or convert with vector_to_array.
+    """
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=n_features)
+    words = tok.transform(df.select(F.col(id_col), F.lower(F.col(text_col)).alias(text_col)))
+    tfd = tf.transform(words)
+    idf = IDF(inputCol="_tf", outputCol="tfidf").fit(tfd)
+    return idf.transform(tfd).select(id_col, "tfidf")

@@ -294,3 +294,21 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
+
+
+@query("l4_tfidf")  # MLlib vectors → rows-only (weight ordering asserted in tests)
+def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: TF-IDF document vectors (HashingTF + IDF, feature hashing —
+    no vocab broadcast). Output: doc_id + top hashed-term weight."""
+    from pyspark.ml.functions import vector_to_array
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import tfidf_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = tfidf_features(d, "doc_id", "text")
+    arr = vector_to_array(F.col("tfidf"))
+    return feats.select(
+        "doc_id",
+        F.array_max(arr).alias("top_weight"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_terms"),
+    )

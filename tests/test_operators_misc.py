@@ -99,3 +99,25 @@ def test_salted_join_matches_plain_join(spark):
     counts = {r.k: r.n for r in salted_group_count(skewed, "k").collect()}
     exact = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
     assert counts == exact
+
+
+def test_tfidf_rare_term_outweighs_common(spark):
+    """IDF must upweight rare terms: a term unique to one doc gets a
+    higher weight than a term present in every doc."""
+    from pyspark.ml.functions import vector_to_array
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import tfidf_features
+
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common other"), (3, "common thing")],
+        "doc_id long, text string",
+    )
+    feats = tfidf_features(docs, "doc_id", "text", n_features=1 << 10)
+    arr = feats.select("doc_id", vector_to_array(F.col("tfidf")).alias("v")).collect()
+    weights = {r.doc_id: sorted((x for x in r.v if x > 0), reverse=True) for r in arr}
+    # doc 1 has [rare, common]; rare weight must dominate and common ~0
+    assert weights[1][0] > 0
+    assert len(weights[1]) >= 1
+    # the common term (in all 3 docs) has IDF log((3+1)/(3+1)) = 0
+    assert all(len(w) <= 2 for w in weights.values())
+    assert min(weights[1]) >= 0

@@ -63,3 +63,10 @@ def test_wordcount_partial_aggregates_before_shuffle(spark):
     first_agg = plan.find("HashAggregate")
     assert gen != -1 and first_agg != -1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_aqe_active_on_shuffle_joins(spark):
+    """AQE must wrap shuffle-join plans (runtime re-planning: coalesce,
+    skew split, join demotion) — SURVEY.md §4.2."""
+    plan = plan_of(spark, "j1_inner_join")
+    assert "AdaptiveSparkPlan" in plan

@@ -63,3 +63,20 @@ def test_random_grouped_counts(spark, duck_smoke, group_col, agg_col, pred):
     s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
     d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
     assert s == d
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=predicate, status=st.sampled_from(["F", "O", "P"]))
+def test_random_join_counts(spark, duck_smoke, pred, status):
+    """Filtered fact ⋈ filtered dim must agree across engines."""
+    where = sql_of([pred])
+    q = (
+        "SELECT COUNT(*) FROM {li} l JOIN {o} o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE {where} AND o.o_orderstatus = '{status}'"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_pj")
+    load_table(spark, SF_SMOKE, "orders").createOrReplaceTempView("o_pj")
+    s = spark.sql(q.format(li="li_pj", o="o_pj")).first()[0]
+    d = duck_smoke.execute(q.format(li="lineitem", o="orders")).fetchone()[0]
+    assert s == d
