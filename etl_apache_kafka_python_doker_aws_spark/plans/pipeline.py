@@ -51,18 +51,35 @@ CUSTOMERS_WIRE_SCHEMA = T.StructType(
 )
 
 
-def to_customers_shape(customer: DataFrame) -> DataFrame:
-    """Derive the reference's 7-column customers table from the fixture
-    `customer` table (derivation per FIXTURES.md 'Reference-parity
-    schema')."""
+# English (README.md:149-159) and Spanish (dags/etl_dags.py:36-44) column
+# names for the same 7-column shape — the reference ships both variants.
+_SHAPE_COLS = {
+    "en": (
+        "id", "first_name", "last_name", "address",
+        "phone_number", "savings_pesos", "savings_dollars",
+    ),
+    "es": (
+        "id", "nombre", "apellido", "direccion",
+        "telefono", "caja_ahorro_pesos", "caja_ahorro_dolares",
+    ),
+}
+
+
+def to_customers_shape(customer: DataFrame, variant: str = "en") -> DataFrame:
+    """Derive the reference's 7-column table from the fixture `customer`
+    table (derivation per FIXTURES.md 'Reference-parity schema').
+    variant='en' → README customers schema; 'es' → the DAG's clientes
+    schema (/root/reference/dags/etl_dags.py:17-25) — same types, same
+    wire semantics, translated names."""
+    names = _SHAPE_COLS[variant]
     return customer.select(
-        F.col("c_custkey").alias("id"),
-        F.split(F.col("c_name"), "#").getItem(0).alias("first_name"),
-        F.split(F.col("c_name"), "#").getItem(1).alias("last_name"),
-        F.concat(F.col("c_name"), F.lit(" st.")).alias("address"),
-        F.concat(F.lit("555-"), F.col("c_custkey").cast("string")).alias("phone_number"),
-        F.col("c_acctbal").cast("double").alias("savings_pesos"),
-        (F.col("c_acctbal") / 1000).cast("double").alias("savings_dollars"),
+        F.col("c_custkey").alias(names[0]),
+        F.split(F.col("c_name"), "#").getItem(0).alias(names[1]),
+        F.split(F.col("c_name"), "#").getItem(1).alias(names[2]),
+        F.concat(F.col("c_name"), F.lit(" st.")).alias(names[3]),
+        F.concat(F.lit("555-"), F.col("c_custkey").cast("string")).alias(names[4]),
+        F.col("c_acctbal").cast("double").alias(names[5]),
+        (F.col("c_acctbal") / 1000).cast("double").alias(names[6]),
     )
 
 

@@ -38,15 +38,25 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+# One staged copy of the events fixture per (app, sf_dir) — six streaming
+# queries read it, so re-staging per query would double their wall time.
+_STAGED_EVENTS: dict[tuple[str, str], str] = {}
+
+
 def stage_events_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataFrame:
     """Materialize the events fixture as a µs-timestamp parquet dir and
     open it as a file-source stream (explicit schema — Structured
-    Streaming never infers, per its declarative-schema contract)."""
+    Streaming never infers, per its declarative-schema contract). The
+    staged copy is cached per session+sf_dir; checkpoints stay per-query
+    in the caller's workdir."""
     from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
 
-    staged = os.path.join(workdir, "events_staged")
-    if not os.path.exists(staged):
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    staged = _STAGED_EVENTS.get(cache_key)
+    if staged is None or not os.path.exists(staged):
+        staged = os.path.join(workdir, "events_staged")
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+        _STAGED_EVENTS[cache_key] = staged
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", "8")

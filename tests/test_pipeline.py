@@ -51,3 +51,28 @@ def test_kafka_connector_gated(spark):
     not an opaque classpath error."""
     with pytest.raises((ConnectorUnavailable, Exception)):
         read_kafka_stream(spark, "localhost:9092", "bank_customers")
+
+
+def test_spanish_variant_roundtrip(spark):
+    """The DAG's Spanish clientes schema (nombre/apellido/.../caja_ahorro_*)
+    round-trips the wire identically to the English variant."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    customer = load_table(spark, SF_SMOKE, "customer").limit(50)
+    es = to_customers_shape(customer, variant="es")
+    assert es.columns == [
+        "id", "nombre", "apellido", "direccion",
+        "telefono", "caja_ahorro_pesos", "caja_ahorro_dolares",
+    ]
+    wire = es.select(F.to_json(F.struct(*es.columns)).alias("value"))
+    schema = T.StructType(
+        [T.StructField(c, f.dataType) for c, f in zip(es.columns, es.schema.fields)]
+    )
+    parsed = wire.select(F.from_json("value", schema).alias("m")).select("m.*")
+    assert {tuple(r) for r in es.collect()} == {tuple(r) for r in parsed.collect()}
+    # spot-check the wire is the reference's message format (flat JSON obj)
+    sample = json.loads(wire.first().value)
+    assert set(sample) == set(es.columns)
