@@ -14,12 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
 ) -> None:
     """Write parquet partitioned by the given columns (hive-style dirs).
     Readers filtering on partition_cols get partition pruning — verify
-    with .explain: 'PartitionFilters'."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    with .explain: 'PartitionFilters'.
+
+    max_records_per_file caps file size inside each partition (file-size
+    hygiene at 100 TB: too-large files serialize row groups, too many
+    small files melt the listing); None disables the cap."""
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)
 
 
 def write_bucketed(

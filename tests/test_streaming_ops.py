@@ -85,3 +85,41 @@ def test_append_mode_emits_closed_windows_only(spark):
     # watermark ends at 13:50 → only the [12:00,13:00) window has end <= wm;
     # [13,14) and [14,15) are withheld as still-open
     assert hours == [12], f"expected only closed windows, got {hours}"
+
+
+def test_checkpoint_recovery_resumes_not_restarts(spark):
+    """Kill a streaming query after it has consumed some files, add more
+    data, restart on the same checkpoint: the sink must contain every row
+    exactly once (resume from offset log, not from scratch)."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import run_to_parquet
+
+    wd = tempfile.mkdtemp(prefix="recover_")
+    src = os.path.join(wd, "src")
+    base = dt.datetime(2024, 6, 1)
+
+    def rows(lo, hi):
+        return [(i, base + dt.timedelta(minutes=i), 1, "click", float(i), "{}")
+                for i in range(lo, hi)]
+
+    _write_batch(spark, src, rows(0, 50), 1)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    proj = stream.select("event_id", "value")
+    # phase 1: consume the first file to completion, then "crash" (stop)
+    run_to_parquet(proj, wd, "rec")
+    # phase 2: new data arrives while down
+    _write_batch(spark, src, rows(50, 80), 2)
+    # phase 3: restart on the SAME checkpoint
+    stream2 = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_parquet(stream2.select("event_id", "value"), wd, "rec")
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80)), f"lost or duplicated rows: {len(got)}"
