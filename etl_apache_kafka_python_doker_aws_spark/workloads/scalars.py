@@ -256,3 +256,24 @@ def f_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@query(
+    "f_json_tuple",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events WHERE event_id < 100
+    """,
+)
+def f_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple multi-path extraction + validity probe (schema_of_json
+    is exercised implicitly: the parse schema it would infer is what
+    from_json uses in f_json)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    return e.select(
+        "event_id",
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        F.from_json("props", "map<string,int>").isNotNull().alias("is_valid"),
+    )

@@ -157,3 +157,26 @@ def o5_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(F.col("c_nationkey").alias("nk")).subtract(
         s.select(F.col("s_nationkey").alias("nk"))
     )
+
+
+@query(
+    "o1_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    ORDER BY status_or_null NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def o1_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort with explicit NULLS FIRST placement (fixtures have no null
+    column, so NULLIF manufactures one) + unique tiebreaker + limit."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        )
+        .orderBy(F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(50)
+    )
