@@ -117,15 +117,35 @@ def minhash_signatures_df(
 
     params = _hash_params(num_hashes, seed)
     df = ensure_parallelism(df)
-    ex = df.select(
+    # Hash tokens ONCE (as a materialized array column so the shingle
+    # expression references an attribute, not a recomputed subtree), then
+    # combine consecutive token hashes polynomially into shingle hashes —
+    # no shingle strings are ever built. Coefficients keep values < 2^62
+    # under ANSI mode (token hashes are 31-bit).
+    tok_hashed = df.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(shingles(text_col, shingle_n)).alias("_sh"),
+        F.transform(
+            tokenize(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+        ).alias("_th"),
     )
-    hashed = ex.select(
-        "_id",
-        F.when(
-            F.col("_sh").isNotNull(), F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE))
-        ).alias("_h"),
+    n_sh = F.size("_th") - (shingle_n - 1)
+    shingle_hash = F.when(n_sh <= 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.pmod(
+                sum(
+                    (
+                        F.element_at(F.col("_th"), i + j) * (31 ** (shingle_n - 1 - j))
+                        for j in range(shingle_n)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(_MERSENNE),
+            ),
+        )
+    )
+    hashed = tok_hashed.select(
+        "_id", F.explode_outer(shingle_hash).alias("_h")
     )
     aggs = [
         F.min(F.pmod(a * F.col("_h") + b, F.lit(_MERSENNE))).alias(f"_m{i}")
@@ -303,4 +323,60 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """L2: SimHash near-dup pairs via the split-and-index trick: split the
+    64-bit fingerprint into n_bands 16-bit bands; any pair within
+    max_hamming <= n_bands-1 bits must collide on >= 1 band (pigeonhole),
+    so candidates come from an equi-join on (band_idx, band_value) and the
+    exact Hamming distance (bit_count of xor) filters them. Join-based —
+    no cross join — like every other near-dup path here.
+    """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    bits_per_band = 64 // n_bands
+    fp = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), simhash(text_col).alias("_fp")
+    )
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.pmod(
+                            F.shiftrightunsigned(F.col("_fp"), i * bits_per_band),
+                            F.lit(1 << bits_per_band),
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_fp", "_b.band_idx", "_b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
     )

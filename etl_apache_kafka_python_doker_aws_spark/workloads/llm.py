@@ -312,3 +312,13 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(arr).alias("top_weight"),
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_terms"),
     )
+
+
+@query("l2_simhash_pairs")  # banded Hamming search → rows-only
+def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash near-dup pairs — split-and-index banded Hamming search
+    (pigeonhole band join + exact bit_count verify)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)

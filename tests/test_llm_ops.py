@@ -113,3 +113,16 @@ def test_embedding_lsh_dup_pairs_subset_of_exact(spark):
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.5, f"recall {len(lsh)}/{len(exact)}"
+
+
+def test_simhash_pairs_find_verbatim_dups(spark):
+    """SimHash banded pair search: verbatim duplicates have Hamming
+    distance 0 and must all be found; reported distances are exact."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(40)
+    dup = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    pairs = simhash_near_dup_pairs(d.unionByName(dup), "doc_id", "text", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for r in d.select("doc_id").collect():
+        assert got.get((r.doc_id, r.doc_id + 100000)) == 0, f"dup of {r.doc_id} missed"
