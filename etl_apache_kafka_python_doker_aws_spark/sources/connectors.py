@@ -166,3 +166,26 @@ def write_json_export(df: DataFrame, path: str, single_file: bool = True) -> Non
     written in parallel)."""
     writer = df.coalesce(1) if single_file else df
     writer.write.mode("overwrite").json(path)
+
+
+def read_wire_stream_kafka_shaped(spark: SparkSession, path: str) -> DataFrame:
+    """Open the file wire channel as a stream with the EXACT column shape
+    of the Kafka source (key/value binary, topic, partition, offset) so
+    consume code written against this stand-in runs unchanged on
+    `read_kafka_stream` — swapping transports touches only the reader."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(path)
+    return raw.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("bank_customers").alias("topic"),
+        F.lit(0).alias("partition"),
+        # real Kafka offsets are broker-assigned; a content hash stands in
+        # (monotonically_increasing_id is not allowed in streaming plans)
+        F.xxhash64("value").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )

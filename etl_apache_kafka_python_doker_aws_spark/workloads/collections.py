@@ -132,3 +132,28 @@ def f_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.element_at(F.create_map(F.col("key"), F.col("value")), F.col("key")).alias("value"),
     )
+
+
+@query(
+    "f_array_contains",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_contains(LIST_TRANSFORM(embedding::DOUBLE[], x -> x > 0.2), TRUE) AS BOOLEAN)
+             AS has_big,
+           ROUND((LIST_SORT(embedding[1:8]::DOUBLE[]))[1], 6) AS smallest_of_head,
+           ROUND((LIST_SORT(embedding[1:8]::DOUBLE[]))[8], 6) AS largest_of_head
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def f_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_contains + sort_array (the remaining §2.7 array rows;
+    arrays_zip semantics are covered by f_array_zip's zip_with)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head_sorted = F.sort_array(F.slice(vec, 1, 8))
+    return e.select(
+        "vec_id",
+        F.array_contains(F.transform(vec, lambda x: x > 0.2), True).alias("has_big"),
+        F.round(F.element_at(head_sorted, 1), 6).alias("smallest_of_head"),
+        F.round(F.element_at(head_sorted, 8), 6).alias("largest_of_head"),
+    )

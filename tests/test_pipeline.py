@@ -76,3 +76,40 @@ def test_spanish_variant_roundtrip(spark):
     # spot-check the wire is the reference's message format (flat JSON obj)
     sample = json.loads(wire.first().value)
     assert set(sample) == set(es.columns)
+
+
+def test_kafka_shaped_wire_stream(spark):
+    """The file wire channel exposed with the Kafka source's column shape
+    (key/value binary, topic, partition, offset, timestamp): consume code
+    parses value exactly as it would from a real broker."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import CUSTOMERS_WIRE_SCHEMA
+    from etl_apache_kafka_python_doker_aws_spark.sources.connectors import (
+        read_wire_stream_kafka_shaped,
+        write_wire_json,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer").limit(30)
+    wd = tempfile.mkdtemp()
+    wire = os.path.join(wd, "wire")
+    write_wire_json(to_customers_shape(customer), wire)
+
+    stream = read_wire_stream_kafka_shaped(spark, wire)
+    assert [f.name for f in stream.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    ]
+    parsed = stream.select(
+        F.from_json(F.col("value").cast("string"), CUSTOMERS_WIRE_SCHEMA).alias("m")
+    ).select("m.*")
+    q = (
+        parsed.writeStream.format("memory").queryName("kshape")
+        .option("checkpointLocation", os.path.join(wd, "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.id for r in spark.sql("SELECT id FROM kshape").collect()}
+    assert got == {r.c_custkey for r in customer.collect()}
