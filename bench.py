@@ -37,6 +37,9 @@ HEADLINE = [
     "l4_word_topk",
     "t2_tumbling_window",
     "etl_reference_pipeline",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
 ]
 
 

@@ -175,3 +175,32 @@ def w2_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w_full).alias("last_event"),
     )
+
+
+@query(
+    "w1_cume_dist",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_richest
+    FROM customer
+    """,
+)
+def w1_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (tie-safe cumulative fraction) + nth_value with an
+    explicit frame."""
+    c = load_table(spark, sf_dir, "customer")
+    w_val = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w_nth = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        F.round(F.cume_dist().over(w_val), 6).alias("cd"),
+        F.nth_value("c_custkey", 2).over(w_nth).alias("second_richest"),
+    )
