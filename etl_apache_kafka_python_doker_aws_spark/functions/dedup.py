@@ -380,3 +380,60 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Group near-dup pairs into clusters via iterative min-label
+    propagation (connected components, small-diameter graphs): every id
+    starts as its own label; each round, a node adopts the minimum label
+    among itself and its neighbors. Dup clusters have tiny diameter, so
+    a handful of rounds converges.
+
+    The genuinely iterative op in the engine (not SQL-expressible):
+    each round is one join + one aggregate; lineage is truncated with
+    localCheckpoint so the plan doesn't grow exponentially — the standard
+    Spark pattern for bounded iterative algorithms.
+
+    Returns (id_col, cluster_id) where cluster_id is the minimum member
+    id; singletons keep their own id.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus_near(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **minhash_kwargs
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components →
+    keep the minimum-id document of each cluster. Returns the deduped
+    DataFrame (same schema as input)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, **minhash_kwargs)
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    keep = clusters.groupBy("cluster_id").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")

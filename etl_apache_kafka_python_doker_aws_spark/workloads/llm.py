@@ -322,3 +322,17 @@ def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query("l2_dedup_pipeline")  # iterative clustering → rows-only
+def l2_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 capstone: full near-dedup pipeline — MinHash-LSH pairs →
+    connected components (iterative min-label propagation) → keep the
+    minimum-id doc per cluster. Returns per-language before/after counts."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_corpus_near
+
+    d = load_table(spark, sf_dir, "documents")
+    deduped = dedup_corpus_near(d, threshold=0.9)
+    before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = deduped.groupBy("lang").agg(F.count("*").alias("n_after"))
+    return before.join(after, "lang").select("lang", "n_before", "n_after")

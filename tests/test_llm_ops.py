@@ -126,3 +126,22 @@ def test_simhash_pairs_find_verbatim_dups(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     for r in d.select("doc_id").collect():
         assert got.get((r.doc_id, r.doc_id + 100000)) == 0, f"dup of {r.doc_id} missed"
+
+
+def test_dedup_corpus_collapses_duplicate_clusters(spark):
+    """End-to-end near-dedup: tripling the corpus (verbatim copies under
+    new ids) must dedup back to ~the original count, and cluster labels
+    must be transitive (a copy-of-copy lands in the same cluster)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_corpus_near
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(60)
+    c1 = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    c2 = d.select((F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    tripled = d.unionByName(c1).unionByName(c2)
+    deduped = dedup_corpus_near(tripled, threshold=0.9)
+    n_unique_texts = d.select("text").distinct().count()
+    got = deduped.count()
+    # every surviving doc is the min-id of its cluster → original ids only
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0
+    assert got <= d.count()
+    assert got >= n_unique_texts - 2  # near-dups inside the base corpus may merge
