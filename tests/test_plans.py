@@ -70,3 +70,42 @@ def test_aqe_active_on_shuffle_joins(spark):
     skew split, join demotion) — SURVEY.md §4.2."""
     plan = plan_of(spark, "j1_inner_join")
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling observed end-to-end: with thresholds scaled
+    to fixture size, a 90%-hot-key join must execute with skew-split
+    partitions (the executed SMJ reports skew=true)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # coalescing first would merge the tiny partitions and mask the
+        # skew signal at this miniature scale
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id"), F.lit("x" * 64)).alias("p"),
+        )
+        right = spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        # action directly on the join: a downstream aggregation would veto
+        # the split (extra shuffle) unless forceOptimizeSkewedJoin is set
+        joined = left.join(right, "k")
+        joined.foreach(lambda r: None)
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "skewed join was not split by AQE"
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -80,3 +80,24 @@ def test_random_join_counts(spark, duck_smoke, pred, status):
     s = spark.sql(q.format(li="li_pj", o="o_pj")).first()[0]
     d = duck_smoke.execute(q.format(li="lineitem", o="orders")).fetchone()[0]
     assert s == d
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(part_col=st.sampled_from(STR_COLS),
+       order_col=st.sampled_from(["l_extendedprice", "l_quantity", "l_orderkey"]),
+       k=st.integers(min_value=1, max_value=5))
+def test_random_topk_per_group(spark, duck_smoke, part_col, order_col, k):
+    """Window top-k with a unique tiebreaker must agree across engines for
+    any (partition, order, k) combination."""
+    q = (
+        f"SELECT {part_col}, l_orderkey, l_linenumber FROM ("
+        f"  SELECT {part_col}, l_orderkey, l_linenumber,"
+        f"         ROW_NUMBER() OVER (PARTITION BY {part_col}"
+        f"             ORDER BY {order_col} DESC, l_orderkey, l_linenumber) AS rk"
+        f"  FROM {{t}}) WHERE rk <= {k}"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
+    s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
+    d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
+    assert s == d
