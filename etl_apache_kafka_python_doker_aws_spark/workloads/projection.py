@@ -154,3 +154,17 @@ def p6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial dedup, so the shuffle carries only distinct pairs."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query("p_sample")  # partition-dependent randomness → rows-only
+def p_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling (seeded) + stratified sampleBy — the corpus
+    down-sampling primitives for training-data pipelines. Deterministic
+    for a fixed seed+partitioning (asserted in tests); rows-only because
+    sampling semantics are engine-specific by design."""
+    li = load_table(spark, sf_dir, "lineitem")
+    uniform = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_returnflag")
+    strata = li.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
+    return uniform.unionByName(
+        strata.select("l_orderkey", "l_linenumber", "l_returnflag")
+    ).groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))

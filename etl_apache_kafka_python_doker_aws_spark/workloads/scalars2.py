@@ -130,3 +130,32 @@ def f_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 7 DAYS"))
         ).alias("_w"),
     ).select("user_id", F.col("_w").cast("date").alias("week_start"))
+
+
+@query(
+    "f_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                    AS low_byte,
+           event_id | 4096                   AS with_flag,
+           xor(event_id, 255)                AS flipped,
+           event_id << 2                     AS shifted_l,
+           event_id >> 1                     AS shifted_r,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events WHERE event_id < 500
+    """,
+)
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount (the primitives under
+    SimHash banding and bitmap indexes)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    c = F.col("event_id")
+    return e.select(
+        "event_id",
+        c.bitwiseAND(255).alias("low_byte"),
+        c.bitwiseOR(4096).alias("with_flag"),
+        c.bitwiseXOR(255).alias("flipped"),
+        F.shiftleft(c, 2).alias("shifted_l"),
+        F.shiftright(c, 1).alias("shifted_r"),
+        F.bit_count(c).alias("popcount"),
+    )

@@ -121,3 +121,23 @@ def test_tfidf_rare_term_outweighs_common(spark):
     # the common term (in all 3 docs) has IDF log((3+1)/(3+1)) = 0
     assert all(len(w) <= 2 for w in weights.values())
     assert min(weights[1]) >= 0
+
+
+def test_sampling_deterministic_and_proportional(spark):
+    """Seeded sample() must be reproducible and close to the requested
+    fraction; sampleBy must respect per-stratum fractions."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table as _lt
+
+    li = _lt(spark, SF_SMOKE, "lineitem")
+    s1 = li.sample(fraction=0.1, seed=42).count()
+    s2 = li.sample(fraction=0.1, seed=42).count()
+    assert s1 == s2
+    total = li.count()
+    assert abs(s1 / total - 0.1) < 0.03
+
+    strata = li.sampleBy("l_returnflag", {"A": 0.3, "N": 0.01}, seed=7)
+    counts = {r.l_returnflag: r["count"] for r in strata.groupBy("l_returnflag").count().collect()}
+    base = {r.l_returnflag: r["count"] for r in li.groupBy("l_returnflag").count().collect()}
+    assert "R" not in counts                      # unlisted stratum dropped
+    assert abs(counts["A"] / base["A"] - 0.3) < 0.08
+    assert counts.get("N", 0) / base["N"] < 0.05
