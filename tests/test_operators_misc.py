@@ -141,3 +141,41 @@ def test_sampling_deterministic_and_proportional(spark):
     assert "R" not in counts                      # unlisted stratum dropped
     assert abs(counts["A"] / base["A"] - 0.3) < 0.08
     assert counts.get("N", 0) / base["N"] < 0.05
+
+
+def test_asof_join_edge_cases(spark):
+    """as-of join edges: left rows before any right row get NULL payload;
+    an exactly-simultaneous right row matches (<=); empty right side
+    yields all-NULL payloads rather than dropping left rows."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 10, t(5)), (3, 10, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(5), 55.0), (10, t(7), 77.0)], "user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r.asof_value for r in
+           asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()}
+    assert out[1] is None          # before any right row
+    assert out[2] == 55.0          # simultaneous right row matches (<=)
+    assert out[3] == 77.0          # latest preceding
+
+    empty_right = right.filter("user_id < 0")
+    out2 = asof_join(left, empty_right, "user_id", "ts", "ts", ["value"]).collect()
+    assert len(out2) == 3 and all(r.asof_value is None for r in out2)
+
+
+def test_asof_join_missing_key_raises(spark):
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1)], "event_id long, user_id long")
+    right = spark.createDataFrame([(1,)], "other long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        asof_join(left, right, "user_id", "event_id", "other", ["other"])

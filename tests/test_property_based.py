@@ -101,3 +101,44 @@ def test_random_topk_per_group(spark, duck_smoke, part_col, order_col, k):
     s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
     d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
     assert s == d
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(group_col=st.sampled_from(STR_COLS),
+       min_count=st.integers(min_value=1, max_value=5000))
+def test_random_having_counts(spark, duck_smoke, group_col, min_count):
+    """GROUP BY + HAVING must agree across engines at any threshold."""
+    q = (
+        f"SELECT {group_col}, COUNT(*) AS n, SUM(l_quantity) AS sq "
+        f"FROM {{t}} GROUP BY {group_col} HAVING COUNT(*) >= {min_count}"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
+    s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
+    d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
+    assert s == d
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=predicate)
+def test_random_rollup(spark, duck_smoke, pred):
+    """ROLLUP totals (integer-valued sums) must agree under any filter.
+
+    Known cross-engine divergence (found by this property): on an EMPTY
+    filtered input, DuckDB emits the ANSI grand-total row
+    (NULL, NULL, NULL, 0) while Spark's expand-then-aggregate produces no
+    rows at all. Non-empty inputs agree, so the empty case is excluded
+    here and the divergence documented.
+    """
+    where = sql_of([pred])
+    q = (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq, COUNT(*) AS n "
+        f"FROM {{t}} WHERE {where} GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
+    if duck_smoke.execute(f"SELECT COUNT(*) FROM lineitem WHERE {where}").fetchone()[0] == 0:
+        return  # documented divergence above
+    s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
+    d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
+    assert s == d
