@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     compare through ``CAST(ts AS TIMESTAMP)`` on the DuckDB side.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"fixture table {name!r} not found at {path} — known tables: "
+            f"{', '.join(TABLES)}; sf dirs live under /root/testdata/"
+        )
     if name == "events":
         from pyspark.sql import functions as F
 

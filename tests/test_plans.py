@@ -109,3 +109,22 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_available_after_analyze(spark):
+    """§4.2 CBO row: ANALYZE TABLE COMPUTE STATISTICS populates rowCount/
+    sizeInBytes that the cost-based optimizer consumes (fixtures are
+    small, so CBO stays optional — this pins the stats plumbing)."""
+    load_table = __import__(
+        "etl_apache_kafka_python_doker_aws_spark.catalog", fromlist=["load_table"]
+    ).load_table
+    df = load_table(spark, SF_SMOKE, "nation")
+    df.write.mode("overwrite").saveAsTable("nation_stats")
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        detail = spark.sql("DESCRIBE EXTENDED nation_stats").collect()
+        stats_row = [r for r in detail if r.col_name == "Statistics"]
+        assert stats_row, "no Statistics row after ANALYZE"
+        assert "rows" in stats_row[0].data_type  # e.g. '3144 bytes, 25 rows'
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
