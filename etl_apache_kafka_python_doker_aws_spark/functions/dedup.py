@@ -191,7 +191,12 @@ def minhash_near_dup_pairs(
         buckets are dropped the same way stop-words are (skew guard).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n, seed).select(
+    # docs shorter than shingle_n words have NO shingles; they must be
+    # excluded from pairing, not given a shared sentinel signature (which
+    # would pair every short doc with every other at est_jaccard 1.0 and
+    # silently delete them in dedup_corpus_near)
+    eligible = df.filter(F.size(tokenize(text_col)) >= shingle_n)
+    sig = minhash_signatures_df(eligible, id_col, text_col, num_hashes, shingle_n, seed).select(
         F.col(id_col).alias("_id"), "_sig"
     )
     banded = sig.select(
@@ -330,7 +335,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     n_bands: int = 4,
 ) -> DataFrame:
     """L2: SimHash near-dup pairs via the split-and-index trick: split the
@@ -342,6 +347,11 @@ def simhash_near_dup_pairs(
     """
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee requires max_hamming <= n_bands-1 "
+            f"(got {max_hamming} > {n_bands - 1}); raise n_bands or lower max_hamming"
+        )
     bits_per_band = 64 // n_bands
     fp = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), simhash(text_col).alias("_fp")
@@ -428,12 +438,17 @@ def dedup_clusters(
 
 
 def dedup_corpus_near(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **minhash_kwargs
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_iter: int = 5, **minhash_kwargs
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs → connected components →
     keep the minimum-id document of each cluster. Returns the deduped
-    DataFrame (same schema as input)."""
+    DataFrame (same schema as input).
+
+    max_iter bounds label propagation: clusters merge fully only up to
+    graph diameter max_iter (near-dup chains are short; raise it for
+    template-revision corpora with long chains)."""
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **minhash_kwargs)
-    clusters = dedup_clusters(pairs, df.select(id_col), id_col)
+    clusters = dedup_clusters(pairs, df.select(id_col), id_col, max_iter=max_iter)
     keep = clusters.groupBy("cluster_id").agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")

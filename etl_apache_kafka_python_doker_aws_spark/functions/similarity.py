@@ -85,6 +85,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def _probe_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve the vector dimensionality, probing one row when not given.
+    A wrong dim makes zip_with pad with NULLs → NULL band hashes → a
+    silently empty result, so never guess."""
+    if dim is not None:
+        return dim
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 0
+    return int(row.d)
+
+
 def lsh_signature(vec: Column, planes: list[list[float]], band_bits: int = 4) -> Column:
     """Sign-LSH signature: bit i = (vec · plane_i) >= 0, grouped into
     bands of `band_bits` bits. Returns an array<int> of band hashes.
@@ -126,7 +138,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 32,
     band_bits: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k cosine via sign-LSH band collision.
@@ -139,7 +151,7 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(_probe_dim(corpus, vec_col, dim), n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -177,7 +189,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 32,
     band_bits: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     exact: bool = False,
 ) -> DataFrame:
@@ -197,7 +209,7 @@ def embedding_near_dup_pairs(
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        planes = _hyperplanes(dim, n_planes, seed)
+        planes = _hyperplanes(_probe_dim(corpus, vec_col, dim), n_planes, seed)
         banded = ensure_parallelism(corpus).select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
@@ -273,12 +285,13 @@ def ivf_topk(
             ]
         )
 
-    c_assigned = dense.select(
+    c_with_d = dense.select("neighbor_id", "_cvec", cell_dists(F.col("_cvec")).alias("_d"))
+    c_assigned = c_with_d.select(
         "neighbor_id",
         "_cvec",
-        (F.array_position(cell_dists(F.col("_cvec")), F.array_min(cell_dists(F.col("_cvec")))) - 1)
-        .cast("int")
-        .alias("cell"),
+        # _d is a materialized column reference, so the n_cells x dim
+        # distance tree is evaluated once per row, not twice
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int").alias("cell"),
     )
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),

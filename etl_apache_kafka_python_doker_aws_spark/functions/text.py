@@ -57,12 +57,20 @@ def quality_features(text: Column | str, stopwords: tuple[str, ...] = _LANG_MARK
     n_chars = F.length(col)
     punct = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+    total_token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_word_len": (n_chars - n_tokens + 1) / n_tokens,
+        # from the tokens themselves — (n_chars - n_tokens + 1)/n_tokens
+        # assumes exactly single-space separators and breaks on runs of
+        # whitespace; NULL (not error) on token-less docs
+        "mean_word_len": F.when(
+            n_tokens > 0, total_token_chars / n_tokens
+        ),
         "punct_ratio": punct / n_chars,
-        "stopword_ratio": stop_hits / n_tokens,
+        "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens),
     }
 
 
@@ -110,8 +118,8 @@ def fingerprint_rolling(text: Column | str, modulus: int = (1 << 31) - 1) -> Col
     )
 
 
-def word_counts(df, text_col: str, id_col: str):
-    """Explode to (word, count) pairs — the scalable word-count shape:
+def word_counts(df, text_col: str):
+    """Corpus-wide (word, count) pairs — the scalable word-count shape:
     map-side partial aggregation means the shuffle carries (word, partial)
     not raw tokens."""
     return (

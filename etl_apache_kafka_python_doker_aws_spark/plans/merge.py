@@ -14,6 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _swap_in(staging: str, target_path: str) -> None:
+    """Crash-safe table swap: move the live table aside BEFORE renaming
+    the staging dir in, so no instant exists where the data lives only in
+    .staging (a kill between rmtree and rename would otherwise lose the
+    table — the next merge would see no target and keep only updates)."""
+    old = target_path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staging, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -41,9 +56,7 @@ def merge_upsert(
 
     staging = target_path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.rename(staging, target_path)
+    _swap_in(staging, target_path)
     return spark.read.parquet(target_path)
 
 
@@ -87,6 +100,5 @@ def scd2_apply(
 
     staging = target_path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target_path)
-    os.rename(staging, target_path)
+    _swap_in(staging, target_path)
     return spark.read.parquet(target_path)

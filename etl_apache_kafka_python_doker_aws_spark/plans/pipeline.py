@@ -148,8 +148,12 @@ def run_reference_pipeline_streaming(
         .dropDuplicates(["id"])
     )
 
-    def upsert(batch: DataFrame, _epoch: int) -> None:
-        batch.write.mode("append").parquet(out)
+    def upsert(batch: DataFrame, epoch: int) -> None:
+        # epoch-keyed overwrite: a replayed micro-batch (failure between
+        # sink commit and checkpoint commit) rewrites its own directory
+        # instead of appending duplicates — true idempotence, unlike the
+        # reference's at-least-once insert
+        batch.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch}"))
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -158,4 +162,4 @@ def run_reference_pipeline_streaming(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).drop("epoch")

@@ -91,7 +91,9 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash fingerprints (Arrow-batched Pandas UDF) +
     bucket key for banded near-dup search."""
-    d = load_table(spark, sf_dir, "documents")
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         simhash("text").alias("simhash64"),
