@@ -338,3 +338,45 @@ def l2_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
     after = deduped.groupBy("lang").agg(F.count("*").alias("n_after"))
     return before.join(after, "lang").select("lang", "n_before", "n_after")
+
+
+@query(
+    "l4_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    freqs AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks WHERE tok != '' GROUP BY doc_id, tok
+    ),
+    totals AS (SELECT doc_id, SUM(c) AS n FROM freqs GROUP BY doc_id)
+    SELECT f.doc_id,
+           ROUND(-SUM((c / n) * LN(c / n)), 6)          AS token_entropy,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n), 6) AS distinct_ratio
+    FROM freqs f JOIN totals t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def l4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-document token Shannon entropy + repetition (distinct/total)
+    ratio — the statistical quality signals behind repetition filters in
+    training-data pipelines. Pure explode + two aggregations; the shuffle
+    carries (doc, token, count) partials."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    freqs = (
+        d.select("doc_id", F.explode(tx.tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    totals = freqs.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freqs.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            F.round(F.count("*") / F.first("n"), 6).alias("distinct_ratio"),
+        )
+    )

@@ -123,3 +123,51 @@ def test_checkpoint_recovery_resumes_not_restarts(spark):
     out = run_to_parquet(stream2.select("event_id", "value"), wd, "rec")
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == list(range(80)), f"lost or duplicated rows: {len(got)}"
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark):
+    """Stream-stream LEFT OUTER join: an unmatched left row is emitted
+    with NULL right columns only once the watermark passes its join
+    window (crafted two-batch input forces the watermark advance)."""
+    import datetime as dt
+
+    wd = tempfile.mkdtemp(prefix="sslo_")
+    lsrc = os.path.join(wd, "l")
+    rsrc = os.path.join(wd, "r")
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, ts, typ):
+        return (i, ts, 1, typ, 1.0, "{}")
+
+    # batch 0: left row at 12:00 with a matching right row, plus a left
+    # row at 12:05 — outside the 1-minute join bound of any right row
+    _write_batch(spark, lsrc, [ev(1, base, "purchase"),
+                               ev(2, base + dt.timedelta(minutes=5), "purchase")], 1)
+    _write_batch(spark, rsrc, [ev(100, base, "click")], 1)
+    # batch 1: much-later rows push the watermark far past 12:01+10min
+    _write_batch(spark, lsrc, [ev(3, base + dt.timedelta(hours=3), "purchase")], 2)
+    _write_batch(spark, rsrc, [ev(200, base + dt.timedelta(hours=3), "click")], 2)
+
+    left = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(lsrc)
+        .selectExpr("event_id AS l_id", "user_id AS l_user", "ts AS l_ts")
+        .withWatermark("l_ts", "10 minutes")
+    )
+    right = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(rsrc)
+        .selectExpr("event_id AS r_id", "user_id AS r_user", "ts AS r_ts")
+        .withWatermark("r_ts", "10 minutes")
+    )
+    from pyspark.sql import functions as F
+
+    joined = left.join(
+        right,
+        F.expr("l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL 1 MINUTE AND l_ts"),
+        "leftOuter",
+    ).select("l_id", "r_id")
+    result = run_available_now(joined, wd, f"sslo_{uuid.uuid4().hex[:8]}", output_mode="append")
+    got = {r.l_id: r.r_id for r in result.collect()}
+    assert got.get(1) == 100          # matched pair
+    assert 2 in got and got[2] is None  # unmatched left emitted with NULL
