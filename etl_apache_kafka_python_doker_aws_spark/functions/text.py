@@ -145,3 +145,49 @@ def tfidf_features(df, id_col: str, text_col: str, n_features: int = 1 << 12):
     tfd = tf.transform(words)
     idf = IDF(inputCol="_tf", outputCol="tfidf").fit(tfd)
     return idf.transform(tfd).select(id_col, "tfidf")
+
+
+# Char-trigram profiles per language (top distinctive trigrams; real
+# deployments learn these from a labeled corpus — the mechanics are what
+# matter: trigram extraction + profile scoring, all JVM HOFs).
+_CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "es": ("que", "ión", "ent", "ado", "los"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "fr": ("les", "ent", "ion", "que", "eur"),
+    "zh": ("zh1", "sh4", "ng1", "ao4", "an2"),
+}
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams of the lowercased text as array<string>
+    (empty array for texts shorter than n)."""
+    col = F.lower(F.col(text) if isinstance(text, str) else text)
+    k = F.length(col) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(col, i, n))
+    )
+
+
+def lang_id_char_ngrams(text: Column | str) -> Column:
+    """Language ID via char-trigram profile scoring (the literal 'n-gram
+    heuristic' form): score each language by how many of its profile
+    trigrams occur in the document's trigram set; argmax, 'und' when no
+    profile hits. Deterministic, JVM-only, single pass."""
+    grams = F.array_distinct(char_ngrams(text, 3))
+
+    def profile_hits(profile: tuple[str, ...]):
+        plist = list(profile)
+        return lambda g: g.isin(plist)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(grams, profile_hits(profile))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, profile in sorted(_CHAR_TRIGRAM_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))

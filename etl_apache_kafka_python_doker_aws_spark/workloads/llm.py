@@ -236,9 +236,15 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("l4_lang_id")  # heuristic → rows-only (fixture text is synthetic word soup)
 def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: marker-word language-ID heuristic (JVM-only, deterministic)."""
+    """L4: language-ID heuristics — marker-word scoring and the literal
+    char-trigram n-gram form, side by side (JVM-only, deterministic)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", tx.lang_id_heuristic("text").alias("lang_pred"))
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.lang_id_heuristic("text").alias("lang_pred_words"),
+        tx.lang_id_char_ngrams("text").alias("lang_pred_trigrams"),
+    )
 
 
 @query("l5_multimodal")  # binary plumbing + stubbed decode → rows-only

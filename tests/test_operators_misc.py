@@ -179,3 +179,18 @@ def test_asof_join_missing_key_raises(spark):
 
     with _pytest.raises(ValueError, match="key column"):
         asof_join(left, right, "user_id", "event_id", "other", ["other"])
+
+
+def test_char_ngram_lang_id_scores_profiles(spark):
+    """Char-trigram lang ID: a text full of German trigrams scores 'de';
+    profile-free text scores 'und'; deterministic across runs."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import lang_id_char_ngrams
+
+    df = spark.createDataFrame(
+        [("der einer schon und ich",), ("xxxxx yyyyy zzzzz",)], ["text"]
+    )
+    rows = df.select(lang_id_char_ngrams("text").alias("p")).collect()
+    assert rows[0].p == "de"
+    assert rows[1].p == "und"
+    rows2 = df.select(lang_id_char_ngrams("text").alias("p")).collect()
+    assert [r.p for r in rows] == [r.p for r in rows2]
