@@ -15,10 +15,11 @@ from pyspark.sql import functions as F
 
 
 def _swap_in(staging: str, target_path: str) -> None:
-    """Crash-safe table swap: move the live table aside BEFORE renaming
-    the staging dir in, so no instant exists where the data lives only in
-    .staging (a kill between rmtree and rename would otherwise lose the
-    table — the next merge would see no target and keep only updates)."""
+    """Table swap via paired renames: move the live table aside, rename
+    staging in, drop the old copy. A kill between the two renames leaves
+    no target dir — that window is repaired by `_recover`, which every
+    merge entry point runs first, so the data is never lost (it sits
+    whole in .old, and the merged copy in .staging)."""
     old = target_path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -27,6 +28,35 @@ def _swap_in(staging: str, target_path: str) -> None:
     os.rename(staging, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _is_complete(path: str) -> bool:
+    """A parquet dir Spark finished writing carries a _SUCCESS marker."""
+    return os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _recover(target_path: str) -> None:
+    """Repair an interrupted `_swap_in` (ADVICE r1): if the target is
+    missing but a complete copy survives in .staging (the merged result —
+    finish the swap) or .old (the pre-merge table — roll back), restore
+    it. Without this, the next merge would treat the table as absent and
+    silently rebuild it from updates only, dropping all survivor rows."""
+    if os.path.exists(target_path):
+        return
+    old = target_path.rstrip("/") + ".old"
+    staging = target_path.rstrip("/") + ".staging"
+    if _is_complete(staging):
+        os.rename(staging, target_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    elif _is_complete(old):
+        os.rename(old, target_path)
+    elif os.path.exists(old) or os.path.exists(staging):
+        raise RuntimeError(
+            f"merge target {target_path!r} is missing and neither "
+            f"{staging!r} nor {old!r} holds a complete copy — refusing to "
+            "treat the table as empty; inspect/restore manually"
+        )
 
 
 def merge_upsert(
@@ -46,6 +76,7 @@ def merge_upsert(
 
     Updates must be unique per key (enforced with dropDuplicates).
     """
+    _recover(target_path)
     updates = updates.dropDuplicates(key_cols)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
@@ -72,6 +103,7 @@ def scd2_apply(
 
     Pure DataFrame composition: one anti/semi split + union; no driver
     loops. Target schema gains (valid_from, valid_to)."""
+    _recover(target_path)
     upd = updates.dropDuplicates(key_cols).withColumn(
         "valid_from", F.col(ts_col)
     ).withColumn("valid_to", F.lit(None).cast("timestamp"))

@@ -79,7 +79,13 @@ def tumbling_counts(
     return (
         with_watermark(stream, ts_col, watermark_delay)
         .groupBy(F.window(ts_col, window_len), *keys)
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal sum: reproducible across engines/summation orders
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("wstart"), *keys, F.col("n"), F.col("total_value")
         )
@@ -136,19 +142,24 @@ _STATE_OUT_SCHEMA = T.StructType(
     ]
 )
 _STATE_SCHEMA = T.StructType(
-    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    [T.StructField("n", T.LongType()), T.StructField("total_cents", T.LongType())]
 )
 
 
 def _running_user_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (n, total) = state.get if state.exists else (0, 0.0)
+    # State carries integer cents, not a float sum: values are exact 2-dp,
+    # so the running total is exact and order/batch-boundary independent
+    # (a float accumulator would drift from the batch-SQL oracle).
+    (n, cents) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
 
 
 def stateful_user_totals(stream: DataFrame) -> DataFrame:

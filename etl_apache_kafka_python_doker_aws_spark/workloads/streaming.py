@@ -40,7 +40,7 @@ def _qname(base: str) -> str:
     SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS wstart,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -156,7 +156,7 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -212,7 +212,7 @@ def t9_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -228,7 +228,10 @@ def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     joined = stream.join(customer, stream.user_id == customer.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_value"),
     )
     return run_available_now(agg, wd, _qname("j9"), output_mode="complete")
 

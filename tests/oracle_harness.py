@@ -10,19 +10,30 @@ from decimal import Decimal
 
 
 def _norm_cell(v):
-    """Normalize a cell so Spark and DuckDB renderings hash identically."""
+    """Normalize a cell so Spark and DuckDB renderings hash identically.
+
+    Floats compare at FULL precision (shortest round-trip repr), not a
+    truncated %.6g: round-1's driver flagged q7/q9 ulp-level mismatches
+    that a 6-significant-digit hash hid locally (VERDICT r1 #1-2). A
+    stricter-than-driver local harness means local green predicts driver
+    green. Decimals normalize to trailing-zero-stripped fixed-point so a
+    scale-2 Spark decimal equals a scale-4 DuckDB decimal of equal value.
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
-        v = float(v)
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s if s not in ("-0", "") else "0"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):

@@ -70,6 +70,39 @@ def test_merge_upsert(spark):
     assert {(r.id, r.v) for r in out2.collect()} == got
 
 
+def test_merge_recovers_interrupted_swap(spark):
+    """ADVICE r1: a kill between _swap_in's two renames leaves the table
+    only in .old — the next merge must restore it, not rebuild the table
+    from updates alone (which would silently drop all survivor rows)."""
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    merge_upsert(spark, path, base, ["id"])
+
+    # simulate the crash window: target moved aside, staging not yet in
+    os.rename(path, path + ".old")
+    upd = spark.createDataFrame([(2, "B2"), (4, "d")], "id long, v string")
+    out = merge_upsert(spark, path, upd, ["id"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}, got
+
+    # crash AFTER staging was fully written: recovery must finish the swap
+    # (prefer the newer merged copy over .old)
+    os.rename(path, path + ".staging")
+    upd2 = spark.createDataFrame([(5, "e")], "id long, v string")
+    out2 = merge_upsert(spark, path, upd2, ["id"])
+    got2 = {(r.id, r.v) for r in out2.collect()}
+    assert got2 == got | {(5, "e")}, got2
+
+    # incomplete leftovers (no _SUCCESS) must raise, not silently rebuild
+    os.rename(path, path + ".old")
+    os.remove(os.path.join(path + ".old", "_SUCCESS"))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="refusing"):
+        merge_upsert(spark, path, upd2, ["id"])
+
+
 def test_scd2_versions(spark):
     import datetime as dt
 
