@@ -218,15 +218,18 @@ def minhash_near_dup_pairs(
         ).alias("_band"),
     ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
 
-    # skew guard: drop pathological buckets before the quadratic self-join
-    from pyspark.sql.window import Window
-
-    bucket_sz = Window.partitionBy("band_idx", "band_hash")
-    banded = (
-        banded.withColumn("_bsz", F.count("*").over(bucket_sz))
+    # skew guard: drop pathological buckets before the quadratic self-join.
+    # groupBy-count + semi-join, NOT a window — count(*) over (partition by
+    # band) forces a full sort of the band shuffle, while the aggregate is
+    # map-side partial and the semi-join carries only (band_idx, band_hash)
+    # keys (VERDICT r1 bench note on l2_minhash_near_dup).
+    small_buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
         .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+        .select("band_idx", "band_hash")
     )
+    banded = banded.join(small_buckets, ["band_idx", "band_hash"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -258,39 +261,35 @@ def minhash_near_dup_pairs(
 
 
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-batched; numpy bit
-    ops). Token hash = first 8 bytes of numpy's deterministic per-token
-    polynomial hash below (no PYTHONHASHSEED dependence)."""
-
-    def tok_hash(tok: str) -> int:
-        h = np.uint64(1469598103934665603)  # FNV-1a 64-bit
-        for ch in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-        return int(h)
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        if not text:
+def _simhash_pack(tok_hashes: pd.Series) -> pd.Series:
+    """Pack pre-hashed tokens (array<long>, JVM xxhash64) into a 64-bit
+    SimHash. Pure numpy: per doc, one (n_tokens × 64) bit matrix, column
+    sums, sign → bits. The per-token hashing happens JVM-side in
+    whole-stage codegen (VERDICT r1 #5 replaced a per-character Python
+    FNV loop here — the old slow path hashed bytes one at a time inside
+    the UDF)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(tok_hashes), dtype=np.int64)
+    for i, arr in enumerate(tok_hashes):
+        if arr is None or len(arr) == 0:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.lower().split():
-            h = tok_hash(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sim = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
+        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        # bits[t, b] = bit b of token t's hash → ±1 vote sums per bit
+        bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - len(h)
+        sim = int(np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts))
+        out[i] = sim - (1 << 64) if sim >= (1 << 63) else sim  # two's-complement long
     return pd.Series(out)
 
 
 def simhash(text_col: str) -> Column:
-    """L2: SimHash fingerprint column (Pandas-UDF slow path, Arrow batches).
-    Near-dups = small Hamming distance; pair generation buckets on the top
-    bytes of the hash (split-and-index trick) to stay join-based."""
-    return _simhash64(F.col(text_col))
+    """L2: SimHash fingerprint column. Tokens are hashed JVM-side
+    (xxhash64 inside codegen); only the bit-packing crosses into an
+    Arrow-batched Pandas UDF. Near-dups = small Hamming distance; pair
+    generation buckets on fingerprint bands (split-and-index trick) to
+    stay join-based."""
+    tok_hashed = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
+    return _simhash_pack(tok_hashed)
 
 
 def ngram_jaccard_pairs(
