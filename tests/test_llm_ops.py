@@ -101,6 +101,23 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_sampled_training_recall(spark):
+    """The 100 TB training path: KMeans fit on a seeded sample of the
+    corpus (not the full set) must still give usable cells — recall floor
+    holds and assignment covers every vector."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, q, k=5, n_cells=8, n_probe=4, train_fraction=0.3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"sampled-training IVF recall too low: {recall}"
+
+
 def test_embedding_lsh_dup_pairs_subset_of_exact(spark):
     """LSH-bucketed cosine dup pairs must be a subset of the exact
     threshold pairs (no false positives — verify step is exact) with
