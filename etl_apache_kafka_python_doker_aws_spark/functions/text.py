@@ -191,3 +191,46 @@ def lang_id_char_ngrams(text: Column | str) -> Column:
     )
     best = F.array_max(scored)
     return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+# PII patterns kept to the regex subset Java and RE2 interpret identically
+# (char classes, bounded/unbounded repeats — no backrefs, no lookaround),
+# so the same pattern drives Spark and the DuckDB oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Mask emails then phone numbers with typed placeholders — the
+    standard scrub pass before corpus export. Pure regexp_replace (JVM,
+    codegen); order matters: emails first so their digit runs are not
+    half-eaten by the phone pattern."""
+    col = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, PHONE_RE, "<PHONE>")
+
+
+def chunk_tokens(
+    text: Column | str, chunk_size: int = 100, overlap: int = 20
+) -> Column:
+    """Split a document into overlapping token windows — the training-
+    pipeline chunking step (context-window packing). Returns
+    array<string>: chunk i covers tokens [i*step, i*step + chunk_size)
+    with step = chunk_size - overlap; the last window may be short. Empty
+    docs yield an empty array. All JVM HOFs — no Python in the row path.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    step = chunk_size - overlap
+    toks = tokenize(text)
+    n = F.size(toks)
+    # 1-indexed starts: 1, 1+step, ... last start <= n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(step)).cast("int") + 1
+    )
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
+        )
+    )

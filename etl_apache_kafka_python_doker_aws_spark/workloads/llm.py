@@ -247,6 +247,90 @@ def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l4_pii_mask",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS masked,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+    FROM aug
+    """,
+)
+def l4_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: PII scrub pass (emails/phones → typed placeholders) before
+    corpus export. The fixture text carries no PII, so the query plants a
+    deterministic email+phone per doc (same expression in the oracle) and
+    masking must remove every one — pure regexp_replace, JVM codegen.
+    Patterns stay in the Java∩RE2 regex subset (functions/text.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        tx.mask_pii("text").alias("masked"),
+        F.size(F.regexp_extract_all("text", F.lit(tx.EMAIL_RE), 0)).cast("bigint").alias(
+            "n_emails"
+        ),
+    )
+
+
+@query(
+    "l4_chunk_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             UNNEST(GENERATE_SERIES(0, CAST(FLOOR((LEN(t) - 1) / 80.0) AS INT))) AS ci
+      FROM toks WHERE LEN(t) > 0
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           ARRAY_TO_STRING(LIST_SLICE(t, ci * 80 + 1, ci * 80 + 100), ' ') AS chunk,
+           CAST(LEN(LIST_SLICE(t, ci * 80 + 1, ci * 80 + 100)) AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+)
+def l4_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: overlapping token-window chunking (context-window packing for
+    training pipelines): chunk_size=100, overlap=20 → stride 80. The
+    chunk array is built with JVM HOFs and exploded; the shuffle-free
+    plan is one Generate over the scan."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunked = d.select(
+        "doc_id", F.posexplode(tx.chunk_tokens("text", 100, 20)).alias("chunk_idx", "chunk")
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
 @query("l5_multimodal")  # binary plumbing + stubbed decode → rows-only
 def l5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: multimodal column plumbing — attach deterministic binary media

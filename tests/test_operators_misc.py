@@ -194,3 +194,33 @@ def test_char_ngram_lang_id_scores_profiles(spark):
     assert rows[1].p == "und"
     rows2 = df.select(lang_id_char_ngrams("text").alias("p")).collect()
     assert [r.p for r in rows] == [r.p for r in rows2]
+
+
+def test_mask_pii_and_chunking(spark):
+    """mask_pii removes emails/phones exactly; chunk_tokens produces the
+    stride/overlap layout with a short final window and empty-doc safety."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import chunk_tokens, mask_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.co or call +1 (555) 010-9988 now"),
+        (2, "no pii here at all"),
+        (3, ""),
+        (4, "a b c d e f g h i j"),  # 10 tokens
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    masked = {r.id: r.m for r in df.select("id", mask_pii("text").alias("m")).collect()}
+    assert masked[1] == "write to <EMAIL> or call <PHONE> now"
+    assert masked[2] == "no pii here at all"
+
+    chunks = {
+        r.id: r.c
+        for r in df.select("id", chunk_tokens("text", chunk_size=4, overlap=1).alias("c")).collect()
+    }
+    # stride 3 over 10 tokens -> starts 0,3,6,9: three full windows + short tail
+    assert chunks[4] == ["a b c d", "d e f g", "g h i j", "j"]
+    assert chunks[3] == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_tokens("text", chunk_size=4, overlap=4)

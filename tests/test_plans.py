@@ -182,3 +182,36 @@ def test_cbo_stats_available_after_analyze(spark):
         assert "rows" in stats_row[0].data_type  # e.g. '3144 bytes, 25 rows'
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """§4.2 runtime filtering: a selective filter on the small side of a
+    shuffle join must inject a bloom-filter aggregate whose
+    might_contain() prunes the big side BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling all of lineitem and shuffling
+    only rows whose orderkey can match. (Thresholds lowered to trigger at
+    fixture scale; on by default in the session conf.)"""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 450000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter creation in plan"
+        assert "might_contain" in plan, "no bloom filter application in plan"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
