@@ -22,9 +22,9 @@ Kafka (sources/connectors.py) — identical JSON format either way.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -90,6 +90,10 @@ class PipelineResult:
     export_path: str
     processed: DataFrame
     exported: DataFrame
+    #: per-stage observed metrics (df.observe — collected during the
+    #: stage's own write action, zero extra passes over the data):
+    #: {"produce": {"n_rows", "total_pesos"}, "consume": {...}}
+    metrics: dict = field(default_factory=dict)
 
 
 def run_reference_pipeline(
@@ -108,16 +112,29 @@ def run_reference_pipeline(
     processed_path = os.path.join(workdir, "processed")
     export_path = os.path.join(workdir, "export")
 
-    # --- produce (S1→P1/P2→S3): project + coerce + JSON wire
-    shaped = to_customers_shape(source)
+    # --- produce (S1→P1/P2→S3): project + coerce + JSON wire.
+    # df.observe rides along with the stage's write action — row counts and
+    # money totals come out of the same pass, the monitoring the
+    # reference's fire-and-forget tasks never had.
+    obs_produce = Observation("produce")
+    shaped = to_customers_shape(source).observe(
+        obs_produce,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("savings_pesos").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_pesos"),
+    )
     write_wire_json(shaped, wire)
     if simulate_redelivery:
         dup = shaped.select(F.to_json(F.struct(*shaped.columns)).alias("value"))
         dup.write.mode("append").text(wire)
 
     # --- consume (S2→from_json→T5 dedup→S4): parse, dedup, land
+    obs_consume = Observation("consume")
     parsed = read_wire_json(spark, wire, CUSTOMERS_WIRE_SCHEMA)
-    deduped = parsed.dropDuplicates(["id"])
+    deduped = parsed.dropDuplicates(["id"]).observe(
+        obs_consume, F.count(F.lit(1)).alias("n_rows")
+    )
     deduped.write.mode("overwrite").parquet(processed_path)
 
     # --- upload (S1 rescan→S5 export)
@@ -125,7 +142,10 @@ def run_reference_pipeline(
     write_json_export(processed, export_path, single_file=False)
 
     exported = spark.read.schema(CUSTOMERS_WIRE_SCHEMA).json(export_path)
-    return PipelineResult(wire, processed_path, export_path, processed, exported)
+    metrics = {"produce": obs_produce.get, "consume": obs_consume.get}
+    return PipelineResult(
+        wire, processed_path, export_path, processed, exported, metrics
+    )
 
 
 def run_reference_pipeline_streaming(

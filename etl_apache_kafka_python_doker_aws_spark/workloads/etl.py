@@ -9,6 +9,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
 from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
@@ -90,3 +91,27 @@ def s9_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     via_csv = spark.read.schema(schema).option("header", "true").csv(csv_path)
     via_csv.write.mode("overwrite").json(json_path)
     return spark.read.schema(schema).json(json_path)
+
+
+@query("s7_synthetic_source")  # generator output → rows-only (determinism in pytest)
+def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the reference's Faker generator (/root/reference/data_full.py:16-31)
+    as a PARALLEL Spark Python DataSource — the row range splits into input
+    partitions, each executor generates its slice, and per-row seeded RNG
+    makes the dataset identical under any partitioning (sources/pysource.py).
+    Aggregated per last name so the source feeds a normal Catalyst plan."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
+
+    register(spark)
+    gen = (
+        spark.read.format("synthetic_customers")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return gen.groupBy("apellido").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("caja_ahorro_pesos").cast("decimal(12,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_pesos"),
+    )

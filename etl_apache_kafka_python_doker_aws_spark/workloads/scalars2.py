@@ -118,11 +118,22 @@ def f_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series generation: per-user weekly date spine from first to last
-    event (sequence + explode) — the scaffold for gap-filling joins."""
+    event (sequence + explode) — the scaffold for gap-filling joins.
+
+    Day extraction is pinned to UTC wall time (convert_timezone →
+    TIMESTAMP_NTZ) instead of date_trunc on the raw instant: the latter
+    follows spark.sql.session.timeZone, and a non-UTC session shifted
+    every midnight-valued fixture instant to the previous day (found by
+    the hostile-TZ probe in .claude/skills/verify/SKILL.md)."""
     e = load_table(spark, sf_dir, "events")
-    spans = e.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("lo"),
-        F.date_trunc("day", F.max("ts")).alias("hi"),
+    spans = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            "user_id",
+            F.expr("date_trunc('DAY', convert_timezone('UTC', mn))").alias("lo"),
+            F.expr("date_trunc('DAY', convert_timezone('UTC', mx))").alias("hi"),
+        )
     )
     return spans.select(
         "user_id",
@@ -158,4 +169,28 @@ def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(c, 2).alias("shifted_l"),
         F.shiftright(c, 1).alias("shifted_r"),
         F.bit_count(c).alias("popcount"),
+    )
+
+
+@query(
+    "f_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS BIGINT) IS NULL AS k_missing
+    FROM events WHERE event_id < 300
+    """,
+)
+def f_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 binary JSON): parse_json once, then typed path
+    access via try_variant_get. At scale this beats per-access
+    get_json_object — the string parses once into the binary encoding
+    instead of once per extracted path. Parity with the reference's
+    json.loads consume path (/root/reference/dags/etl_dags.py:32)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "bigint").isNull().alias("k_missing"),
     )

@@ -224,3 +224,33 @@ def test_mask_pii_and_chunking(spark):
 
     with pytest.raises(ValueError):
         chunk_tokens("text", chunk_size=4, overlap=4)
+
+
+def test_synthetic_python_datasource(spark):
+    """S7 via the Python DataSource API: parallel partitioned generation,
+    deterministic under any partitioning, reference column shapes."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_customers")
+            .option("rows", 500)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df = load(7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 500
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in load(3).collect())
+    assert a == b, "generation must not depend on partitioning"
+    row = dict(zip(df.columns, a[0]))
+    assert set(df.columns) == {
+        "id", "nombre", "apellido", "direccion", "telefono",
+        "caja_ahorro_pesos", "caja_ahorro_dolares",
+    }
+    assert 0 <= row["caja_ahorro_pesos"] <= 100000
+    assert round(row["caja_ahorro_pesos"], 2) == row["caja_ahorro_pesos"]

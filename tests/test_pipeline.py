@@ -37,6 +37,29 @@ def test_redelivery_dedup(spark):
     assert res.processed.select("id").distinct().count() == customer.count()
 
 
+def test_pipeline_observed_metrics(spark):
+    """df.observe metrics ride the stage writes — no extra pass — and
+    must agree with independently computed counts/totals."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    wd = tempfile.mkdtemp()
+    res = run_reference_pipeline(spark, customer, wd)
+    n = customer.count()
+    assert res.metrics["produce"]["n_rows"] == n
+    assert res.metrics["consume"]["n_rows"] == n
+    expect_total = (
+        to_customers_shape(customer)
+        .agg(
+            F.round(F.sum(F.col("savings_pesos").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("t")
+        )
+        .first()[0]
+    )
+    assert res.metrics["produce"]["total_pesos"] == expect_total
+
+
 def test_streaming_consume_matches_batch(spark):
     customer = load_table(spark, SF_SMOKE, "customer").limit(100)
     wd = tempfile.mkdtemp()

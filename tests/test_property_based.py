@@ -142,3 +142,24 @@ def test_random_rollup(spark, duck_smoke, pred):
     s = {tuple(r) for r in spark.sql(q.format(t="li_prop")).collect()}
     d = {tuple(r) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
     assert s == d
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(group_col=st.sampled_from(STR_COLS + ["l_suppkey"]), pred=predicate)
+def test_random_decimal_money_sums_exact(spark, duck_smoke, pred, group_col):
+    """The money house style (workloads/money.py) must be EXACTLY equal
+    across engines for any grouping/filter — decimal sums are order-
+    independent, so no rounding boundary can flip (the q7/q9 failure
+    class this style exists to kill)."""
+    where = sql_of([pred])
+    q = (
+        f"SELECT {group_col}, "
+        "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DECIMAL(18,2)) AS rev "
+        f"FROM {{t}} WHERE {where} GROUP BY {group_col}"
+    )
+    load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
+    s = {(r[0], str(r[1])) for r in spark.sql(q.format(t="li_prop")).collect()}
+    d = {(r[0], str(r[1])) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
+    assert s == d
