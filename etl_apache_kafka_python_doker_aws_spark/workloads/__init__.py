@@ -15,6 +15,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     scalars,
     scalars2,
     sorts_setops,
+    sql_surface,
     streaming,
     udfs,
     windows,

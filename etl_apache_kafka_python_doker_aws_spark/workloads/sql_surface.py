@@ -1,0 +1,259 @@
+"""Modern SQL-surface operators — round-2 widening of SURVEY.md §2.4/§2.6:
+LISTAGG, deterministic MODE, UNPIVOT/melt, LATERAL correlated subquery,
+recursive CTE, null-safe join, and STACK row generation.
+
+The reference (a 157-LoC Airflow/Kafka tutorial) has no SQL engine; these
+rows are part of the declared north-star surface. Everything here is
+expressed declaratively so Catalyst plans it (no UDFs, no collect):
+LISTAGG/MODE become single hash aggregates, UNPIVOT/STACK expand
+map-side (narrow, no shuffle), LATERAL decorrelates to a ranked window,
+and the recursive CTE (Spark 4 UnionLoop) seeds a 12-row spine that
+joins against a pre-aggregated fact — at 100 TB the recursion depth
+stays 12 while the fact aggregation is the usual two-phase hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+
+@query(
+    "a11_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(COUNT(*) AS BIGINT)                AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a11_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: ordered string aggregation (LISTAGG ... WITHIN GROUP).
+
+    WITHIN GROUP ordering makes the concatenation deterministic across
+    engines and partitionings — unordered listagg/collect_list is not
+    reproducible on a cluster (partial-agg arrival order).
+    """
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    r.createOrReplaceTempView("region_la")
+    n.createOrReplaceTempView("nation_la")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+               COUNT(*) AS n_nations
+        FROM region_la JOIN nation_la ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "a12_mode",
+    oracle="""
+    WITH counted AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+        SELECT o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY c DESC, o_orderpriority ASC) AS rn
+        FROM counted
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a12_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: deterministic MODE — ``mode(x, true)`` breaks frequency
+    ties by taking the smallest value, so the result is reproducible
+    (plain ``mode()`` is partitioning-dependent on ties; the sf0.001
+    fixture really does tie: status P has two priorities at count 111).
+    The oracle mirrors the tie-break with an explicit (count DESC, value
+    ASC) ranking.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("mode(o_orderpriority, true)").alias("mode_priority")
+    )
+
+
+@query(
+    "o6_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def o6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family: UNPIVOT / melt — wide columns to (metric, value) rows.
+
+    ``df.unpivot`` is a map-side Expand (narrow: no shuffle, row count
+    multiplies by the number of melted columns); the oracle spells the
+    same semantics as UNION ALL.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=[F.col("p_size").cast("double").alias("p_size"), "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "f_stack",
+    oracle="""
+    SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, 'priority' AS attr, o_orderpriority AS val
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def f_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: STACK(n, ...) row generator — the SQL-native way to emit
+    k rows per input row without a join; same Expand node as unpivot."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'status', o_orderstatus, 'priority', o_orderpriority) AS (attr, val)"
+        ),
+    )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) c
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-family: LATERAL correlated derived table (top-2 customers by
+    balance per nation). Catalyst decorrelates the lateral subquery into
+    a ranked window over one shuffle by ``c_nationkey`` — no per-nation
+    rescan, so the plan is scale-safe (the naive reading would be 25
+    separate top-k scans). Tie-break on c_custkey keeps both engines
+    deterministic.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_lat n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer_lat
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 2
+        ) c
+        """
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1
+        UNION ALL
+        SELECT m + 1 FROM months WHERE m < 12
+    ), monthly AS (
+        SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DECIMAL(18,2)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT months.m AS month,
+           COALESCE(monthly.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+           COALESCE(monthly.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN monthly ON monthly.m = months.m
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-family: WITH RECURSIVE (Spark 4 UnionLoop) — a 12-row month
+    spine generated by real recursion, left-joined to pre-aggregated
+    monthly revenue so months with no orders still appear. The recursion
+    is driver-cheap (depth 12, one row per step); the fact side is the
+    usual two-phase decimal-sum aggregate, so the pattern scales: spine
+    size is calendar-bound, not data-bound.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        ), monthly AS (
+            SELECT CAST(month(o_orderdate) AS INT) AS m,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DECIMAL(18,2)) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders_rec
+            GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(monthly.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+               COALESCE(monthly.n_orders, CAST(0 AS BIGINT)) AS n_orders
+        FROM months LEFT JOIN monthly ON monthly.m = months.m
+        """
+    )
+
+
+@query(
+    "j11_nullsafe_join",
+    oracle="""
+    WITH l AS (
+        SELECT NULLIF(o_orderstatus, 'O') AS k, COUNT(*) AS n_left
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT NULLIF(o_orderstatus, 'O') AS k,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DECIMAL(18,2)) AS total_right
+        FROM orders GROUP BY 1
+    )
+    SELECT l.k, l.n_left, r.total_right
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) —
+    NULL keys match each other instead of vanishing. Catalyst treats
+    ``eqNullSafe`` as an equi-join condition, so it still hash-partitions
+    both sides (NULLs hash to one partition — bounded here because the
+    key domain is tiny; for high-NULL fact joins prefer a COALESCE
+    sentinel plus salting, see operators/skew.py).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    left = o.select(k).groupBy("k").agg(F.count("*").alias("n_left"))
+    right = (
+        o.select(k, F.col("o_totalprice"))
+        .groupBy("k")
+        .agg(money_sum(money("o_totalprice"), "total_right"))
+    )
+    return left.join(right, left["k"].eqNullSafe(right["k"])).select(
+        left["k"], "n_left", "total_right"
+    )
