@@ -1,0 +1,212 @@
+"""Training-data curation operators — round-2 additions to the
+LLM-pipeline family (SURVEY.md §2.11): benchmark-contamination checks,
+embedding-space clustering, domain-mixture sampling, and sequence
+packing. All are declarative DataFrame compositions (no Python in the
+hot path) so they inherit Catalyst's pushdown/pruning and scale by
+shuffle on well-chosen keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the shared
+    tokenization for n-gram contamination (DuckDB mirror:
+    ``list_filter(regexp_split_to_array(lower(trim(x)), '\\s+'), t -> t <> '')``).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """All word n-grams of a document as an array of space-joined
+    strings, built JVM-side with slice/sequence HOFs (no explode+window
+    shuffle, no Python). Documents shorter than ``n`` tokens yield an
+    empty array (Spark's ``sequence(1, 0)`` would count DOWN — the
+    ``when`` guard is load-bearing)."""
+    toks = word_tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    of its distinct word n-grams also occur in the benchmark set.
+
+    Shape at 100 TB: both sides explode to (doc, gram), the benchmark
+    side is reduced to DISTINCT grams (typically ≪ corpus — eval sets are
+    small), and the hit count is a semi-join-style equi-join on the gram
+    string followed by a per-doc count — all hash-partitioned by gram,
+    no all-pairs comparison. For very large benchmarks, swap the gram
+    string for ``xxhash64(gram)`` on both sides to shrink shuffle width
+    (not done here so the DuckDB oracle can mirror the join key exactly).
+    """
+    grams_c = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    bench_g = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    hits = (
+        grams_c.join(bench_g, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = grams_c.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        corpus.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0))
+                / F.nullif(F.coalesce("n_grams", F.lit(0)), F.lit(0))
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def cluster_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Embedding-space clustering for corpus topic/domain balancing:
+    seeded KMeans (MLlib) → per-cluster size and mean squared distance
+    to the centroid. The centroid model is O(k·dim) and broadcasts; the
+    assignment pass is one map over the corpus and the stats are a
+    two-phase hash aggregate on cluster_id. ``train_fraction`` samples
+    the KMeans training set (at 100 TB train on ~1e-4 of the corpus;
+    assignment still covers every vector)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dense = embeddings.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    train = dense.select("features")
+    if train_fraction is not None and train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(train)
+    assigned = model.transform(dense).withColumnRenamed("prediction", "cluster_id")
+
+    centers = model.clusterCenters()
+    sq_dist = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(c)) for c in center]),
+                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for center in centers
+        ]
+    )
+    with_dist = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .join(assigned.select(id_col, "cluster_id"), id_col)
+        .withColumn("_sqd", F.element_at(sq_dist, F.col("cluster_id") + 1))
+    )
+    return with_dist.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("_sqd"), 4).alias("mean_sq_dist"),
+    )
+
+
+def domain_mix(
+    documents: DataFrame,
+    targets: dict[str, int],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    default_pct: int = 10,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep ``doc_id % 100 <
+    pct(domain)`` so every engine/run selects the identical subset (the
+    sampler is a pure projection — no shuffle, no RNG state). Returns
+    per-domain totals, sampled counts, and the achieved rate. At scale
+    the mod-filter pushes down to the scan and the summary is a
+    two-phase aggregate; swap ``pmod(doc_id, 100)`` for
+    ``pmod(xxhash64(doc_id), 100)`` when ids are not uniformly
+    distributed (documented, not default, to keep the oracle mirror
+    trivial)."""
+    pct = F.lit(default_pct)
+    for dom, p in sorted(targets.items()):
+        pct = F.when(F.col(domain_col) == dom, F.lit(p)).otherwise(pct)
+    sampled = (F.pmod(F.col(id_col), F.lit(100)) < pct).cast("int")
+    return (
+        documents.select(F.col(domain_col), pct.alias("target_pct"), sampled.alias("_s"))
+        .groupBy(domain_col, "target_pct")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_s").alias("n_sampled"),
+        )
+        .withColumn("achieved_rate", F.col("n_sampled") / F.col("n_docs"))
+    )
+
+
+def pack_bins(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed-token-budget bins with the contiguous-fill approximation —
+    shard by ``doc_id % shards``, order within the shard, running token
+    cumsum, ``bin = (cumsum - tokens) div budget``.
+
+    Exact first-fit packing is inherently sequential; contiguous fill is
+    the standard distributed approximation (each bin may overflow by at
+    most one document and underfill by less than one). The window
+    partitions by shard, so parallelism = ``shards`` — at 100 TB set
+    shards ≈ executor-cores and the per-shard sort is the only cost.
+    Integer ``div`` keeps the bin id exact (no float rounding drift).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != ""))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = documents.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
+        toks.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    binned = staged.withColumn(
+        "bin_id", F.expr(f"(cum_tokens - n_tokens) div {budget}")
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -8,6 +8,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     aggregates,
     collections,
     composite,
+    curation,
     etl,
     joins,
     llm,

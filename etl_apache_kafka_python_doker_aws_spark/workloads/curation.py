@@ -1,0 +1,144 @@
+"""Training-data curation queries — round-2 LLM-pipeline rows (L6–L9 on
+top of SURVEY.md §2.11): benchmark contamination, embedding clustering,
+domain-mixture sampling, sequence packing. SQL-expressible ops carry
+DuckDB oracles; the KMeans op is rows-only (seeded, determinism and
+mass-balance asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.curation import (
+    cluster_stats,
+    contamination_stats,
+    domain_mix,
+    pack_bins,
+)
+from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
+
+# Shared DuckDB fragments: tokenization and 5-gram generation mirroring
+# functions/curation.word_tokens / word_ngrams (1-based inclusive list
+# slicing: gram i = toks[i : i+n-1]).
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+_DUCK_GRAMS5 = (
+    f"list_transform(range(1, greatest(len({_DUCK_TOKS}) - 4, 0) + 1), "
+    f"i -> array_to_string(({_DUCK_TOKS})[i:i+4], ' '))"
+)
+
+
+@query(
+    "l6_contamination",
+    oracle=f"""
+    WITH grams_c AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_GRAMS5}) AS gram
+        FROM documents WHERE doc_id % 10 <> 0
+    ), bench_g AS (
+        SELECT DISTINCT unnest({_DUCK_GRAMS5}) AS gram
+        FROM documents WHERE doc_id % 10 = 0
+    ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM grams_c JOIN bench_g USING (gram)
+        GROUP BY doc_id
+    ), totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams_c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(h.n_hit, 0)   AS n_hit,
+           COALESCE(h.n_hit, 0) / NULLIF(COALESCE(t.n_grams, 0), 0)
+               AS contamination_rate
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN hits   h USING (doc_id)
+    """,
+)
+def l6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: benchmark-contamination check — treat every 10th document as
+    the held-out benchmark and count, per corpus document, how many of
+    its distinct word 5-grams occur anywhere in the benchmark. The gram
+    join is hash-partitioned on the gram string (benchmark side reduced
+    to DISTINCT first), so the plan is equi-join-shaped at any scale —
+    never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    benchmark = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_stats(corpus, benchmark, "doc_id", "text", n=5)
+
+
+@query("l7_cluster_stats")  # KMeans → rows-only (seeded; tests assert determinism)
+def l7_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: embedding-space clustering for topic/domain balancing —
+    seeded KMeans over the embeddings fixture, per-cluster size and mean
+    squared centroid distance. Rows-only: MLlib KMeans is not
+    ANSI-SQL-expressible; determinism and mass balance are pinned in
+    tests/test_curation.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cluster_stats(e, "vec_id", "embedding", k=8, seed=42)
+
+
+@query(
+    "l8_domain_mix",
+    oracle="""
+    SELECT source,
+           CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+                       WHEN 'src2' THEN 80 ELSE 10 END AS target_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 100 <
+                         (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+                                      WHEN 'src2' THEN 80 ELSE 10 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN doc_id % 100 <
+                         (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+                                      WHEN 'src2' THEN 80 ELSE 10 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+               AS achieved_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l8_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: deterministic domain-mixture sampling — keep ``doc_id % 100 <
+    target_pct(source)`` so the selected subset is identical on every
+    engine, run, and partitioning (no RNG state to coordinate across
+    1000 executors). Emits per-domain totals vs achieved rates."""
+    d = load_table(spark, sf_dir, "documents")
+    return domain_mix(d, {"src0": 50, "src1": 25, "src2": 80}, default_pct=10)
+
+
+@query(
+    "l9_pack_sequences",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               doc_id % 8 AS shard,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM staged
+    )
+    SELECT shard,
+           (cum_tokens - n_tokens) // 512 AS bin_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY shard, bin_id
+    """,
+)
+def l9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: sequence packing — contiguous-fill assignment of documents to
+    512-token training bins within 8 shards (window cumsum + integer
+    div; exact first-fit is sequential, contiguous fill is the standard
+    distributed approximation). Per-bin doc count and token mass."""
+    d = load_table(spark, sf_dir, "documents")
+    return pack_bins(d, "doc_id", "text", budget=512, shards=8)

@@ -1,0 +1,81 @@
+"""Behavioral tests for the round-2 curation operators (L6–L9):
+contamination semantics, KMeans determinism + mass balance, domain-mix
+sampling invariants, sequence-packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.curation import (
+    cluster_stats,
+    contamination_stats,
+    domain_mix,
+    pack_bins,
+    word_ngrams,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d e f")], "id int, text string")
+    out = df.select("id", F.size(word_ngrams("text", 5)).alias("n")).collect()
+    got = {r["id"]: r["n"] for r in out}
+    assert got[1] == 0  # shorter than n: no descending-sequence blowup
+    assert got[2] == 2  # 6 tokens -> two 5-grams
+
+
+def test_contamination_verbatim_benchmark_doc_is_fully_contaminated(spark):
+    corpus = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7"), (2, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4 w5 w6 w7")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, benchmark, n=5).collect()
+    }
+    assert rows[1]["n_hit"] == rows[1]["n_grams"] == 3
+    assert rows[1]["contamination_rate"] == 1.0
+    assert rows[2]["n_hit"] == 0 and rows[2]["contamination_rate"] == 0.0
+
+
+def test_cluster_stats_deterministic_and_mass_balanced(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(cluster_stats(e, k=8, seed=42).collect())
+    b = sorted(cluster_stats(e, k=8, seed=42).collect())
+    assert a == b  # seeded KMeans + seeded assignment → reproducible
+    assert sum(r["n_vecs"] for r in a) == e.count()
+    assert 1 <= len(a) <= 8
+
+
+def test_domain_mix_rates_bounded_and_exact(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = domain_mix(d, {"src0": 50, "src1": 0}, default_pct=100).collect()
+    by_src = {r["source"]: r for r in out}
+    assert by_src["src1"]["n_sampled"] == 0  # pct 0 keeps nothing
+    for r in out:  # default 100 keeps everything
+        if r["source"] not in ("src0", "src1"):
+            assert r["n_sampled"] == r["n_docs"]
+    # the mod-sampler is a pure projection of doc_id: rerun is identical
+    assert sorted(out) == sorted(
+        domain_mix(d, {"src0": 50, "src1": 0}, default_pct=100).collect()
+    )
+
+
+def test_pack_bins_invariants(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    budget, shards = 512, 8
+    bins = pack_bins(d, budget=budget, shards=shards).collect()
+    n_docs_total = d.count()
+    assert sum(r["n_docs"] for r in bins) == n_docs_total  # every doc packed once
+    max_doc_tokens = d.select(
+        F.max(F.size(F.split(F.trim("text"), r"\s+"))).alias("m")
+    ).collect()[0]["m"]
+    for r in bins:
+        assert 0 <= r["shard"] < shards
+        # contiguous fill: a bin holds < budget carried tokens plus at
+        # most one overflowing document
+        assert r["bin_tokens"] < budget + max_doc_tokens
