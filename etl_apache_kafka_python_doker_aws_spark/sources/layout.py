@@ -56,3 +56,53 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed catalog tables on their bucket key."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    integer column so that sorting by the key clusters rows that are
+    close in EVERY dimension, not just the leading sort column.
+
+    Why it matters at 100 TB: parquet row-group/file min-max stats prune
+    scans only when values are clustered. A linear sort makes stats tight
+    for the first column and useless for the rest; a Z-order sort makes
+    them moderately tight for all interleaved columns, so selective
+    filters on ANY of them skip most files (same trick as
+    Delta/Databricks OPTIMIZE ZORDER BY, built from public bit-twiddling).
+
+    Columns must be non-negative integers that fit in ``bits`` bits —
+    bucketize/rank anything else first. The expression is a static unroll
+    of shift/mask/or terms, fully JVM-side and codegen-friendly.
+    """
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for c_idx, name in enumerate(cols):
+        col = F.col(name).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + c_idx))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by Z-order over ``zorder_cols``:
+    range-partition on the Morton key (balanced files regardless of data
+    distribution — range, not hash, so key-adjacent rows land together),
+    then sort within each file so row-group stats are tight too."""
+    keyed = df.withColumn("_zkey", zorder_key(zorder_cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

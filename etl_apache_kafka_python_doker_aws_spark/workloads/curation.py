@@ -112,6 +112,65 @@ def l8_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l10_gopher_filter",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> t <> '')) AS n_tokens,
+               list_sum(list_transform(
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> t <> ''),
+                   t -> length(t))) AS token_chars,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> list_contains(['the','and','of','to','a'], t)))
+                   AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           (n_tokens BETWEEN 30 AND 50000)                          AS ok_length,
+           (CAST(token_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12) AS ok_word_len,
+           (CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01)           AS ok_stopwords,
+           ((n_tokens BETWEEN 30 AND 50000)
+            AND (CAST(token_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12)
+            AND (CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01))     AS keep
+    FROM feats
+    """,
+)
+def l10_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: Gopher-style rule-based quality filtering (Rae et al. 2021,
+    public): token-count bounds, mean-word-length bounds, minimum
+    stopword density — emitted as per-rule booleans plus the combined
+    keep decision so downstream stages can audit why a document was
+    dropped. Pure projection (narrow, no shuffle): at 100 TB this runs
+    at scan speed and the keep-filter pushes into the next stage.
+
+    Float comparisons are safe cross-engine here because both sides
+    divide the SAME exact integers (token/char/stopword counts) — the
+    oracle-alignment trap only bites on accumulated doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    token_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
+    mean_wl = token_chars.cast("double") / n_tokens
+    ok_length = (n_tokens >= 30) & (n_tokens <= 50000)
+    ok_word_len = (mean_wl >= 2) & (mean_wl <= 12)
+    ok_stopwords = stop_hits.cast("double") / n_tokens >= 0.01
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_stopwords).alias("keep"),
+    )
+
+
+@query(
     "l9_pack_sequences",
     oracle="""
     WITH staged AS (

@@ -119,3 +119,50 @@ def test_scd2_versions(spark):
     assert (1, "alpha2", None) in rows       # new current version
     assert (2, "beta", None) in rows         # untouched
     assert len(rows) == 3
+
+
+def test_zorder_tightens_file_stats_on_second_column(spark):
+    """Z-order vs linear sort: per-file min-max width of the SECOND
+    clustered column must shrink dramatically (that width is what
+    parquet skipping prunes on)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import write_zordered
+
+    wd = tempfile.mkdtemp()
+    part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+
+    z_path = os.path.join(wd, "zorder")
+    write_zordered(part, z_path, ["p_size", "p_partkey"], n_files=8)
+
+    lin_path = os.path.join(wd, "linear")
+    (part.repartitionByRange(8, "p_size")
+         .sortWithinPartitions("p_size")
+         .write.mode("overwrite").parquet(lin_path))
+
+    def avg_width(path, col):
+        widths = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        lo = c.statistics.min if lo is None else min(lo, c.statistics.min)
+                        hi = c.statistics.max if hi is None else max(hi, c.statistics.max)
+            if lo is not None:
+                widths.append(hi - lo)
+        assert widths, f"no stats found under {path}"
+        return sum(widths) / len(widths)
+
+    z_width = avg_width(z_path, "p_partkey")
+    lin_width = avg_width(lin_path, "p_partkey")
+    # linear sort on p_size leaves p_partkey spanning ~the full table in
+    # every file; z-order must at least halve the span (observed: ~4x)
+    assert z_width < 0.5 * lin_width, (z_width, lin_width)
+
+    # and both files still total the same rows
+    assert (spark.read.parquet(z_path).count()
+            == spark.read.parquet(lin_path).count() == part.count())
