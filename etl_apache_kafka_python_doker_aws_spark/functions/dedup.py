@@ -102,13 +102,22 @@ def minhash_signatures_df(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures as a DataFrame op: explode shingles, hash each
-    ONCE, then 32 partial-min aggregates in a single hash aggregate.
+    """MinHash signatures as a pure projection: hash tokens once, build
+    the shingle-hash array ONCE as its own materialized column, then take
+    ``array_min`` of each of the 32 affine permutations of that array —
+    no explode, no shuffle, all whole-stage codegen.
 
-    Scale shape: the shuffle carries (doc_id, 32 longs) partial states —
-    independent of document length; per-shingle work is one xxhash64 plus
-    32 fused multiply-mods inside whole-stage codegen. ~80x faster than
-    the nested-HOF column form on the fixture corpus.
+    Two shapes were measured at sf0.1 (local[32], steady-state):
+      * naive nested-HOF (shingle expression inlined into every hash
+        fn): ~80x slower — Catalyst re-evaluates the tokenize+hash
+        subtree per hash function (no CSE across sibling array exprs).
+      * explode + groupBy with 32 partial-min aggregates: 1.4-1.9s —
+        map-side combine keeps the shuffle tiny, but pays per-shingle
+        row machinery and a hash-aggregate pass.
+      * THIS form: 1.1-1.3s — the trick is that CollapseProject refuses
+        to inline a non-trivial alias referenced 32 times, so ``_sh`` is
+        computed once per row and the 32 array_min passes scan it
+        in-place. Zero shuffles; per-doc memory is O(doc length).
 
     Returns (id_col, _sig array<long>). Docs with no shingles (shorter
     than shingle_n words) get the sentinel all-p signature.
@@ -144,22 +153,22 @@ def minhash_signatures_df(
             ),
         )
     )
-    hashed = tok_hashed.select(
-        "_id", F.explode_outer(shingle_hash).alias("_h")
-    )
-    aggs = [
-        F.min(F.pmod(a * F.col("_h") + b, F.lit(_MERSENNE))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return (
-        hashed.groupBy("_id")
-        .agg(*aggs)
-        .select(
-            F.col("_id").alias(id_col),
-            F.array(
-                *[F.coalesce(F.col(f"_m{i}"), F.lit(_MERSENNE)) for i in range(num_hashes)]
-            ).alias("_sig"),
-        )
+    shingled = tok_hashed.select("_id", shingle_hash.alias("_sh"))
+    return shingled.select(
+        F.col("_id").alias(id_col),
+        F.array(
+            *[
+                F.coalesce(
+                    F.array_min(
+                        F.transform(
+                            F.col("_sh"), lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+                        )
+                    ),
+                    F.lit(_MERSENNE),
+                )
+                for (a, b) in params
+            ]
+        ).alias("_sig"),
     )
 
 
@@ -251,17 +260,22 @@ def minhash_near_dup_pairs(
             F.col("a._sig").alias("sig_a"),
             F.col("b._sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
+    # score + threshold BEFORE the pair-dedup: a pair colliding in k
+    # bands is scored k times (cheap zip_with, map-side) but the dedup
+    # shuffle then carries (id_a, id_b, est) instead of two full
+    # signatures per row — 3 values wide vs 2+2x32 longs. Duplicate
+    # collisions score identically, so dropDuplicates after is safe.
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
