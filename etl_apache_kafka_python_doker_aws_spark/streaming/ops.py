@@ -216,3 +216,53 @@ def run_to_parquet(
         q = writer.format("parquet").option("path", out).outputMode("append").start()
     q.awaitTermination()
     return out
+
+
+def transform_with_state_user_totals(stream: DataFrame) -> DataFrame:
+    """T11: per-user running totals via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState: typed state handles,
+    timers, composite state, schema evolution).
+
+    ENVIRONMENT-GATED like the Kafka/JDBC connectors: Spark's
+    transformWithState Python driver worker speaks a protobuf protocol
+    to the JVM state server, so it needs ``google.protobuf`` — not
+    installed in this container (verified: the streaming runner crashes
+    with ImportError in StateMessage_pb2). The operator raises a clear
+    error here; semantics are identical to stateful_user_totals (T6),
+    which carries the oracle check for the same state machine.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - exercised in tests
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (Spark's "
+            "state-server protocol); install protobuf to run T11 — the "
+            "applyInPandasWithState form (T6) covers the same semantics here"
+        ) from ex
+
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle):
+            self._s = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._s.get() if self._s.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._s.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotals(),
+        outputStructType=_STATE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -120,3 +120,67 @@ def u4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installments_udtf(o_orderkey, o_totalprice) t
         """
     )
+
+
+@query(
+    "u5_apply_in_arrow",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def u5_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: grouped-map applyInArrow (Spark 4) — the zero-copy tier below
+    applyInPandas: the group arrives as a pyarrow.Table, no pandas
+    conversion. Sums integer cents (exact on the 2-dp fixture values) so
+    the result is order-independent and oracle-comparable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def totals(table: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(table.column("value"), 100)), pa.int64())
+        return pa.table(
+            {
+                "user_id": [table.column("user_id")[0].as_py()],
+                "n_events": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInArrow(
+        totals, schema="user_id long, n_events long, total_cents long"
+    )
+
+
+@query(
+    "u6_map_in_arrow",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def u6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: mapInArrow — partition-at-a-time Arrow batches with no pandas
+    materialization; the right tier for wrapping native/vectorized
+    libraries (the multimodal decoders in functions/multimodal.py use
+    the same batch shape)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_cents(batches):
+        for b in batches:
+            cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100)), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), b.column("user_id"), cents],
+                names=["event_id", "user_id", "value_cents"],
+            )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+    return e.mapInArrow(to_cents, schema="event_id long, user_id long, value_cents long")

@@ -171,3 +171,42 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark):
     got = {r.l_id: r.r_id for r in result.collect()}
     assert got.get(1) == 100          # matched pair
     assert 2 in got and got[2] is None  # unmatched left emitted with NULL
+
+
+def test_transform_with_state_gate(spark, tmp_path):
+    """T11 is environment-gated on google.protobuf: with it, run the real
+    streaming query and check batch parity; without it, the operator must
+    fail loud and clear (never silently degrade)."""
+    import os
+
+    import pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+        run_available_now,
+        stage_events_stream,
+        transform_with_state_user_totals,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    wd = str(tmp_path)
+    stream = stage_events_stream(spark, "/root/testdata/sf0.001", wd)
+    if not has_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            transform_with_state_user_totals(stream)
+        return
+    out = run_available_now(
+        transform_with_state_user_totals(stream), wd, "t11_twstest", output_mode="update"
+    )
+    from pyspark.sql import functions as F
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        spark.read.parquet(os.path.join(wd, "events_staged"))
+        .groupBy("user_id").count()
+    )
+    mismatched = final.join(batch, "user_id").filter(F.col("n_events") != F.col("count"))
+    assert mismatched.count() == 0
