@@ -1,0 +1,69 @@
+"""Time-series resampling: bucket → spine → gap-fill (LOCF).
+
+The missing piece between the window family (W1-W5) and streaming
+windows (T2-T4): regularizing an irregular event stream onto a fixed
+grid so downstream models see one row per (key, bucket). Composed from
+declarative ops only — groupBy for the buckets, sequence+explode for the
+spine, a left join to mark gaps, and last(ignorenulls) over an ordered
+window for the carry-forward.
+
+Scale shape: the spine explode is O(keys × buckets) rows but generates
+map-side from a 2-column aggregate; the join and the LOCF window both
+hash-partition by key, so the whole pipeline is two shuffles on the key
+column regardless of data size. Bucket extraction pins UTC wall time
+(convert_timezone → TIMESTAMP_NTZ) — date_trunc on a raw instant follows
+spark.sql.session.timeZone and shifts midnight-valued instants in
+non-UTC sessions (hostile-TZ probe, .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    value_name: str = "total_value",
+) -> DataFrame:
+    """Daily resample per key with last-observation-carried-forward:
+    per-day exact-decimal sum of ``value_col``, carried forward across
+    empty days; ``is_gap`` marks carried rows. Days before a key's first
+    observation cannot exist (the spine starts at the first event).
+
+    Returns one row per (key, day) from each key's first to last event.
+    """
+    from pyspark.sql.window import Window
+
+    from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum
+
+    day = F.expr(f"date_trunc('DAY', convert_timezone('UTC', {ts_col}))")
+    daily = (
+        df.select(F.col(key_col), day.alias("_day"), F.col(value_col))
+        .groupBy(key_col, "_day")
+        .agg(money_sum(money(value_col), "_v"))
+    )
+    spans = daily.groupBy(key_col).agg(
+        F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("_day"),
+    )
+    joined = spine.join(daily, [key_col, "_day"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("_day").cast("date").alias("day"),
+        F.last("_v", ignorenulls=True).over(w).alias(value_name),
+        F.col("_v").isNull().alias("is_gap"),
+    )

@@ -10,6 +10,8 @@ the fact tables on their join key removes the per-query shuffle entirely
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -106,3 +108,32 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a parquet directory's small files into ~target-sized ones
+    (the 100 TB hygiene job: streaming sinks and fine-grained partitions
+    produce thousands of KB-sized files, and file listing + per-file
+    open cost then dominates scan time). Sizes the output file count
+    from the actual on-disk bytes, rewrites via staging + atomic swap
+    (plans/merge.py machinery — crash mid-compact leaves the original
+    readable), and returns the new file count."""
+    import math
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _swap_in
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + ".staging"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staging)
+    _swap_in(staging, path)
+    return n_files

@@ -18,6 +18,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads import (  # noqa: F401
     sorts_setops,
     sql_surface,
     streaming,
+    timeseries,
     udfs,
     windows,
 )

@@ -257,3 +257,77 @@ def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left["k"].eqNullSafe(right["k"])).select(
         left["k"], "n_left", "total_right"
     )
+
+
+@query(
+    "a13_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_exact,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_exact,
+           TRUE AS median_within_tol,
+           TRUE AS p90_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a13_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: approx_percentile (Greenwald-Khanna sketch) validated
+    in-query against the exact percentile — the a4 pattern: the sketch's
+    error bound becomes a deterministic boolean column, so the sketch
+    result is oracle-checkable without demanding bit-equality. At 100 TB
+    the exact percentile needs a full sort per group; the GK sketch is
+    one pass with bounded state — this query demonstrates the accuracy
+    contract that justifies the swap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_med = F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+    exact_p90 = F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+    apx_med = F.expr("approx_percentile(l_quantity, 0.5, 10000)")
+    apx_p90 = F.expr("approx_percentile(l_quantity, 0.9, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        exact_med.alias("median_exact"),
+        exact_p90.alias("p90_exact"),
+        # quantity domain is 1..50; accuracy 10000 ⇒ rank error ~1e-4·n,
+        # comfortably within one quantity step
+        (F.abs(apx_med - exact_med) <= F.lit(1.0)).alias("median_within_tol"),
+        (F.abs(apx_p90 - exact_p90) <= F.lit(1.0)).alias("p90_within_tol"),
+    )
+
+
+@query(
+    "j12_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def j12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: fuzzy (edit-distance) self-join with blocking — the
+    classic entity-resolution shape. The equi-join on the block key
+    (brand) bounds the candidate set to within-block pairs; levenshtein
+    verifies only those. At 100 TB the block key is the whole game:
+    blocking turns O(n²) into Σ(block²) — same principle as the LSH
+    band join in functions/dedup.py, with an exact verifier."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )

@@ -166,3 +166,18 @@ def test_zorder_tightens_file_stats_on_second_column(spark):
     # and both files still total the same rows
     assert (spark.read.parquet(z_path).count()
             == spark.read.parquet(lin_path).count() == part.count())
+
+
+def test_compact_small_files(spark):
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import compact_small_files
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "frag")
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    df.repartition(64).write.mode("overwrite").parquet(path)  # 64 tiny files
+    import glob
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    files_after = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files_after) == 1  # all fragments fit one target file
+    assert spark.read.parquet(path).count() == 20000
