@@ -201,3 +201,57 @@ def l9_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed approximation). Per-bin doc count and token mass."""
     d = load_table(spark, sf_dir, "documents")
     return pack_bins(d, "doc_id", "text", budget=512, shards=8)
+
+
+@query("l11_curation_pipeline")  # CC clustering inside → rows-only
+def l11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 capstone: the full training-data curation pipeline in one
+    declarative plan — quality filter → exact dedup → near-dedup
+    (MinHash-LSH + connected components) → benchmark-decontamination →
+    per-(source, lang) survivor counts and token mass.
+
+    Every stage is a DataFrame transformation, so at 100 TB the whole
+    pipeline is one lineage: quality filtering and hashing run at scan
+    speed, the near-dedup stage is the banded equi-join from
+    functions/dedup.py, and decontamination is the distinct-gram
+    equi-join from functions/curation.py. No stage materializes to the
+    driver. Rows-only (connected components is iterative); stage-count
+    invariants are pinned in tests/test_curation.py."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        content_hash,
+        dedup_corpus_near,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    benchmark = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+
+    # 1. quality: Gopher-style keep rules (inline, cheap projection)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
+    quality = corpus.withColumn("_nt", n_tokens).filter(
+        (F.col("_nt") >= 30) & (stop_hits.cast("double") / F.col("_nt") >= 0.01)
+    )
+
+    # 2. exact dedup on content hash (first writer wins deterministically)
+    exact = quality.withColumn("_h", content_hash("text")).dropDuplicates(["_h"])
+
+    # 3. near-dedup: LSH pairs → connected components → min-id survivor
+    near = dedup_corpus_near(exact.drop("_h"), threshold=0.9)
+
+    # 4. decontamination: drop docs sharing >50% of their 5-grams with
+    #    the benchmark set
+    contam = contamination_stats(near, benchmark, "doc_id", "text", n=5)
+    kept = near.join(
+        contam.filter(
+            (F.col("contamination_rate").isNull())
+            | (F.col("contamination_rate") <= 0.5)
+        ).select("doc_id"),
+        "doc_id",
+    )
+
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+    )

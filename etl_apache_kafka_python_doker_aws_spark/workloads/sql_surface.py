@@ -331,3 +331,44 @@ def j12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edit_dist").cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "f_url",
+    oracle="""
+    WITH urls AS (
+        SELECT p_partkey,
+               'https://catalog.example.com/' || replace(p_brand, '#', '-')
+                   || '/item?id=' || p_partkey || '&size=' || p_size AS url
+        FROM part WHERE p_partkey <= 300
+    )
+    SELECT p_partkey,
+           url,
+           regexp_extract(url, '^https?://([^/]+)', 1)  AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1)     AS id_param
+    FROM urls
+    """,
+)
+def f_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: URL parsing (parse_url HOST/PATH/QUERY-key) over URLs
+    synthesized deterministically from part attributes — the web-corpus
+    curation primitive (per-domain stats, URL dedup keys). The oracle
+    mirrors each component with anchored regexes; both engines see the
+    identical url column, so extraction must agree exactly."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    url = F.concat(
+        F.lit("https://catalog.example.com/"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")),
+        F.lit("/item?id="),
+        F.col("p_partkey"),
+        F.lit("&size="),
+        F.col("p_size"),
+    )
+    return p.select(
+        "p_partkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -79,3 +79,21 @@ def test_pack_bins_invariants(spark):
         # contiguous fill: a bin holds < budget carried tokens plus at
         # most one overflowing document
         assert r["bin_tokens"] < budget + max_doc_tokens
+
+
+def test_curation_pipeline_invariants(spark):
+    """l11: survivors are a subset of the corpus, deterministic across
+    runs, and every stage only removes documents."""
+    from etl_apache_kafka_python_doker_aws_spark.workloads.curation import (
+        l11_curation_pipeline,
+    )
+
+    out1 = sorted(l11_curation_pipeline(spark, SF_SMOKE).collect())
+    out2 = sorted(l11_curation_pipeline(spark, SF_SMOKE).collect())
+    assert out1 == out2  # seeded LSH + deterministic rules → reproducible
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus_n = d.filter(F.col("doc_id") % 10 != 0).count()
+    total_kept = sum(r["n_docs"] for r in out1)
+    assert 0 < total_kept <= corpus_n
+    for r in out1:
+        assert r["total_tokens"] >= 30 * r["n_docs"]  # quality rule lower bound
