@@ -255,3 +255,39 @@ def l11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("_nt").alias("total_tokens"),
     )
+
+
+@query(
+    "l12_eval_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tagged
+    GROUP BY source, split
+    """,
+)
+def l12_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: deterministic train/val/test split (80/10/10 on doc_id mod) —
+    reproducible on every engine/run/partitioning with no RNG state, and
+    stable under corpus growth (a document's split never changes when
+    new documents arrive — the property random splits lose). Stratified
+    reporting per source. A pure projection + two-phase agg at any
+    scale; for non-uniform ids swap in pmod(xxhash64(doc_id), 100)."""
+    d = load_table(spark, sf_dir, "documents")
+    mod = F.pmod(F.col("doc_id"), F.lit(100))
+    split = (
+        F.when(mod < 80, F.lit("train"))
+        .when(mod < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -215,3 +215,32 @@ def test_runtime_bloom_filter_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """q_lateral_topk must plan as ONE ranked window over a single
+    shuffle of customer — not a per-nation nested-loop rescan. A
+    cartesian/nested-loop plan here would be a 100 TB disaster."""
+    plan = plan_of(spark, "q_lateral_topk")
+    assert "Window" in plan, "lateral subquery not decorrelated to a window"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_is_equi_join_shaped(spark):
+    """l6 must generate candidates by hash equi-join on the gram, never
+    an all-pairs comparison."""
+    plan = plan_of(spark, "l6_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gram-hit count is a two-phase aggregate (partial before shuffle)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_fuzzy_join_blocks_before_verify(spark):
+    """j12's levenshtein must run AFTER the brand equi-join (verify on
+    block-bounded candidates), not as a join condition forcing a
+    nested-loop over all pairs."""
+    plan = plan_of(spark, "j12_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
