@@ -45,3 +45,154 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spine join and LOCF window share the second)."""
     e = load_table(spark, sf_dir, "events")
     return gapfill_locf(e, "user_id", "ts", "value")
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        FROM events
+    ), flagged AS (
+        SELECT user_id, t, event_id,
+               CASE WHEN prev_t IS NULL
+                         OR epoch_us(t) - epoch_us(prev_t) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessioned AS (
+        SELECT user_id, t, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(t) AS session_start, MAX(t) AS session_end
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: batch sessionization — the gaps-and-islands pattern: a session
+    break is a >30-min silence; the running sum of break flags numbers
+    the sessions. One shuffle on user_id shared by the lag window, the
+    cumsum window, and the final per-session aggregate. (Streaming
+    equivalent: T4's native session_window.) Microsecond integer
+    arithmetic keeps the gap test exact on both engines; event_id breaks
+    ordering ties deterministically."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", F.col("ts").alias("t"), "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+    )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'    THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: funnel analysis — ordered view → click → purchase progression
+    per user, counted with first-occurrence timestamps (conditional MIN
+    per stage, then ordering comparisons). One aggregate over user_id,
+    one global rollup: no self-joins, no explode — the pattern that
+    replaces the naive k-way self-join funnel at scale."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    reached_full = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).alias("n_view"),
+        F.sum(reached_click.cast("int")).alias("n_view_click"),
+        F.sum(reached_full.cast("int")).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "ts_retention",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d
+        FROM events
+        GROUP BY 1, 2
+    ), firsts AS (
+        SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT CAST(firsts.cohort_day AS DATE) AS cohort_day,
+           CAST(date_diff('day', firsts.cohort_day, days.d) AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT days.user_id) AS BIGINT) AS n_active
+    FROM days JOIN firsts USING (user_id)
+    WHERE date_diff('day', firsts.cohort_day, days.d) IN (0, 1, 7)
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: retention cohorts — users grouped by first-activity day,
+    counted again at day offsets 0/1/7. Two aggregates and one join, all
+    hash-partitioned on user_id; day extraction is UTC-pinned
+    (TIMESTAMP_NTZ) so non-UTC driver sessions cannot shift cohort
+    boundaries."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.expr("date_trunc('DAY', convert_timezone('UTC', ts))").alias("d"),
+        )
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    joined = days.join(firsts, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("d"), F.col("cohort_day")).cast("int")
+    )
+    return (
+        joined.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy(F.col("cohort_day").cast("date").alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
