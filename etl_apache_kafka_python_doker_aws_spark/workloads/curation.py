@@ -291,3 +291,71 @@ def l12_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_DUCK_SPANS20 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_DUCK_TOKS}) - 19, 0) + 1), "
+    f"i -> array_to_string(({_DUCK_TOKS})[i:i+19], ' ')))"
+)
+
+
+@query(
+    "l13_shared_spans",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id, unnest({_DUCK_SPANS20}) AS span
+        FROM documents
+    ), owners AS (
+        SELECT span, COUNT(*) AS n_owner_docs
+        FROM spans GROUP BY span
+    ), per_doc AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN o.n_owner_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM spans s JOIN owners o USING (span)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0)  AS n_spans,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           COALESCE(p.n_shared, 0) > 0 AS has_verbatim_overlap
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def l13_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: exact shared-span detection (the public 'Deduplicating
+    Training Data Makes Language Models Better' recipe, approximated
+    with fixed 20-token windows instead of suffix arrays — the standard
+    distributed form): a span appearing verbatim in ≥2 documents marks
+    all its owners. Span streams are distinct-per-doc JVM-side
+    (array_distinct, no corpus-wide DISTINCT shuffle — same shape as
+    l6); ownership counting and the hit join hash-partition on the span
+    string. For 100 TB swap the span string for xxhash64(span) — 8-byte
+    shuffle keys, collision odds ~n²/2⁶⁴ (documented, string form kept
+    for the oracle mirror)."""
+    d = load_table(spark, sf_dir, "documents")
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import word_ngrams
+
+    spans = d.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams("text", 20))).alias("span")
+    )
+    owners = spans.groupBy("span").agg(F.count("*").alias("n_owner_docs"))
+    per_doc = (
+        spans.join(owners, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_owner_docs") >= 2).cast("int")).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("has_verbatim_overlap"),
+        )
+    )

@@ -372,3 +372,43 @@ def f_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "a14_hll_merge",
+    oracle="""
+    WITH per_nation AS (
+        SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS exact_nation
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)            AS n_nations,
+           CAST(SUM(exact_nation) AS BIGINT)   AS exact_total,
+           TRUE                                AS union_within_5pct
+    FROM per_nation
+    """,
+)
+def a14_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: mergeable HLL sketches (Apache DataSketches, Spark 4) —
+    per-nation sketches built in one pass, merged with hll_union_agg to
+    a global distinct estimate. THE scale pattern for distinct counts:
+    partial sketches are tiny (KB), merge is associative, so a 1000-node
+    rollup never reshuffles raw keys (c_custkey is unique per customer,
+    so the exact total is the plain sum of per-nation counts). The
+    sketch's accuracy contract (±5%) is emitted as a boolean, a4-style,
+    so the result stays deterministic and oracle-comparable."""
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_nation"),
+    )
+    return per_nation.agg(
+        F.count("*").alias("n_nations"),
+        F.sum("exact_nation").alias("exact_total"),
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                - F.sum("exact_nation")
+            )
+            <= 0.05 * F.sum("exact_nation")
+        ).alias("union_within_5pct"),
+    )

@@ -244,3 +244,18 @@ def test_fuzzy_join_blocks_before_verify(spark):
     plan = plan_of(spark, "j12_fuzzy_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_hash_hint_beats_smj_when_asked(spark):
+    """Join-strategy control: a SHUFFLE_HASH hint must produce a
+    ShuffledHashJoin (no sort phase — the right call when one side is
+    much smaller but too big to broadcast and sorting would dominate)."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer").hint("SHUFFLE_HASH")
+    plan = o.join(c, o.o_custkey == c.c_custkey)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
