@@ -6,6 +6,7 @@ dedup, and export fidelity in one go."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,3 +116,27 @@ def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("total_pesos"),
     )
+
+
+@query(
+    "s10_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: ORC format round-trip — the second columnar format Spark
+    bundles natively (predicate pushdown + column pruning work the same
+    as parquet; Avro would need the external spark-avro package, so ORC
+    is the in-container cross-format check). Write a slice as ORC, read
+    it back; the re-read must equal the source rows exactly."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_orc_")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = os.path.join(wd, "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
