@@ -412,3 +412,46 @@ def a14_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.sum("exact_nation")
         ).alias("union_within_5pct"),
     )
+
+
+@query(
+    "f_xml",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderkey,
+               '<order><key>' || o_orderkey || '</key><status>' || o_orderstatus
+                   || '</status><total>' || CAST(o_totalprice AS VARCHAR)
+                   || '</total></order>' AS xml
+        FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           CAST(regexp_extract(xml, '<key>([^<]*)</key>', 1) AS BIGINT)   AS xml_key,
+           regexp_extract(xml, '<status>([^<]*)</status>', 1)             AS xml_status,
+           CAST(regexp_extract(xml, '<total>([^<]*)</total>', 1) AS DOUBLE) AS xml_total
+    FROM x
+    """,
+)
+def f_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: XML parsing (Spark 4 native from_xml + schema'd struct
+    extraction) over XML synthesized deterministically from order
+    attributes — the legacy-feed ingestion shape. The oracle mirrors the
+    field extraction with anchored regexes on the identical XML strings;
+    the double round-trips through a Spark-formatted string cast, which
+    both engines re-parse to the same IEEE value."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    xml = F.concat(
+        F.lit("<order><key>"), F.col("o_orderkey"),
+        F.lit("</key><status>"), F.col("o_orderstatus"),
+        F.lit("</status><total>"), F.col("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_xml(xml, "key BIGINT, status STRING, total DOUBLE").alias("s"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.key").alias("xml_key"),
+        F.col("s.status").alias("xml_status"),
+        F.col("s.total").alias("xml_total"),
+    )

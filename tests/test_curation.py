@@ -97,3 +97,31 @@ def test_curation_pipeline_invariants(spark):
     assert 0 < total_kept <= corpus_n
     for r in out1:
         assert r["total_tokens"] >= 30 * r["n_docs"]  # quality rule lower bound
+
+
+def test_contamination_empty_benchmark(spark):
+    """Empty benchmark set → zero hits, defined rates (no div-by-zero)."""
+    corpus = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6")], "doc_id long, text string"
+    )
+    empty = corpus.filter("doc_id < 0")
+    rows = contamination_stats(corpus, empty, n=5).collect()
+    assert rows[0]["n_hit"] == 0
+    assert rows[0]["contamination_rate"] == 0.0
+
+
+def test_pack_bins_empty_and_single(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_bins(empty).count() == 0
+    single = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    rows = pack_bins(single, budget=512, shards=8).collect()
+    assert len(rows) == 1 and rows[0]["n_docs"] == 1 and rows[0]["bin_tokens"] == 3
+
+
+def test_domain_mix_unknown_sources_get_default(spark):
+    d = spark.createDataFrame(
+        [(1, "x", "never_seen"), (150, "y", "never_seen")],
+        "doc_id long, text string, source string",
+    )
+    rows = domain_mix(d, {"src0": 50}, default_pct=100).collect()
+    assert rows[0]["target_pct"] == 100 and rows[0]["n_sampled"] == 2
