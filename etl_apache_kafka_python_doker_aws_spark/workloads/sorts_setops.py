@@ -180,3 +180,38 @@ def o1_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("status_or_null").asc_nulls_first(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "o5_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def o5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5b: INTERSECT ALL (bag semantics — multiplicity = min of the two
+    sides, unlike the distinct INTERSECT in o5). Planned as a count-
+    compare aggregate, one shuffle per side."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
+
+
+@query(
+    "o5_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def o5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5c: EXCEPT ALL (bag semantics — multiplicity = left minus right,
+    floored at zero)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.exceptAll(p)

@@ -184,3 +184,33 @@ def u6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "value")
     return e.mapInArrow(to_cents, schema="event_id long, user_id long, value_cents long")
+
+
+@query(
+    "u7_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS weighted_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def u7_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: grouped-AGGREGATE pandas UDF (series → scalar) — the
+    user-defined aggregate tier: partial batches stream through Arrow and
+    the custom reduction runs per group. Integer-cents weighting keeps
+    the reduction exact and order-independent, so it oracle-compares.
+    (Python UDAFs via Aggregator are JVM-only; this is the Python-native
+    equivalent.)"""
+
+    @F.pandas_udf(T.LongType())
+    def weighted_cents(price: pd.Series, qty: pd.Series) -> int:
+        return int(
+            ((price * 100).round().astype("int64") * qty.astype("int64")).sum()
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_cents("l_extendedprice", "l_quantity").alias("weighted_cents")
+    )
