@@ -259,3 +259,26 @@ def test_shuffle_hash_hint_beats_smj_when_asked(spark):
     )
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _shuffle_count(spark, name: str) -> int:
+    import re as _re
+
+    df = QUERIES[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(_re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_shuffle_budgets(spark):
+    """Pin each operator's shuffle count — a regression here means a plan
+    rewrite silently added an exchange that multiplies at 100 TB."""
+    budgets = {
+        "ts_sessionize": 1,      # windows + final agg all share user_id
+        "ts_funnel": 1,          # stage agg on user_id; global rollup is 1-row
+        "l9_pack_sequences": 1,  # shard window feeds the bin agg in place
+        "ts_gapfill_locf": 2,    # daily agg + spine join/window
+        "l6_contamination": 3,   # corpus gram agg + hit agg + final join
+    }
+    for name, budget in budgets.items():
+        got = _shuffle_count(spark, name)
+        assert got <= budget, f"{name}: {got} shuffles (budget {budget})"

@@ -163,3 +163,29 @@ def test_random_decimal_money_sums_exact(spark, duck_smoke, pred, group_col):
     s = {(r[0], str(r[1])) for r in spark.sql(q.format(t="li_prop")).collect()}
     d = {(r[0], str(r[1])) for r in duck_smoke.execute(q.format(t="lineitem")).fetchall()}
     assert s == d
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_word_ngrams_matches_python_reference(spark, texts, n):
+    """word_ngrams (slice/sequence HOFs) must agree with a trivial Python
+    reference on arbitrary whitespace-soup inputs."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r["id"]: list(r["g"])
+        for r in df.select("id", word_ngrams("text", n).alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().strip().split() if w]
+        want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        assert got[i] == want, (t, n)
