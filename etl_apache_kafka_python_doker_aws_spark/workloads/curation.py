@@ -359,3 +359,41 @@ def l13_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("has_verbatim_overlap"),
         )
     )
+
+
+@query("g1_graph_components")  # iterative label propagation → rows-only
+def g1_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: connected components as a general graph primitive (the same
+    iterative min-label propagation that powers near-dedup clustering,
+    functions/dedup.dedup_clusters) — here on a real bipartite business
+    graph: customer —[placed an urgent order for parts supplied by]→
+    supplier. Nodes are customers (+1e9 offset distinguishes suppliers);
+    returns component-size histogram, a deterministic summary of the
+    graph's connectivity. Each round is one join + one aggregate with
+    localCheckpoint lineage truncation — O(diameter) rounds."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_clusters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("id_a"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("id_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("node_id"))
+        .union(edges.select(F.col("id_b").alias("node_id")))
+        .distinct()
+    )
+    comps = dedup_clusters(edges, nodes, "node_id", max_iter=8)
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("component_size"))
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("component_size")
+    )

@@ -125,3 +125,25 @@ def test_domain_mix_unknown_sources_get_default(spark):
     )
     rows = domain_mix(d, {"src0": 50}, default_pct=100).collect()
     assert rows[0]["target_pct"] == 100 and rows[0]["n_sampled"] == 2
+
+
+def test_graph_components_mass_and_determinism(spark):
+    from etl_apache_kafka_python_doker_aws_spark.workloads.curation import (
+        g1_graph_components,
+    )
+
+    a = sorted(tuple(r) for r in g1_graph_components(spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in g1_graph_components(spark, SF_SMOKE).collect())
+    assert a == b
+    # every node lands in exactly one component
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey").distinct()
+    )
+    n_custs = edges.select("o_custkey").distinct().count()
+    n_supps = edges.select("l_suppkey").distinct().count()
+    assert sum(size * n for size, n in a) == n_custs + n_supps
