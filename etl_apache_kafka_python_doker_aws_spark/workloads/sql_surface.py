@@ -455,3 +455,55 @@ def f_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.status").alias("xml_status"),
         F.col("s.total").alias("xml_total"),
     )
+
+
+@query(
+    "w6_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS rolling_median_value
+    FROM events WHERE user_id <= 30
+    """,
+)
+def w6_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: rolling median (exact percentile as a WINDOW aggregate,
+    7-row trailing frame) — the robust-smoothing counterpart of w5's
+    moving average. Exact windowed percentiles re-sort each frame, so at
+    100 TB prefer approx_percentile in the frame or t-digest pre-agg;
+    this query is the exactness anchor those approximations are tested
+    against. Even-count frames interpolate midpoints of exact 2-dp
+    doubles — identical IEEE arithmetic in both engines (DuckDB mirror:
+    quantile_cont, NOT median, whose windowed form is discrete)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        """percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median_value""",
+    )
+
+
+@query(
+    "a15_predicate_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk,
+           bool_and(l_extendedprice > 0)              AS all_positive,
+           bool_or(l_discount >= 0.09)                AS any_deep_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a15_predicate_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: predicate aggregates (count_if / bool_and / bool_or) —
+    the SQL-native form of flag rollups; all three fold into one
+    two-phase hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity >= 25)").alias("n_bulk"),
+        F.expr("bool_and(l_extendedprice > 0)").alias("all_positive"),
+        F.expr("bool_or(l_discount >= 0.09)").alias("any_deep_discount"),
+    )
