@@ -472,3 +472,32 @@ def l4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("*") / F.first("n"), 6).alias("distinct_ratio"),
         )
     )
+
+
+@query("l5_multimodal_raw8")  # numpy raster decode → rows-only
+def l5_multimodal_raw8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: REAL binary decode — deterministic RAW8 raster tiles (a
+    documented toy format: magic + uint16 dims + uint8 channels + raw
+    pixels) generated per document, then decoded with actual numpy pixel
+    math over Arrow batches: header parse, length validation,
+    per-channel mean/std, 4x4 mean-pooled thumbnails. Unlike l5's gated
+    JPEG path this performs the full decode computation; exact expected
+    values are pinned in tests/test_llm_ops.py."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_raw8_media,
+        decode_raw8_features,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+    )
+    feats = decode_raw8_features(attach_raw8_media(d, "doc_id"), "doc_id")
+    return feats.select(
+        "doc_id", "width", "height", "channels",
+        F.round(F.element_at("mean_per_channel", 1), 4).alias("mean_c0"),
+        F.round(F.element_at("thumbnail_4x4", 1), 4).alias("thumb_00"),
+        "valid",
+    )

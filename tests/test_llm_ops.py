@@ -162,3 +162,47 @@ def test_dedup_corpus_collapses_duplicate_clusters(spark):
     assert deduped.filter(F.col("doc_id") >= 100000).count() == 0
     assert got <= d.count()
     assert got >= n_unique_texts - 2  # near-dups inside the base corpus may merge
+
+
+def test_raw8_decode_exact_and_poison_safe(spark):
+    """RAW8: known 2x2 image decodes to exact stats; malformed payloads
+    produce valid=false rows instead of executor crashes."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_raw8_features,
+        encode_raw8,
+    )
+
+    px = np.array(
+        [[[0, 10, 20], [40, 50, 60]], [[80, 90, 100], [120, 130, 140]]],
+        dtype=np.uint8,
+    )
+    good = encode_raw8(2, 2, 3, px)
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"JPEGnope")), (3, None)],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in decode_raw8_features(rows, "doc_id").collect()}
+    assert out[1]["valid"] and out[1]["width"] == 2 and out[1]["channels"] == 3
+    assert out[1]["mean_per_channel"] == [60.0, 70.0, 80.0]  # exact channel means
+    # grayscale = mean over channels: [[10,50],[90,130]]; 4x4 pooling of a
+    # 2x2 image degenerates to pixel values in the corner pools
+    assert out[1]["thumbnail_4x4"][0] == 10.0
+    assert not out[2]["valid"] and not out[3]["valid"]
+
+
+def test_raw8_roundtrip_via_spark(spark):
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_raw8_media,
+        decode_raw8_features,
+    )
+
+    d = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    feats = decode_raw8_features(attach_raw8_media(d, "doc_id"), "doc_id")
+    rows = feats.collect()
+    assert len(rows) == 50 and all(r["valid"] for r in rows)
+    for r in rows:
+        assert r["width"] == 8 + r["doc_id"] % 8
+        assert len(r["thumbnail_4x4"]) == 16
+        assert all(0.0 <= m <= 255.0 for m in r["mean_per_channel"])
