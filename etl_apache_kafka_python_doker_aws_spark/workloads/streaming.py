@@ -283,3 +283,65 @@ def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "click_id", "user_id")
     return run_available_now(joined, wd, _qname("j10"), output_mode="append")
+
+
+@query(
+    "t12_stream_curation",
+    oracle="""
+    WITH quality AS (
+        SELECT doc_id, source, text,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> t <> '')) AS n_tokens
+        FROM documents
+    ), kept AS (
+        SELECT DISTINCT ON (sha256(text)) doc_id, source, n_tokens
+        FROM quality
+        WHERE n_tokens >= 30
+        ORDER BY sha256(text), doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)  AS total_tokens
+    FROM kept
+    GROUP BY source
+    """,
+)
+def t12_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: STREAMING curation — the L-family quality filter + exact
+    content dedup running as a real checkpointed streaming query over a
+    documents stream (file source, availableNow): watermark-scoped
+    dropDuplicates on the content hash, Gopher length rule inline, then
+    a per-source survivor rollup. This is the incremental form of the
+    batch l11 pipeline: new corpus shards stream through the same
+    lineage with exactly-once state.
+
+    Dedup tie-break: streaming keeps the FIRST arrival per content hash;
+    the staged stream is a single file read in order, so the lowest
+    doc_id wins — mirrored by DISTINCT ON (hash) ORDER BY doc_id."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import run_available_now
+
+    wd = _workdir()
+    staged = os.path.join(wd, "docs_staged")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("ts", F.timestamp_micros(F.col("doc_id")))
+        .coalesce(1)  # one file → deterministic arrival order for dedup
+        .write.mode("overwrite").parquet(staged)
+    )
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    curated = (
+        stream.withColumn("n_tokens", F.size(toks))
+        .filter(F.col("n_tokens") >= 30)
+        .withColumn("_h", F.sha2(F.col("text"), 256))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicates(["_h"])
+    )
+    agg = curated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return run_available_now(agg, wd, _qname("t12"), output_mode="complete")
