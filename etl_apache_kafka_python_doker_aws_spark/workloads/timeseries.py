@@ -196,3 +196,58 @@ def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_day").cast("date").alias("cohort_day"), "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "ts_anomaly",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS s,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS q,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * v - s) * (n * v - s) > 9 * (n * q - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM c
+    GROUP BY user_id
+    """,
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: per-user 3-sigma anomaly counts with EXACT integer algebra —
+    the z-score test |v-μ| > 3σ multiplied through by n²:
+    (n·v − s)² > 9(n·q − s²) over integer cents (s=Σv, q=Σv²), so the
+    flag is bit-identical on every engine — no float variance drift (the
+    oracle-alignment trap that makes naive stddev-based flags
+    uncomparable). One window shuffle on user_id feeding the final
+    aggregate in place. Bounds: cents ≤ 5.7e4, per-user n ≤ 1e4 keeps
+    every product inside int64; at larger per-key cardinality switch s/q
+    to DECIMAL(38,0) (documented, same algebra)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id")
+    c = e.select(
+        "user_id",
+        v.alias("v"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("q"),
+        F.count("*").over(w).alias("n"),
+    )
+    lhs = (F.col("n") * F.col("v") - F.col("s"))
+    flag = (lhs * lhs) > (
+        F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return c.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.sum(flag.cast("int")).alias("n_anomalies"),
+    )
