@@ -106,3 +106,49 @@ def interval_join(
     if key is not None:
         return events.join(intervals, on=[key], how="inner").filter(range_pred)
     return events.join(F.broadcast(intervals), range_pred, "inner")
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str | None,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Scalable point-in-interval join: bucketize both sides so the
+    candidate join is a plain hash equi-join on (key, bin), then verify
+    exact containment (half-open: lo <= p < hi).
+
+    Why: Spark plans a large non-equi range join as BroadcastNestedLoop
+    or a cartesian SMJ — O(n·m). Binning makes it O(n + m·span/bin) with
+    hash partitioning, the same bucket-then-verify shape as the LSH
+    family (functions/dedup.py). Interval rows explode to one row per
+    covered bin (choose bin_width ≈ median interval span so the blowup
+    is small); points map to exactly one bin; the final dedup is by the
+    natural (interval, point) pair, carried as all surviving columns.
+
+    ``point_col``/``lo_col``/``hi_col`` must be numeric (epoch seconds,
+    cents, …). ``key`` optionally co-partitions (None = global bins).
+    """
+    p_bin = (F.col(point_col) / bin_width).cast("long").alias("_bin")
+    pts = points.withColumn("_bin", p_bin)
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col) / bin_width).cast("long"),
+                (F.col(hi_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    on = [pts["_bin"] == ivs["_bin"]]
+    if key is not None:
+        on.append(pts[key] == ivs[key])
+    joined = pts.join(ivs, on[0] if len(on) == 1 else (on[0] & on[1]))
+    verified = joined.filter(
+        (pts[point_col] >= ivs[lo_col]) & (pts[point_col] < ivs[hi_col])
+    )
+    drop_cols = [pts["_bin"], ivs["_bin"]] + ([ivs[key]] if key is not None else [])
+    return verified.drop(*drop_cols)

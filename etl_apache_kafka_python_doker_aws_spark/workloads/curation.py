@@ -397,3 +397,34 @@ def g1_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+@query(
+    "l8b_domain_upsample",
+    oracle="""
+    SELECT doc_id, source,
+           unnest(generate_series(1, CASE source WHEN 'src0' THEN 3
+                                                 WHEN 'src1' THEN 2
+                                                 ELSE 1 END)) AS copy_id
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def l8b_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8b: deterministic domain UPsampling — the complement of l8's
+    downsampling: rare domains are replicated an integer number of times
+    (explode of a per-domain copy sequence, map-side, no shuffle, no
+    RNG), with copy_id kept so downstream shuffles/packing can keep
+    replicas apart. Fractional rates compose with l12's mod-split (e.g.
+    2.5× = 2× plus the mod-50 half)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    weight = (
+        F.when(F.col("source") == "src0", 3)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), weight)).alias("copy_id"),
+    )

@@ -282,3 +282,55 @@ def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("user_id", "ts"), iv, key="user_id", ts_col="ts", lo_col="lo", hi_col="hi"
     )
     return joined.groupBy("user_id").agg(F.count("*").alias("n_first_week"))
+
+
+@query(
+    "j13_binned_range_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_lo,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS t_hi
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT event_id AS c_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.p_id, CAST(COUNT(c.c_id) AS BIGINT) AS n_clicks_2h
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id AND c.t >= p.t_lo AND c.t < p.t_hi
+    GROUP BY p.p_id
+    """,
+)
+def j13_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: the SCALABLE large-×-large range join — j6's broadcast
+    nested-loop is right for a 3-row build side; when both sides are
+    fact-sized, bucketize instead (operators/joins.binned_range_join):
+    intervals explode to hour bins, points hash to one bin, candidates
+    come from a plain equi-join on (user, bin) and exact containment
+    verifies. Here: clicks within 2 hours after each purchase, counted
+    per purchase (left join via re-join on the purchase ids so empty
+    windows stay visible)."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import binned_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_lo"),
+        (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("t_hi"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.unix_micros("ts").alias("t")
+    )
+    hits = binned_range_join(
+        clicks, purchases, key="user_id", point_col="t",
+        lo_col="t_lo", hi_col="t_hi", bin_width=3_600_000_000,
+    )
+    counts = hits.groupBy("p_id").agg(F.count("*").alias("n_clicks_2h"))
+    return (
+        purchases.select("p_id")
+        .join(counts, "p_id", "left")
+        .select("p_id", F.coalesce("n_clicks_2h", F.lit(0)).alias("n_clicks_2h"))
+    )
