@@ -282,3 +282,11 @@ def test_shuffle_budgets(spark):
     for name, budget in budgets.items():
         got = _shuffle_count(spark, name)
         assert got <= budget, f"{name}: {got} shuffles (budget {budget})"
+
+
+def test_binned_range_join_is_equi_shaped(spark):
+    """j13 must never plan a nested-loop/cartesian: candidates come from
+    the (user, bin) hash equi-join."""
+    plan = plan_of(spark, "j13_binned_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
