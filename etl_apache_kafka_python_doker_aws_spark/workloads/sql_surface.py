@@ -507,3 +507,87 @@ def a15_predicate_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_and(l_extendedprice > 0)").alias("all_positive"),
         F.expr("bool_or(l_discount >= 0.09)").alias("any_deep_discount"),
     )
+
+
+@query(
+    "a16_regression_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a16_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: linear-regression aggregates (regr_slope / intercept /
+    r2 / count) — one-pass least squares per group, the same two-phase
+    hash-aggregate shape as a7's corr/stddev (rounded to 6 digits for
+    cross-engine float stability, the a7 house rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+    )
+
+
+@query(
+    "a17_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: EXACT distinct counting via bitmaps (Spark 3.5 bitmap
+    family) — keys bucket into 32k-bit bitmap segments
+    (bitmap_bucket_number / bitmap_bit_position), each segment ORs
+    map-side into one binary value, and the distinct count is the sum of
+    per-segment popcounts. Unlike count(DISTINCT) this never expands
+    rows (no Expand node, no second shuffle of raw keys) and unlike HLL
+    (a4/a14) it is exact — the right pattern for high-cardinality
+    distinct rollups at 100 TB. The oracle is plain COUNT(DISTINCT):
+    results must be identical."""
+    o = load_table(spark, sf_dir, "orders")
+    segments = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("_bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("_bm"))
+    return segments.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).alias("n_distinct_custs")
+    )
+
+
+@query(
+    "f_crypto_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS decrypted,
+           CAST((length(o_orderpriority) // 16) * 16 + 16 AS BIGINT) AS ct_len
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def f_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: column-level encryption round-trip (aes_encrypt/
+    aes_decrypt, AES-128-ECB for determinism — GCM's random IV is the
+    production mode but cannot round-trip-compare; the reference's
+    clave.py generates a Fernet key for the same at-rest purpose,
+    /root/reference/clave.py:1-4). The oracle pins the decrypted
+    plaintext and the PKCS7-padded ciphertext length."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    key = F.lit("0123456789abcdef")
+    ct = F.expr("aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB')")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(aes_decrypt(aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB') AS STRING)"
+        ).alias("decrypted"),
+        F.length(ct).cast("long").alias("ct_len"),
+    )
