@@ -290,3 +290,12 @@ def test_binned_range_join_is_equi_shaped(spark):
     plan = plan_of(spark, "j13_binned_range_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bitmap_distinct_avoids_expand(spark):
+    """a17's bitmap distinct must not plan the Expand + double-shuffle
+    that exact count(DISTINCT) (a3) pays — that is its reason to exist."""
+    plan3 = plan_of(spark, "a3_count_distinct")
+    plan17 = plan_of(spark, "a17_bitmap_distinct")
+    assert "Expand" in plan3  # the baseline really does expand
+    assert "Expand" not in plan17
