@@ -112,6 +112,7 @@ def cluster_stats(
 
     dense = embeddings.select(
         F.col(id_col),
+        F.col(vec_col),
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
@@ -137,10 +138,10 @@ def cluster_stats(
             for center in centers
         ]
     )
-    with_dist = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .join(assigned.select(id_col, "cluster_id"), id_col)
-        .withColumn("_sqd", F.element_at(sq_dist, F.col("cluster_id") + 1))
+    # vec_col rides through transform(), so no re-join with the source —
+    # one scan, zero extra shuffles (review finding r2)
+    with_dist = assigned.select(id_col, vec_col, "cluster_id").withColumn(
+        "_sqd", F.element_at(sq_dist, F.col("cluster_id") + 1)
     )
     return with_dist.groupBy("cluster_id").agg(
         F.count("*").alias("n_vecs"),

@@ -38,7 +38,7 @@ def gapfill_locf(
     """
     from pyspark.sql.window import Window
 
-    from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum
+    from etl_apache_kafka_python_doker_aws_spark.functions.money import money, money_sum
 
     day = F.expr(f"date_trunc('DAY', convert_timezone('UTC', {ts_col}))")
     daily = (

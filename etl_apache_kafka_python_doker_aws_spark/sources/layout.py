@@ -73,12 +73,21 @@ def zorder_key(cols: list[str], bits: int = 16):
     Delta/Databricks OPTIMIZE ZORDER BY, built from public bit-twiddling).
 
     Columns must be non-negative integers that fit in ``bits`` bits —
-    bucketize/rank anything else first. The expression is a static unroll
+    bucketize/rank anything else first. ``len(cols) * bits`` must stay
+    ≤ 63: bit 63 is the long sign bit (a key using it sorts negatives
+    FIRST and breaks the clustering), and shifts ≥ 64 wrap (shift & 63
+    in the JVM) silently interleaving different dimensions onto the
+    same bits. The expression is a static unroll
     of shift/mask/or terms, fully JVM-side and codegen-friendly.
     """
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_key: {k} cols x {bits} bits = {k * bits} exceeds the 63 "
+            f"usable bits of a long; lower bits to {63 // k} or fewer"
+        )
     key = F.lit(0).cast("long")
     for c_idx, name in enumerate(cols):
         col = F.col(name).cast("long")
@@ -124,8 +133,9 @@ def compact_small_files(
     readable), and returns the new file count."""
     import math
 
-    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _swap_in
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _recover, _swap_in
 
+    _recover(path)  # heal a previous compact/merge killed mid-swap first
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(path)

@@ -130,11 +130,14 @@ def l8_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            (n_tokens BETWEEN 30 AND 50000)                          AS ok_length,
-           (CAST(token_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12) AS ok_word_len,
-           (CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01)           AS ok_stopwords,
+           (CAST(token_chars AS DOUBLE) / NULLIF(n_tokens, 0)
+                BETWEEN 2 AND 12)                                    AS ok_word_len,
+           (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0) >= 0.01) AS ok_stopwords,
            ((n_tokens BETWEEN 30 AND 50000)
-            AND (CAST(token_chars AS DOUBLE) / n_tokens BETWEEN 2 AND 12)
-            AND (CAST(stop_hits AS DOUBLE) / n_tokens >= 0.01))     AS keep
+            AND (CAST(token_chars AS DOUBLE) / NULLIF(n_tokens, 0)
+                 BETWEEN 2 AND 12)
+            AND (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0) >= 0.01))
+                                                                     AS keep
     FROM feats
     """,
 )
@@ -149,17 +152,20 @@ def l10_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float comparisons are safe cross-engine here because both sides
     divide the SAME exact integers (token/char/stopword counts) — the
     oracle-alignment trap only bites on accumulated doubles."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import word_tokens
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    toks = word_tokens("text")
     n_tokens = F.size(toks)
+    n_tokens_nz = F.nullif(n_tokens, F.lit(0))  # NULL ratios on empty docs
     token_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
-    mean_wl = token_chars.cast("double") / n_tokens
+    mean_wl = token_chars.cast("double") / n_tokens_nz
     ok_length = (n_tokens >= 30) & (n_tokens <= 50000)
     ok_word_len = (mean_wl >= 2) & (mean_wl <= 12)
-    ok_stopwords = stop_hits.cast("double") / n_tokens >= 0.01
+    ok_stopwords = stop_hits.cast("double") / n_tokens_nz >= 0.01
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -226,8 +232,10 @@ def l11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
 
-    # 1. quality: Gopher-style keep rules (inline, cheap projection)
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    # 1. quality: Gopher-style keep rules (shared tokenization)
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import word_tokens
+
+    toks = word_tokens("text")
     n_tokens = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
     quality = corpus.withColumn("_nt", n_tokens).filter(

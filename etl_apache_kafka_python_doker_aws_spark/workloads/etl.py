@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.money import money, money_sum
 from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
     run_reference_pipeline,
     to_customers_shape,
@@ -112,9 +113,7 @@ def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gen.groupBy("apellido").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("caja_ahorro_pesos").cast("decimal(12,2)")), 2)
-        .cast("decimal(18,2)")
-        .alias("total_pesos"),
+        money_sum(money("caja_ahorro_pesos"), "total_pesos"),
     )
 
 

@@ -194,7 +194,12 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-family: WITH RECURSIVE (Spark 4 UnionLoop) — a 12-row month
     spine generated by real recursion, left-joined to pre-aggregated
-    monthly revenue so months with no orders still appear. The recursion
+    monthly revenue so months with no orders still appear. Month
+    extraction pins UTC wall time (convert_timezone → NTZ) — a raw
+    month(instant) follows the session timezone and would shift
+    first-of-month midnight orders into the prior month in non-UTC
+    driver sessions (the fixture currently has no such dates; do not
+    rely on that). The recursion
     is driver-cheap (depth 12, one row per step); the fact side is the
     usual two-phase decimal-sum aggregate, so the pattern scales: spine
     size is calendar-bound, not data-bound.
@@ -207,7 +212,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT m + 1 FROM months WHERE m < 12
         ), monthly AS (
-            SELECT CAST(month(o_orderdate) AS INT) AS m,
+            SELECT CAST(month(convert_timezone('UTC', o_orderdate)) AS INT) AS m,
                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
                         AS DECIMAL(18,2)) AS revenue,
                    COUNT(*) AS n_orders

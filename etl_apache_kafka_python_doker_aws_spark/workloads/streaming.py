@@ -23,6 +23,7 @@ from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
     stream_dedup,
     tumbling_counts,
 )
+from etl_apache_kafka_python_doker_aws_spark.functions.money import money, money_sum
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
 
 
@@ -229,9 +230,7 @@ def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(customer, stream.user_id == customer.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-        .cast("decimal(18,2)")
-        .alias("total_value"),
+        money_sum(money("value"), "total_value"),
     )
     return run_available_now(agg, wd, _qname("j9"), output_mode="complete")
 
@@ -332,7 +331,9 @@ def t12_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = spark.read.parquet(staged).schema
     stream = spark.readStream.schema(schema).parquet(staged)
-    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import word_tokens
+
+    toks = word_tokens("text")
     curated = (
         stream.withColumn("n_tokens", F.size(toks))
         .filter(F.col("n_tokens") >= 30)
