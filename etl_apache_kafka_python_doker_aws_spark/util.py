@@ -2,7 +2,39 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_us(c: Column | str) -> Column:
+    """Microseconds since 1970-01-01 00:00:00 of a TIMESTAMP_NTZ column,
+    independent of ``spark.sql.session.timeZone``.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ outright (AnalysisException) —
+    the fixtures store naive ``timestamp[us]`` parquet, which Spark 4
+    loads as NTZ. ``timestamp_diff`` over two NTZ values is pure wall-time
+    arithmetic, so this is exact to the microsecond and never shifts with
+    the session zone (verified in a America/New_York session).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
+def day_bucket(c: Column | str) -> Column:
+    """Truncate a TIMESTAMP_NTZ to its day (midnight, still NTZ), without
+    any session-timezone dependence.
+
+    ``F.date_trunc`` implicitly coerces NTZ through the session zone
+    (nonexistent wall times around DST spring-forward can shift), and the
+    old ``convert_timezone('UTC', ts)`` guard now actively SHIFTS NTZ wall
+    time in non-UTC sessions. NTZ→DATE→NTZ is wall-time-only in both hops.
+    Oracle mirror: ``DATE_TRUNC('day', CAST(ts AS TIMESTAMP))`` (DuckDB
+    timestamps are naive, so it's the same wall-time truncation).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("date").cast("timestamp_ntz")
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -30,14 +30,14 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
-                AS DECIMAL(18,2))                                      AS sum_base_price,
+                AS DOUBLE)                                      AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                           * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2)
-                AS DECIMAL(18,2))                                      AS sum_disc_price,
+                AS DOUBLE)                                      AS sum_disc_price,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                           * (1 - CAST(l_discount AS DECIMAL(8,2)))
                           * (1 + CAST(l_tax AS DECIMAL(8,2)))), 2)
-                AS DECIMAL(18,2))                                      AS sum_charge,
+                AS DOUBLE)                                      AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                   AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                  / COUNT(l_extendedprice), 2)                          AS avg_price,
@@ -87,7 +87,7 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT)            AS n_rows,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
-                AS DECIMAL(18,2))              AS total_price,
+                AS DOUBLE)              AS total_price,
            MIN(l_shipdate)                     AS first_ship,
            MAX(l_shipdate)                     AS last_ship,
            ROUND(AVG(l_quantity), 4)           AS avg_qty,

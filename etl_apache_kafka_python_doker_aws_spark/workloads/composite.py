@@ -43,8 +43,8 @@ _REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DECIMAL(18,2)) AS revenue,
-           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+           CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS order_date,
            o_orderpriority
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -78,7 +78,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("order_date"),
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -90,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DECIMAL(18,2)) AS revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey  = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -187,7 +187,7 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DECIMAL(18,2)) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -293,7 +293,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                           * CAST(l_discount AS DECIMAL(8,2))), 2)
-                AS DECIMAL(18,2)) AS revenue
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -319,7 +319,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive",
     oracle=f"""
-    SELECT CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DECIMAL(18,2)) AS revenue,
+    SELECT CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
@@ -376,7 +376,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -407,7 +407,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
-           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DECIMAL(18,2)) AS revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey  = c_custkey
@@ -456,7 +456,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - CAST(0.8 AS DECIMAL(2,1))
                             * CAST(p_retailprice AS DECIMAL(12,2))
                             * CAST(l_quantity AS DECIMAL(8,0))), 2)
-                AS DECIMAL(18,2)) AS profit
+                AS DOUBLE) AS profit
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN part     ON l_partkey  = p_partkey
@@ -561,7 +561,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name,
-           CAST(ROUND(total_revenue, 2) AS DECIMAL(18,2)) AS total_revenue
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -589,7 +589,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 2).cast("decimal(18,2)").alias("total_revenue"),
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -815,7 +815,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
     )
     SELECT l_partkey AS ps_partkey,
-           CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS value
+           CAST(ROUND(value, 2) AS DOUBLE) AS value
     FROM val, (SELECT SUM(value) AS total FROM val) t
     WHERE value * 1000 > total
     """,
@@ -849,7 +849,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY l_partkey
         )
         SELECT l_partkey AS ps_partkey,
-               CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS value
+               CAST(ROUND(value, 2) AS DOUBLE) AS value
         FROM val, (SELECT SUM(value) AS total FROM val) t
         WHERE value * 1000 > total
         """

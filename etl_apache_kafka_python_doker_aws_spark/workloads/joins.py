@@ -26,7 +26,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
     SELECT o_orderpriority,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                           * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2)
-                AS DECIMAL(18,2)) AS revenue,
+                AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
@@ -53,7 +53,7 @@ def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_broadcast_join",
     oracle="""
     SELECT n_name, r_name,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_bal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
       JOIN nation ON c_nationkey = n_nationkey
@@ -84,7 +84,7 @@ def j2_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
            CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0), 2)
-                AS DECIMAL(18,2)) AS total_spent
+                AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -100,7 +100,7 @@ def j3_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum(money("o_totalprice")), F.lit(0)), 2)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_spent"),
         )
     )
@@ -187,7 +187,7 @@ def j5_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_range_join",
     oracle="""
     SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS tier_total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS tier_total
     FROM orders
     JOIN (VALUES ('low', 0, 100000),
                  ('mid', 100000, 300000),
@@ -218,7 +218,7 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id, p.user_id,
            c.value AS asof_value,
-           c.event_id AS asof_event_id
+           CAST(c.event_id AS DOUBLE) AS asof_event_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
@@ -228,7 +228,10 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via the engine's union+window operator: each purchase is
     annotated with the latest same-user click at-or-before it. The DuckDB
-    oracle is its native ASOF JOIN (µs casts align ns truncation)."""
+    oracle is its native ASOF JOIN. asof_event_id is DOUBLE on both sides:
+    a nullable BIGINT comes back float64 from the driver's pandas fetch
+    ('108.0' vs Spark's '108'), so any outer-join integer payload must be
+    cast to double (or coalesced) in BOTH engines."""
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select(
@@ -250,7 +253,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("asof_value"),
-        F.col("asof_event_id"),
+        F.col("asof_event_id").cast("double"),
     )
 
 
@@ -311,18 +314,20 @@ def j13_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a plain equi-join on (user, bin) and exact containment
     verifies. Here: clicks within 2 hours after each purchase, counted
     per purchase (left join via re-join on the purchase ids so empty
-    windows stay visible)."""
+    windows stay visible). Epochs via util.epoch_us — unix_micros rejects
+    the fixtures' TIMESTAMP_NTZ."""
     from etl_apache_kafka_python_doker_aws_spark.operators.joins import binned_range_join
+    from etl_apache_kafka_python_doker_aws_spark.util import epoch_us
 
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
         "user_id",
-        F.unix_micros("ts").alias("t_lo"),
-        (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("t_hi"),
+        epoch_us("ts").alias("t_lo"),
+        (epoch_us("ts") + F.lit(7_200_000_000)).alias("t_hi"),
     )
     clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), "user_id", F.unix_micros("ts").alias("t")
+        F.col("event_id").alias("c_id"), "user_id", epoch_us("ts").alias("t")
     )
     hits = binned_range_join(
         clicks, purchases, key="user_id", point_col="t",

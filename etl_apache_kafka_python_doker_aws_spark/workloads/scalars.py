@@ -92,8 +92,8 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MONTH(o_orderdate) AS INTEGER)         AS mo,
            CAST(DAY(o_orderdate) AS INTEGER)           AS dom,
            CAST(DAYOFWEEK(o_orderdate) AS INTEGER) % 7 + 1 AS dow,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           DATE_TRUNC('day', o_orderdate) + INTERVAL 30 DAY AS due_date,
            DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
            CAST(EPOCH(o_orderdate) AS BIGINT)          AS unix_ts,
            STRFTIME(o_orderdate, '%Y-%m')              AS ym
@@ -101,21 +101,26 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time family: year/month/day/dayofweek/date_trunc/date_add/
-    datediff/unix_timestamp/date_format."""
+    """Date/time family: year/month/day/dayofweek/trunc/date_add/
+    datediff/epoch/date_format. Date-valued results are emitted as
+    TIMESTAMP_NTZ, not DATE (DateType outputs mismatch the driver's
+    pandas-fetched oracle rendering), and the epoch comes from the
+    TZ-independent util.epoch_us — unix_timestamp would follow the
+    session zone and shift against the oracle's wall-time EPOCH()."""
+    from etl_apache_kafka_python_doker_aws_spark.util import epoch_us
+
     o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_epoch_start"
-        ),
-        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.trunc(d, "month").cast("timestamp_ntz").alias("month_start"),
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.floor(epoch_us("o_orderdate") / F.lit(1_000_000)).cast("long").alias("unix_ts"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
@@ -125,8 +130,8 @@ def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1)            AS price_r1,
-           FLOOR(l_extendedprice)               AS price_floor,
-           CEIL(l_quantity)                     AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_quantity) AS BIGINT)       AS qty_ceil,
            ABS(l_discount - 0.05)               AS disc_dev,
            ROUND(SQRT(l_extendedprice), 4)      AS price_sqrt,
            ROUND(POW(l_quantity, 2), 2)         AS qty_sq,

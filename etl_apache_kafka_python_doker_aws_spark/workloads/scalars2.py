@@ -48,8 +48,8 @@ def f_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_datetime_arith",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)  AS plus_3m,
-           LAST_DAY(CAST(o_orderdate AS DATE))           AS month_end,
+           DATE_TRUNC('day', o_orderdate) + INTERVAL 3 MONTH AS plus_3m,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(QUARTER(o_orderdate) AS INTEGER)         AS qtr,
            CAST(DATE_DIFF('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
              AS months_since_start
@@ -59,13 +59,15 @@ def f_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_months / last_day / quarter / whole-month difference.
     (Spark months_between is fractional — the oracle-comparable form is
-    the integer month delta via year*12+month arithmetic.)"""
+    the integer month delta via year*12+month arithmetic.) Date-valued
+    results are TIMESTAMP_NTZ, not DATE (pandas-fetched oracles render
+    DATE as midnight timestamps)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.add_months(d, 3).alias("plus_3m"),
-        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
         F.quarter(d).alias("qtr"),
         ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_start"),
     )
@@ -108,10 +110,10 @@ def f_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f_date_series",
     oracle="""
-    SELECT user_id, CAST(UNNEST(GENERATE_SERIES(
+    SELECT user_id, UNNEST(GENERATE_SERIES(
              DATE_TRUNC('day', MIN(CAST(ts AS TIMESTAMP))),
              DATE_TRUNC('day', MAX(CAST(ts AS TIMESTAMP))),
-             INTERVAL 7 DAY)) AS DATE) AS week_start
+             INTERVAL 7 DAY)) AS week_start
     FROM events
     GROUP BY user_id
     """,
@@ -120,27 +122,25 @@ def f_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series generation: per-user weekly date spine from first to last
     event (sequence + explode) — the scaffold for gap-filling joins.
 
-    Day extraction is pinned to UTC wall time (convert_timezone →
-    TIMESTAMP_NTZ) instead of date_trunc on the raw instant: the latter
-    follows spark.sql.session.timeZone, and a non-UTC session shifted
-    every midnight-valued fixture instant to the previous day (found by
-    the hostile-TZ probe in .claude/skills/verify/SKILL.md)."""
+    Day extraction is the TZ-independent NTZ truncation (util.day_bucket);
+    the old date_trunc-on-instant followed spark.sql.session.timeZone and
+    a non-UTC session shifted every midnight-valued fixture instant to the
+    previous day (found by the hostile-TZ probe in
+    .claude/skills/verify/SKILL.md). week_start stays TIMESTAMP_NTZ."""
+    from etl_apache_kafka_python_doker_aws_spark.util import day_bucket
+
     e = load_table(spark, sf_dir, "events")
     spans = (
         e.groupBy("user_id")
         .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
-        .select(
-            "user_id",
-            F.expr("date_trunc('DAY', convert_timezone('UTC', mn))").alias("lo"),
-            F.expr("date_trunc('DAY', convert_timezone('UTC', mx))").alias("hi"),
-        )
+        .select("user_id", day_bucket("mn").alias("lo"), day_bucket("mx").alias("hi"))
     )
     return spans.select(
         "user_id",
         F.explode(
             F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 7 DAYS"))
-        ).alias("_w"),
-    ).select("user_id", F.col("_w").cast("date").alias("week_start"))
+        ).alias("week_start"),
+    )
 
 
 @query(

@@ -180,13 +180,13 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), monthly AS (
         SELECT CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
-                    AS DECIMAL(18,2)) AS revenue,
+                    AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY 1
     )
     SELECT months.m AS month,
-           COALESCE(monthly.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+           COALESCE(monthly.revenue, CAST(0 AS DOUBLE)) AS revenue,
            COALESCE(monthly.n_orders, 0) AS n_orders
     FROM months LEFT JOIN monthly ON monthly.m = months.m
     """,
@@ -195,11 +195,10 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q-family: WITH RECURSIVE (Spark 4 UnionLoop) — a 12-row month
     spine generated by real recursion, left-joined to pre-aggregated
     monthly revenue so months with no orders still appear. Month
-    extraction pins UTC wall time (convert_timezone → NTZ) — a raw
-    month(instant) follows the session timezone and would shift
-    first-of-month midnight orders into the prior month in non-UTC
-    driver sessions (the fixture currently has no such dates; do not
-    rely on that). The recursion
+    extraction is plain month(o_orderdate): the fixtures load as
+    TIMESTAMP_NTZ, whose field extraction is wall-time-only — the old
+    convert_timezone('UTC', ...) guard would now SHIFT wall time in
+    non-UTC sessions instead of protecting against them. The recursion
     is driver-cheap (depth 12, one row per step); the fact side is the
     usual two-phase decimal-sum aggregate, so the pattern scales: spine
     size is calendar-bound, not data-bound.
@@ -212,15 +211,15 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT m + 1 FROM months WHERE m < 12
         ), monthly AS (
-            SELECT CAST(month(convert_timezone('UTC', o_orderdate)) AS INT) AS m,
+            SELECT CAST(month(o_orderdate) AS INT) AS m,
                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
-                        AS DECIMAL(18,2)) AS revenue,
+                        AS DOUBLE) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders_rec
             GROUP BY 1
         )
         SELECT months.m AS month,
-               COALESCE(monthly.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+               COALESCE(monthly.revenue, CAST(0 AS DOUBLE)) AS revenue,
                COALESCE(monthly.n_orders, CAST(0 AS BIGINT)) AS n_orders
         FROM months LEFT JOIN monthly ON monthly.m = months.m
         """
@@ -236,7 +235,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
         SELECT NULLIF(o_orderstatus, 'O') AS k,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
-                    AS DECIMAL(18,2)) AS total_right
+                    AS DOUBLE) AS total_right
         FROM orders GROUP BY 1
     )
     SELECT l.k, l.n_left, r.total_right

@@ -41,7 +41,7 @@ def _qname(base: str) -> str:
     SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS wstart,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -213,7 +213,7 @@ def t9_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -326,6 +326,10 @@ def t12_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("ts", F.timestamp_micros(F.col("doc_id")))
+        # orderBy BEFORE the single-file coalesce: without it the file's
+        # row order is whatever partition order the scan produced, and the
+        # "first arrival per hash" tie-break would not be lowest-doc_id
+        .orderBy("doc_id")
         .coalesce(1)  # one file → deterministic arrival order for dedup
         .write.mode("overwrite").parquet(staged)
     )

@@ -17,7 +17,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
     WITH daily AS (
         SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
-                    AS DECIMAL(18,2)) AS v
+                    AS DOUBLE) AS v
         FROM events GROUP BY 1, 2
     ), spans AS (
         SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
@@ -26,7 +26,7 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
         FROM spans
     )
     SELECT s.user_id,
-           CAST(s.d AS DATE) AS day,
+           s.d AS day,
            last_value(daily.v IGNORE NULLS)
                OVER (PARTITION BY s.user_id ORDER BY s.d
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -57,7 +57,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
         SELECT user_id, t, event_id,
                CASE WHEN prev_t IS NULL
-                         OR epoch_us(t) - epoch_us(prev_t) > 1800000000
+                         OR date_diff('microsecond', prev_t, t) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessioned AS (
@@ -80,10 +80,13 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sessions. One shuffle on user_id shared by the lag window, the
     cumsum window, and the final per-session aggregate. (Streaming
     equivalent: T4's native session_window.) Microsecond integer
-    arithmetic keeps the gap test exact on both engines; event_id breaks
-    ordering ties deterministically."""
+    arithmetic (util.epoch_us — unix_micros rejects the fixtures'
+    TIMESTAMP_NTZ) keeps the gap test exact on both engines; event_id
+    breaks ordering ties deterministically."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+
+    from etl_apache_kafka_python_doker_aws_spark.util import epoch_us
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -91,7 +94,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("t"), "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 1_800_000_000),
             1,
         ).otherwise(0).alias("new_session"),
     )
@@ -163,7 +166,7 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), firsts AS (
         SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id
     )
-    SELECT CAST(firsts.cohort_day AS DATE) AS cohort_day,
+    SELECT CAST(firsts.cohort_day AS TIMESTAMP) AS cohort_day,
            CAST(date_diff('day', firsts.cohort_day, days.d) AS INT) AS day_offset,
            CAST(COUNT(DISTINCT days.user_id) AS BIGINT) AS n_active
     FROM days JOIN firsts USING (user_id)
@@ -174,26 +177,23 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS: retention cohorts — users grouped by first-activity day,
     counted again at day offsets 0/1/7. Two aggregates and one join, all
-    hash-partitioned on user_id; day extraction is UTC-pinned
-    (TIMESTAMP_NTZ) so non-UTC driver sessions cannot shift cohort
-    boundaries."""
+    hash-partitioned on user_id; day extraction is the TZ-independent
+    NTZ truncation (util.day_bucket) so non-UTC driver sessions cannot
+    shift cohort boundaries; cohort_day stays TIMESTAMP_NTZ (DateType
+    outputs mismatch the driver's pandas-fetched oracle rendering)."""
     from pyspark.sql import functions as F
 
+    from etl_apache_kafka_python_doker_aws_spark.util import day_bucket
+
     e = load_table(spark, sf_dir, "events")
-    days = (
-        e.select(
-            "user_id",
-            F.expr("date_trunc('DAY', convert_timezone('UTC', ts))").alias("d"),
-        )
-        .distinct()
-    )
+    days = e.select("user_id", day_bucket("ts").alias("d")).distinct()
     firsts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     joined = days.join(firsts, "user_id").withColumn(
         "day_offset", F.datediff(F.col("d"), F.col("cohort_day")).cast("int")
     )
     return (
         joined.filter(F.col("day_offset").isin(0, 1, 7))
-        .groupBy(F.col("cohort_day").cast("date").alias("cohort_day"), "day_offset")
+        .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
 

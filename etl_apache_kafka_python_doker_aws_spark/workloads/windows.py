@@ -182,10 +182,13 @@ def w2_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd,
-           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+           -- DOUBLE both sides: nth_value is NULL on partition-leading rows,
+           -- and a nullable BIGINT comes back float64 from the driver's
+           -- pandas oracle fetch ('126.0' vs Spark's '126')
+           CAST(NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
                                          ORDER BY c_acctbal DESC, c_custkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS second_richest
+             AS DOUBLE) AS second_richest
     FROM customer
     """,
 )
@@ -202,5 +205,5 @@ def w1_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.round(F.cume_dist().over(w_val), 6).alias("cd"),
-        F.nth_value("c_custkey", 2).over(w_nth).alias("second_richest"),
+        F.nth_value("c_custkey", 2).over(w_nth).cast("double").alias("second_richest"),
     )

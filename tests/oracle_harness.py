@@ -1,6 +1,31 @@
 """Local re-implementation of the driver's Spark-vs-DuckDB compare:
-row-count + column names + order-insensitive value hash. Used by tests to
-catch oracle misalignment before the driver does."""
+row-count + column names + order-insensitive value hash.
+
+DRIVER-FAITHFUL since round 4 (VERDICT r3 "What's wrong" #3): the driver
+fetches the DuckDB oracle through pandas (``con.execute(sql).df()``),
+which coerces DECIMAL and HUGEINT columns to float64 and DATE columns to
+datetime64 — so ``Decimal('363566.20')`` becomes the float rendering
+``363566.2`` and an integer-valued HUGEINT becomes ``3.0``. The Spark
+side is collected Rows whose values stay Decimal/int/date. The round-3
+version of this harness fetched via ``fetchall()`` (native Decimals) and
+stripped trailing zeros, which hid exactly that bug class and made six
+driver hash-fails locally irreproducible for a whole round.
+
+Rules now:
+  * oracle side: fetched via ``.df()`` (same pandas coercions the driver
+    sees), cells rendered from the pandas values;
+  * Spark side: collected Rows, cells rendered UNNORMALIZED — a Decimal
+    keeps its trailing zeros, an int stays ``3`` (never ``3.0``);
+  * floats render at full shortest-round-trip ``repr`` precision (the r1
+    lesson: a 6-sig-digit hash hid ulp mismatches);
+  * NaN and NULL both render "NULL" (pandas cannot distinguish them in a
+    float64 column, and that axis was never a driver discriminator).
+
+Consequence for query authors: any output column that is DECIMAL or
+HUGEINT on the oracle side, or DecimalType/DateType on the Spark side,
+will (correctly) fail here. Emit BIGINT / DOUBLE / VARCHAR / BOOLEAN /
+TIMESTAMP output columns only — compute money in exact decimal
+internally, cast the final column to DOUBLE on both engines."""
 
 from __future__ import annotations
 
@@ -9,69 +34,116 @@ from datetime import date, datetime
 from decimal import Decimal
 
 
-def _norm_cell(v):
-    """Normalize a cell so Spark and DuckDB renderings hash identically.
-
-    Floats compare at FULL precision (shortest round-trip repr), not a
-    truncated %.6g: round-1's driver flagged q7/q9 ulp-level mismatches
-    that a 6-significant-digit hash hid locally (VERDICT r1 #1-2). A
-    stricter-than-driver local harness means local green predicts driver
-    green. Decimals normalize to trailing-zero-stripped fixed-point so a
-    scale-2 Spark decimal equals a scale-4 DuckDB decimal of equal value.
-    """
+def _render_spark_cell(v):
+    """Render a collected-Row cell the way the driver's hasher sees it."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "True" if v else "False"
     if isinstance(v, Decimal):
-        s = format(v, "f")
-        if "." in s:
-            s = s.rstrip("0").rstrip(".")
-        return s if s not in ("-0", "") else "0"
+        # UNNORMALIZED on purpose: Decimal('1.20') must render '1.20' so a
+        # decimal output column mismatches the oracle's float64 '1.2'.
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return "NULL"
         return repr(v)
     if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(v)
     if isinstance(v, date):
-        return v.isoformat()
+        # date renders WITHOUT midnight — intentionally mismatches the
+        # oracle side, where pandas turns DATE into Timestamp 00:00:00.
+        # House rule: don't emit DateType outputs; use timestamp or string.
+        return str(v)
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+        return "[" + ",".join(_render_spark_cell(x) for x in v) + "]"
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+        return (
+            "{" + ",".join(f"{k}:{_render_spark_cell(x)}" for k, x in sorted(v.items())) + "}"
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
     return str(v)
 
 
-def _canon(rows, cols):
-    """Sort columns by name, normalize cells, sort rows → canonical list."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = list(r)
-        out.append(tuple(_norm_cell(vals[i]) for i in order))
+def _render_duck_cell(v):
+    """Render a pandas-fetched oracle cell (post float64/datetime64 coercion)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(f)
+    if isinstance(v, np.bool_):
+        return "True" if bool(v) else "False"
+    if isinstance(v, bool):
+        return "True" if v else "False"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "NULL"
+        return str(v)
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_render_duck_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render_duck_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{" + ",".join(f"{k}:{_render_duck_cell(x)}" for k, x in sorted(v.items())) + "}"
+        )
+    if isinstance(v, Decimal):
+        # .df() leaves DECIMAL(>15 digits?) as object dtype in some duckdb
+        # versions; render unnormalized so it still flags the bug class.
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    try:
+        import pandas as _pd
+
+        if _pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _canon(rendered_rows):
+    out = [tuple(r) for r in rendered_rows]
     out.sort()
     return out
 
 
 def compare(spark_df, duck_con, oracle_sql: str):
-    """Return (ok, detail) comparing a Spark DataFrame against DuckDB SQL."""
+    """Return (ok, detail) comparing a Spark DataFrame against DuckDB SQL,
+    using the driver's pandas fetch path for the oracle side."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
 
-    res = duck_con.execute(oracle_sql)
-    d_cols = [c[0].lower() for c in res.description]
-    d_rows = res.fetchall()
+    pdf = duck_con.execute(oracle_sql).df()
+    d_cols = [c.lower() for c in pdf.columns]
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"rowcount mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    if len(s_rows) != len(pdf):
+        return False, f"rowcount mismatch: spark={len(s_rows)} duck={len(pdf)}"
 
-    sc = _canon(s_rows, s_cols)
-    dc = _canon(d_rows, d_cols)
+    s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    sc = _canon(
+        tuple(_render_spark_cell(r[i]) for i in s_order) for r in s_rows
+    )
+    d_sorted = [d_cols.index(s_cols[i]) for i in s_order]
+    # Fetch column-wise to keep per-column numpy scalar types (a whole-frame
+    # .values would homogenize dtypes to object/float).
+    cols_data = [pdf.iloc[:, j] for j in d_sorted]
+    dc = _canon(
+        tuple(_render_duck_cell(col.iloc[k]) for col in cols_data)
+        for k in range(len(pdf))
+    )
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
         return False, f"value mismatch, first diffs: {diffs}"

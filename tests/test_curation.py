@@ -82,8 +82,8 @@ def test_pack_bins_invariants(spark):
 
 
 def test_curation_pipeline_invariants(spark):
-    """l11: survivors are a subset of the corpus, deterministic across
-    runs, and every stage only removes documents."""
+    """l11 funnel: deterministic across runs, stage counts monotone
+    non-increasing, every monotonicity boolean true, corpus count exact."""
     from etl_apache_kafka_python_doker_aws_spark.workloads.curation import (
         l11_curation_pipeline,
     )
@@ -91,12 +91,15 @@ def test_curation_pipeline_invariants(spark):
     out1 = sorted(l11_curation_pipeline(spark, SF_SMOKE).collect())
     out2 = sorted(l11_curation_pipeline(spark, SF_SMOKE).collect())
     assert out1 == out2  # seeded LSH + deterministic rules → reproducible
+    by_stage = {r["stage"]: r for r in out1}
+    assert sorted(by_stage) == [0, 1, 2, 3, 4]
+    assert all(r["ok"] for r in out1)
     d = load_table(spark, SF_SMOKE, "documents")
     corpus_n = d.filter(F.col("doc_id") % 10 != 0).count()
-    total_kept = sum(r["n_docs"] for r in out1)
-    assert 0 < total_kept <= corpus_n
-    for r in out1:
-        assert r["total_tokens"] >= 30 * r["n_docs"]  # quality rule lower bound
+    assert by_stage[0]["n_docs"] == corpus_n
+    # visible stage counts monotone; iterative stages emit NULL counts
+    assert by_stage[0]["n_docs"] >= by_stage[1]["n_docs"] >= by_stage[2]["n_docs"] > 0
+    assert by_stage[3]["n_docs"] is None and by_stage[4]["n_docs"] is None
 
 
 def test_contamination_empty_benchmark(spark):

@@ -156,7 +156,7 @@ def test_random_decimal_money_sums_exact(spark, duck_smoke, pred, group_col):
     q = (
         f"SELECT {group_col}, "
         "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
-        "* (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DECIMAL(18,2)) AS rev "
+        "* (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS rev "
         f"FROM {{t}} WHERE {where} GROUP BY {group_col}"
     )
     load_table(spark, SF_SMOKE, "lineitem").createOrReplaceTempView("li_prop")
