@@ -79,11 +79,14 @@ def sessionize(
     """Batch sessionization: new session when the gap to the previous
     event (per user) exceeds `gap_minutes`. Classic lag + cumulative-sum
     composition; single shuffle on the user key. Streaming equivalent is
-    `session_window` (streaming/ops.py)."""
+    `session_window` (streaming/ops.py). Gap arithmetic via util.epoch_us
+    (TIMESTAMP_NTZ cannot cast to BIGINT; the fixtures are all NTZ)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import epoch_us
+
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_sec = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     is_new = (
-        F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap_sec
+        epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w) > gap_us
     ).cast("int")
     return df.withColumn(
         session_col,
