@@ -108,9 +108,19 @@ def run_reference_pipeline(
 
     simulate_redelivery doubles the wire messages to prove the consume
     stage's dedup-by-key (D4) — the case that crashes the reference."""
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
     wire = os.path.join(workdir, "wire")
     processed_path = os.path.join(workdir, "processed")
     export_path = os.path.join(workdir, "export")
+
+    # Single-partition sources (1-row-group parquet, broadcast crossJoins)
+    # would run the whole produce stage — per-row JSON serialization, the
+    # pipeline's CPU-heaviest step — on one core. One cheap round-robin
+    # shuffle buys full-width execution; a many-file source at cluster
+    # scale makes this a no-op (measured 1.55x -> 3x vs the reference
+    # loop at 1.5M rows, bench_vs_reference.py).
+    source = ensure_parallelism(source)
 
     # --- produce (S1→P1/P2→S3): project + coerce + JSON wire.
     # df.observe rides along with the stage's write action — row counts and
