@@ -299,3 +299,38 @@ def test_bitmap_distinct_avoids_expand(spark):
     plan17 = plan_of(spark, "a17_bitmap_distinct")
     assert "Expand" in plan3  # the baseline really does expand
     assert "Expand" not in plan17
+
+
+def test_wire_json_read_is_native_scan(spark, tmp_path):
+    """The batch wire reader must plan as a native JSON file scan, not
+    read.text + from_json: the from_json Project runs interpreted (no
+    whole-stage codegen) and measured ~100x slower at 6M rows (round-4
+    scale-cliff, SCALING.md). from_json is for column payloads only."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
+        CUSTOMERS_WIRE_SCHEMA,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.sources.connectors import (
+        read_wire_json,
+        write_wire_json,
+    )
+
+    src = spark.range(10).select(
+        F.col("id"),
+        F.lit("a").alias("first_name"),
+        F.lit("b").alias("last_name"),
+        F.lit("c").alias("address"),
+        F.lit("d").alias("phone_number"),
+        F.lit(1.5).alias("savings_pesos"),
+        F.lit(0.1).alias("savings_dollars"),
+    )
+    path = str(tmp_path / "wire")
+    write_wire_json(src, path)
+    df = read_wire_json(spark, path, CUSTOMERS_WIRE_SCHEMA)
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = jdf.queryExecution().explainString(mode)
+    assert "from_json" not in plan, "wire read regressed to interpreted from_json"
+    assert "Scan json" in plan
+    assert df.count() == 10
