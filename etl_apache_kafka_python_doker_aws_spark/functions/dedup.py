@@ -425,7 +425,12 @@ def dedup_clusters(
     The genuinely iterative op in the engine (not SQL-expressible):
     each round is one join + one aggregate; lineage is truncated with
     localCheckpoint so the plan doesn't grow exponentially — the standard
-    Spark pattern for bounded iterative algorithms.
+    Spark pattern for bounded iterative algorithms. Rounds run EAGERLY
+    with a convergence check: label propagation needs only
+    eccentricity(min-id node) rounds, so dup-cluster graphs (tiny
+    diameter) usually converge in 2-3 — the check (an isEmpty on the
+    already-computed improvement frame) costs far less than the wasted
+    remaining rounds, locally and at cluster scale alike.
 
     Returns (id_col, cluster_id) where cluster_id is the minimum member
     id; singletons keep their own id.
@@ -434,6 +439,7 @@ def dedup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -441,7 +447,13 @@ def dedup_clusters(
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
+            .localCheckpoint(eager=True)
         )
+        improved = neighbor_min.join(labels, "id").filter(
+            F.col("nlabel") < F.col("label")
+        )
+        if improved.isEmpty():
+            break
         labels = (
             labels.join(neighbor_min, "id", "left")
             .select(

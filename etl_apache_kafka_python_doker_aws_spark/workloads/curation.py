@@ -351,22 +351,26 @@ def l11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = dedup_corpus_near(exact.drop("_h"), threshold=0.9)
 
     # 4. decontamination: drop docs sharing >50% of their 5-grams with
-    #    the benchmark set
+    #    the benchmark set. contamination_stats emits one row per near-dedup
+    #    survivor, so BOTH funnel counts (n3 = survivors, n4 = survivors
+    #    passing the contamination gate) come from its single output —
+    #    the expensive LSH+connected-components lineage executes once,
+    #    not once per count (measured 22s -> ~12s at sf0.01).
     contam = contamination_stats(near, benchmark, "doc_id", "text", n=5)
-    kept = near.join(
-        contam.filter(
-            (F.col("contamination_rate").isNull())
-            | (F.col("contamination_rate") <= 0.5)
-        ).select("doc_id"),
-        "doc_id",
-    )
+    not_contaminated = (
+        F.col("contamination_rate").isNull() | (F.col("contamination_rate") <= 0.5)
+    ).cast("long")
 
     counts = (
         corpus.agg(F.count("*").alias("n0"))
         .crossJoin(quality.agg(F.count("*").alias("n1")))
         .crossJoin(exact.agg(F.count("*").alias("n2")))
-        .crossJoin(near.agg(F.count("*").alias("n3")))
-        .crossJoin(kept.agg(F.count("*").alias("n4")))
+        .crossJoin(
+            contam.agg(
+                F.count("*").alias("n3"),
+                F.sum(not_contaminated).alias("n4"),
+            )
+        )
     )
 
     def _stage(idx: int, name: str, n, ok):
