@@ -501,3 +501,54 @@ def l5_multimodal_raw8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("thumbnail_4x4", 1), 4).alias("thumb_00"),
         "valid",
     )
+
+
+@query(
+    "l5_multimodal_wav",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS valid,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(800 + (doc_id % 17) * 40 AS BIGINT) AS n_samples,
+           CAST((800 + (doc_id % 17) * 40) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           TRUE AS rms_le_peak,
+           TRUE AS peak_in_range,
+           TRUE AS has_zero_crossings
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def l5_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: REAL audio decode — deterministic RIFF/PCM16 WAV clips (true
+    44-byte-header files, sine tones parameterized by doc_id) generated
+    per document, then chunk-walked and decoded with numpy sample math
+    over Arrow batches: RMS, peak, zero-crossing count. The generation
+    parameters are pure functions of doc_id, so the integer features
+    (sample_rate, n_samples, duration_ms) are EXACTLY mirrored by the
+    DuckDB oracle, and the float features are emitted as always-true
+    acoustic invariants (RMS <= peak; peak within [0.9a, a] of the
+    commanded amplitude a; an audible tone crosses zero). Exact RMS for
+    a known clip is pinned in tests/test_llm_ops.py; poison blobs yield
+    valid=false there too."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_wav_media,
+        decode_wav_features,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+    )
+    feats = decode_wav_features(attach_wav_media(d, "doc_id"), "doc_id")
+    amp = F.lit(3000) + F.pmod(F.col("doc_id"), F.lit(9)) * 3000
+    return feats.select(
+        "doc_id",
+        "valid",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        (F.col("rms") <= F.col("peak")).alias("rms_le_peak"),
+        ((F.col("peak") <= amp) & (F.col("peak") >= amp * 0.9)).alias("peak_in_range"),
+        (F.col("zero_crossings") > 0).alias("has_zero_crossings"),
+    )

@@ -206,3 +206,87 @@ def test_raw8_roundtrip_via_spark(spark):
         assert r["width"] == 8 + r["doc_id"] % 8
         assert len(r["thumbnail_4x4"]) == 16
         assert all(0.0 <= m <= 255.0 for m in r["mean_per_channel"])
+
+
+def test_wav_decode_exact_features(spark):
+    """l5c: decode of a known generated clip matches numpy ground truth
+    computed directly from the generation formula (doc_id=0: 8000 Hz,
+    800 samples, 100 Hz tone, amplitude 3000)."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_wav_media,
+        decode_wav_features,
+    )
+
+    d = spark.createDataFrame([(0,), (5,)], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_wav_features(attach_wav_media(d, "doc_id"), "doc_id").collect()
+    }
+    t = np.arange(800) / 8000.0
+    expected = np.round(3000 * np.sin(2 * np.pi * 100 * t))
+    exp_rms = float(np.sqrt(np.mean(expected * expected)))
+    r0 = rows[0]
+    assert r0["valid"] and r0["sample_rate"] == 8000 and r0["channels"] == 1
+    assert r0["n_samples"] == 800 and r0["duration_ms"] == 100
+    assert abs(r0["rms"] - exp_rms) < 1e-9
+    assert r0["peak"] == int(np.max(np.abs(expected)))
+    r5 = rows[5]
+    assert r5["valid"] and r5["n_samples"] == 800 + (5 % 17) * 40
+
+
+def test_wav_decode_poison_blobs_never_crash(spark):
+    """Malformed payloads (truncated header, wrong magic, bad chunk size,
+    odd data length, non-PCM format) yield valid=false rows, not errors."""
+    import struct
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_wav_features,
+        encode_wav_pcm16,
+    )
+
+    good = encode_wav_pcm16(8000, [0, 100, -100, 50])
+    float_fmt = good.replace(struct.pack("<IHH", 16, 1, 1), struct.pack("<IHH", 16, 3, 1), 1)
+    poison = [
+        (1, b""),
+        (2, b"RIFF"),
+        (3, b"JUNK" + good[4:]),
+        (4, good[:20]),                       # truncated chunk stream
+        (5, good[:-1]),                       # odd data length
+        (6, float_fmt),                       # audio_format != PCM
+        (7, None),
+        (8, good),                            # control: still valid
+    ]
+    df = spark.createDataFrame(poison, "doc_id long, media binary")
+    rows = {r["doc_id"]: r["valid"] for r in decode_wav_features(df, "doc_id").collect()}
+    assert rows == {1: False, 2: False, 3: False, 4: False, 5: False, 6: False,
+                    7: False, 8: True}
+
+
+def test_wav_decode_stereo_downmix(spark):
+    """Two-channel PCM: frames downmix by mean before stats; n_samples
+    counts frames, not raw int16 values."""
+    import struct
+
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_wav_features,
+    )
+
+    left = np.array([1000, -1000, 1000, -1000], dtype="<i2")
+    right = np.array([0, 0, 0, 0], dtype="<i2")
+    inter = np.empty(8, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    pcm = inter.tobytes()
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame([(1, blob)], "doc_id long, media binary")
+    r = decode_wav_features(df, "doc_id").collect()[0]
+    assert r["valid"] and r["channels"] == 2 and r["n_samples"] == 4
+    assert abs(r["rms"] - 500.0) < 1e-9  # mean of (±1000, 0) is ±500
+    assert r["peak"] == 1000  # peak is pre-downmix max |sample|
