@@ -552,3 +552,43 @@ def l5_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("peak") <= amp) & (F.col("peak") >= amp * 0.9)).alias("peak_in_range"),
         (F.col("zero_crossings") > 0).alias("has_zero_crossings"),
     )
+
+
+@query(
+    "l5_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(UNNEST(GENERATE_SERIES(0, 2000 + (doc_id % 20) * 500, 1000))
+                AS BIGINT) AS frame_ts_ms
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def l5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d: video frame-sampling plumbing — each clip row expands to one
+    row per sampled frame timestamp (sequence + explode, JVM-side; the
+    per-frame pixel decode is the same gated/RAW8 path as images). Clip
+    duration is a pure function of doc_id (2000 + (id % 20) * 500 ms), so
+    the sampled timestamp grid is EXACTLY mirrored by the DuckDB oracle's
+    GENERATE_SERIES — the row-explosion semantics (inclusive bounds,
+    1000 ms stride) are what is being verified."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    clips = d.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(2000) + F.pmod(F.col("doc_id"), F.lit(20)) * 500)
+            .cast("long")
+            .alias("duration_ms"),
+            F.lit(0).cast("long").alias("n_bytes"),
+        ),
+    )
+    return sample_frames(clips, "doc_id", payload_col="media", every_ms=1000)
