@@ -94,8 +94,16 @@ def zorder_key(cols: list[str], bits: int = 16):
         # clamp to [0, 2^bits): out-of-range values would otherwise alias
         # distant rows onto nearby keys (high bits silently dropped) and
         # negatives would scatter; saturating keeps the key monotone so
-        # min-max pruning still works at the range edges
-        col = F.greatest(lo, F.least(F.col(name).cast("long"), hi))
+        # min-max pruning still works at the range edges. NULLs must be
+        # re-propagated explicitly — least/greatest SKIP null arguments,
+        # which would silently clamp a missing value to the maximum key
+        # and interleave missing-data rows with the hottest value range;
+        # a NULL bit nulls the whole key, so such rows keep sorting into
+        # their own range partition as before.
+        raw = F.col(name).cast("long")
+        col = F.when(raw.isNull(), F.lit(None).cast("long")).otherwise(
+            F.greatest(lo, F.least(raw, hi))
+        )
         for i in range(bits):
             bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + c_idx))

@@ -7,8 +7,12 @@ output column therefore hash-mismatches on rendering even when the values
 are identical (VERDICT r3 "What's wrong" #1 — six red queries for two
 rounds). House rule since round 4: output columns must be
 BIGINT / DOUBLE / VARCHAR / BOOLEAN / TIMESTAMP / arrays-of-those on BOTH
-sides. This test enforces it statically (schema-only, no query execution)
-so a new query can't reintroduce the bug class.
+sides. Enforced via DESCRIBE on the oracle side and df.schema on the
+Spark side — cheap for batch queries (plan analysis only), though
+BUILDING the ~13 streaming workloads does execute their staging writes
+and availableNow pipelines as a side effect of query construction.
+Worth it: this guard is what keeps a new query from reintroducing the
+bug class.
 """
 
 from __future__ import annotations

@@ -11,11 +11,14 @@ from etl_apache_kafka_python_doker_aws_spark.workloads import QUERIES
 from tests.conftest import SF_SMOKE
 
 
-def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMOKE)
-    jdf = df._jdf
+def plan_of_df(df) -> str:
+    spark = df.sparkSession
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return jdf.queryExecution().explainString(mode)
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def plan_of(spark, name: str) -> str:
+    return plan_of_df(QUERIES[name](spark, SF_SMOKE))
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -328,9 +331,7 @@ def test_wire_json_read_is_native_scan(spark, tmp_path):
     path = str(tmp_path / "wire")
     write_wire_json(src, path)
     df = read_wire_json(spark, path, CUSTOMERS_WIRE_SCHEMA)
-    jdf = df._jdf
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    plan = jdf.queryExecution().explainString(mode)
+    plan = plan_of_df(df)
     assert "from_json" not in plan, "wire read regressed to interpreted from_json"
     assert "Scan json" in plan
     assert df.count() == 10
