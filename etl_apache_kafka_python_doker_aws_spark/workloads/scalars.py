@@ -95,7 +95,7 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            DATE_TRUNC('day', o_orderdate) + INTERVAL 30 DAY AS due_date,
            DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
-           CAST(EPOCH(o_orderdate) AS BIGINT)          AS unix_ts,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)   AS unix_ts,
            STRFTIME(o_orderdate, '%Y-%m')              AS ym
     FROM orders
     """,

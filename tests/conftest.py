@@ -25,6 +25,27 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def build_query(spark):
+    """Session-memoized query builder: ``build_query(name)`` returns the
+    DataFrame ``QUERIES[name](spark, SF_SMOKE)``, built at most once per
+    test session. DataFrames are immutable/lazy so sharing is safe; the
+    point is the ~13 streaming workloads whose CONSTRUCTION executes
+    staging writes and availableNow pipelines — building them once for
+    both the oracle compare and the output-type guard saves minutes
+    (ADVICE r4)."""
+    from etl_apache_kafka_python_doker_aws_spark.workloads import QUERIES
+
+    cache: dict[str, object] = {}
+
+    def _build(name: str):
+        if name not in cache:
+            cache[name] = QUERIES[name](spark, SF_SMOKE)
+        return cache[name]
+
+    return _build
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:

@@ -18,8 +18,12 @@ Rules now:
     keeps its trailing zeros, an int stays ``3`` (never ``3.0``);
   * floats render at full shortest-round-trip ``repr`` precision (the r1
     lesson: a 6-sig-digit hash hid ulp mismatches);
-  * NaN and NULL both render "NULL" (pandas cannot distinguish them in a
-    float64 column, and that axis was never a driver discriminator).
+  * oracle-side NaN renders "NULL" (pandas float64 genuinely cannot
+    distinguish NaN from NULL after .df()), but SPARK-side NaN renders
+    "NaN" — the driver sees collected Rows where NaN and None are
+    distinct, so a query emitting NaN where the oracle yields NULL must
+    fail here too (ADVICE r4: this was the one remaining deliberate
+    divergence from the driver-faithful model).
 
 Consequence for query authors: any output column that is DECIMAL or
 HUGEINT on the oracle side, or DecimalType/DateType on the Spark side,
@@ -46,7 +50,10 @@ def _render_spark_cell(v):
         return str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NULL"
+            # Distinct from "NULL": the driver's Spark side keeps NaN and
+            # None distinct (only the pandas-fetched ORACLE side merges
+            # them), so local green must not paper over a NaN output.
+            return "NaN"
         return repr(v)
     if isinstance(v, datetime):
         return str(v)

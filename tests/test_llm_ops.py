@@ -28,7 +28,7 @@ def test_lsh_recall_vs_bruteforce(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
-    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(e, q, k=5, dim=64).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
@@ -126,7 +126,7 @@ def test_embedding_lsh_dup_pairs_subset_of_exact(spark):
 
     e = load_table(spark, SF_SMOKE, "embeddings")
     exact = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(e, threshold=0.5, exact=True).collect()}
-    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(e, threshold=0.5, exact=False).collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(e, threshold=0.5, exact=False, dim=64).collect()}
     assert lsh <= exact
     if exact:
         assert len(lsh) / len(exact) >= 0.5, f"recall {len(lsh)}/{len(exact)}"

@@ -73,6 +73,20 @@ def test_nullable_int_mismatches_double_matches(spark, duck):
     assert ok, detail
 
 
+def test_spark_nan_mismatches_oracle_null(spark, duck):
+    # ADVICE r4: the driver's Spark side keeps NaN distinct from NULL
+    # (only the pandas-fetched oracle side merges them), so a Spark NaN
+    # where the oracle yields NULL must fail locally too — and a NaN
+    # output is never safe even when the oracle also yields NaN, because
+    # the oracle side cannot prove it wasn't NULL.
+    df = _df(spark, "SELECT CAST('NaN' AS DOUBLE) AS v")
+    ok, _ = compare(df, duck, "SELECT NULL::DOUBLE AS v")
+    assert not ok
+    df2 = _df(spark, "SELECT CAST(NULL AS DOUBLE) AS v")
+    ok, detail = compare(df2, duck, "SELECT NULL::DOUBLE AS v")
+    assert ok, detail
+
+
 def test_full_precision_floats_detect_ulp_differences(spark, duck):
     # the round-1 lesson: %.6g hashing hid ulp-level drift
     df = _df(spark, "SELECT CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS v")

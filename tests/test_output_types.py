@@ -8,11 +8,11 @@ are identical (VERDICT r3 "What's wrong" #1 — six red queries for two
 rounds). House rule since round 4: output columns must be
 BIGINT / DOUBLE / VARCHAR / BOOLEAN / TIMESTAMP / arrays-of-those on BOTH
 sides. Enforced via DESCRIBE on the oracle side and df.schema on the
-Spark side — cheap for batch queries (plan analysis only), though
-BUILDING the ~13 streaming workloads does execute their staging writes
-and availableNow pipelines as a side effect of query construction.
-Worth it: this guard is what keeps a new query from reintroducing the
-bug class.
+Spark side — cheap for batch queries (plan analysis only). Query
+construction goes through the session-memoized ``build_query`` fixture,
+so the ~13 streaming workloads (whose construction executes staging
+writes and availableNow pipelines) are built at most once per test
+session, shared with the oracle compare (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ import pytest
 from pyspark.sql import types as T
 
 from etl_apache_kafka_python_doker_aws_spark.workloads import ORACLES, QUERIES
-from tests.conftest import SF_SMOKE
 
 #: DuckDB logical types pandas-coerces into a rendering Spark won't match.
 _HOSTILE_DUCK = ("DECIMAL", "HUGEINT", "INT128", "DATE")
@@ -58,8 +57,8 @@ def test_oracle_output_types_survive_pandas(name, duck_smoke):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_spark_output_types_match_collected_rendering(name, spark):
-    df = QUERIES[name](spark, SF_SMOKE)
+def test_spark_output_types_match_collected_rendering(name, build_query):
+    df = build_query(name)
     bad = list(_hostile_spark_types(T.StructType([f for f in df.schema.fields])))
     assert not bad, (
         f"{name}: Spark schema has Decimal/Date output columns {bad}; cast the "

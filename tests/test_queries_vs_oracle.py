@@ -8,13 +8,12 @@ from __future__ import annotations
 import pytest
 
 from etl_apache_kafka_python_doker_aws_spark.workloads import ORACLES, QUERIES
-from tests.conftest import SF_SMOKE
 from tests.oracle_harness import compare
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck_smoke):
-    df = QUERIES[name](spark, SF_SMOKE)
+def test_query_matches_oracle(name, spark, duck_smoke, build_query):
+    df = build_query(name)
     if name in ORACLES:
         ok, detail = compare(df, duck_smoke, ORACLES[name])
         assert ok, f"{name}: {detail}"
