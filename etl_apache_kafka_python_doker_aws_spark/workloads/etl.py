@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
-from etl_apache_kafka_python_doker_aws_spark.functions.money import money, money_sum
 from etl_apache_kafka_python_doker_aws_spark.plans.pipeline import (
     run_reference_pipeline,
     to_customers_shape,
@@ -95,25 +94,70 @@ def s9_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(json_path)
 
 
-@query("s7_synthetic_source")  # generator output → rows-only (determinism in pytest)
+@query(
+    "s7_synthetic_source",
+    oracle="""
+    SELECT CAST(2000 AS BIGINT) AS n_rows,
+           TRUE AS id_range_exact,
+           TRUE AS names_in_pool,
+           TRUE AS balances_in_range,
+           TRUE AS partition_invariant
+    """,
+)
 def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7: the reference's Faker generator (/root/reference/data_full.py:16-31)
     as a PARALLEL Spark Python DataSource — the row range splits into input
     partitions, each executor generates its slice, and per-row seeded RNG
     makes the dataset identical under any partitioning (sources/pysource.py).
-    Aggregated per last name so the source feeds a normal Catalyst plan."""
-    from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
+    Driver contract: exact row count, ids forming exactly [0, rows), last
+    names drawn from the declared pool, balances within the generator's
+    [0, 100000] range, and — the property that matters at 100 TB — full
+    PARTITION INVARIANCE: reading the same source with 8 vs 3 partitions
+    yields row-for-row identical data (checked by a distributed join, no
+    collect)."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.pysource import _LAST, register
 
     register(spark)
-    gen = (
-        spark.read.format("synthetic_customers")
-        .option("rows", 2000)
-        .option("partitions", 8)
-        .load()
+
+    def gen(partitions: int) -> DataFrame:
+        return (
+            spark.read.format("synthetic_customers")
+            .option("rows", 2000)
+            .option("partitions", partitions)
+            .load()
+        )
+
+    g8, g3 = gen(8), gen(3)
+    both = g8.alias("a").join(g3.alias("b"), F.col("a.id") == F.col("b.id"), "full")
+    same_row = (
+        (F.col("a.nombre") == F.col("b.nombre"))
+        & (F.col("a.apellido") == F.col("b.apellido"))
+        & (F.col("a.direccion") == F.col("b.direccion"))
+        & (F.col("a.telefono") == F.col("b.telefono"))
+        & (F.col("a.caja_ahorro_pesos") == F.col("b.caja_ahorro_pesos"))
+        & (F.col("a.caja_ahorro_dolares") == F.col("b.caja_ahorro_dolares"))
     )
-    return gen.groupBy("apellido").agg(
-        F.count("*").alias("n"),
-        money_sum(money("caja_ahorro_pesos"), "total_pesos"),
+    return both.agg(
+        F.count("*").alias("n_rows"),
+        (
+            (F.min("a.id") == 0)
+            & (F.max("a.id") == 1999)
+            & (F.countDistinct("a.id") == 2000)
+        ).alias("id_range_exact"),
+        (
+            F.sum((~F.col("a.apellido").isin(list(_LAST))).cast("long")) == 0
+        ).alias("names_in_pool"),
+        (
+            (F.min("a.caja_ahorro_pesos") >= 0)
+            & (F.max("a.caja_ahorro_pesos") <= 100000)
+            & (F.min("a.caja_ahorro_dolares") >= 0)
+            & (F.max("a.caja_ahorro_dolares") <= 100000)
+        ).alias("balances_in_range"),
+        # a row missing on either side makes same_row NULL — count that as
+        # a mismatch, not a skip (coalesce to FALSE before negating)
+        (F.sum((~F.coalesce(same_row, F.lit(False))).cast("long")) == 0).alias(
+            "partition_invariant"
+        ),
     )
 
 

@@ -1,7 +1,11 @@
 """LLM-data-pipeline queries — SURVEY.md §2.11 (L1-L5) over the
-`documents` and `embeddings` fixtures. SQL-expressible ops carry DuckDB
-oracles; sketch/LSH ops (seeded, deterministic) are rows-only and their
-accuracy is asserted in tests instead.
+`documents` and `embeddings` fixtures. SQL-expressible ops carry exact
+DuckDB oracles; sketch/LSH ops (seeded, deterministic) carry exact
+BOOLEAN-CONTRACT oracles since r5 — planted verbatim duplicates that any
+sound near-dup detector must recover (the oracle enumerates the planted
+pairs, ids included), recall bounds vs engine-computed brute force, and
+determinism/range invariants — so every registered query is
+driver-checkable; finer-grained accuracy is asserted in tests.
 """
 
 from __future__ import annotations
@@ -16,10 +20,6 @@ from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash,
-)
-from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
-    attach_fake_media,
-    decode_image_features,
 )
 from etl_apache_kafka_python_doker_aws_spark.functions.similarity import cosine_topk, lsh_topk
 from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
@@ -47,14 +47,74 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l2_minhash_near_dup")  # LSH candidate set → rows-only (tests assert recall)
+#: Planted-duplicate scaffold shared by the near-dup contract queries:
+#: copy every 25th document verbatim under doc_id + 100000 (far above the
+#: fixture id range). A verbatim copy has Jaccard 1.0 with its original
+#: by DEFINITION, so any sound near-dup detector must pair (id, id+1e5)
+#: — which turns the approximate operator into a driver-checkable one:
+#: the oracle enumerates the planted pairs exactly, and the Spark side
+#: reports whether the operator recovered each (the a4/l7/l11
+#: boolean-contract pattern, VERDICT r4 next-round #1).
+_PLANT_STEP = 25
+_PLANT_OFFSET = 100000
+
+
+def _with_planted_copies(d: DataFrame, min_tokens: int = 0) -> DataFrame:
+    base = d.select("doc_id", "text")
+    eligible = base.filter(F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+    if min_tokens > 0:
+        eligible = eligible.filter(F.size(tx.tokenize("text")) >= min_tokens)
+    copies = eligible.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+@query(
+    "l2_minhash_near_dup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           TRUE AS found,
+           TRUE AS est_is_one
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
 def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
-    seeded → deterministic. Rows-only: the candidate set depends on the
-    LSH parameters, not on ANSI-SQL-expressible semantics."""
+    seeded → deterministic. Driver contract: every 25th document is
+    planted as a verbatim copy under id+100000; identical text gives an
+    identical signature, which collides in EVERY band and estimates
+    Jaccard exactly 1.0 — so each planted pair must appear in the
+    operator's output with est_jaccard = 1.0. The oracle enumerates the
+    planted pairs exactly (ids included); recall over the organic corpus
+    is asserted separately in tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=4, shingle_n=3, threshold=0.5
+    aug = _with_planted_copies(d, min_tokens=3)  # <3-token docs have no shingles
+    pairs = minhash_near_dup_pairs(
+        aug, "doc_id", "text", num_hashes=32, bands=4, shingle_n=3, threshold=0.5
+    )
+    expected = (
+        d.filter(
+            (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+            & (F.size(tx.tokenize("text")) >= 3)
+        )
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+        )
+    )
+    return expected.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").isNotNull().alias("found"),
+        (F.col("est_jaccard") == 1.0).alias("est_is_one"),
     )
 
 
@@ -87,17 +147,39 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("l2_simhash")  # Pandas-UDF fingerprint → rows-only
+@query(
+    "l2_simhash",
+    oracle="""
+    SELECT doc_id, TRUE AS deterministic, TRUE AS bucket_in_range
+    FROM documents
+    """,
+)
 def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: 64-bit SimHash fingerprints (Arrow-batched Pandas UDF) +
-    bucket key for banded near-dup search."""
+    """L2: 64-bit SimHash fingerprints (JVM token hashing + Arrow-batched
+    numpy bit-packing) + hi-16-bit bucket key for banded near-dup search.
+    Driver contract (per doc): the fingerprint must be DETERMINISTIC —
+    recomputing it on a differently-partitioned copy of the corpus yields
+    the identical 64-bit value (the property that makes retried tasks and
+    incremental runs safe at 100 TB) — and the bucket key must fit 16
+    bits. Exact fingerprint values are engine-defined (xxhash64 bit
+    votes), hence booleans rather than literals; verbatim-dup capture is
+    checked by l2_simhash_pairs."""
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return d.select(
+    fp1 = d.select("doc_id", simhash("text").alias("fp1"))
+    fp2 = (
+        d.select("doc_id", "text")
+        .repartition(7, "doc_id")
+        .select("doc_id", simhash("text").alias("fp2"))
+    )
+    joined = fp1.join(fp2, "doc_id")
+    bucket = F.shiftrightunsigned("fp1", 48)
+    return joined.select(
         "doc_id",
-        simhash("text").alias("simhash64"),
-    ).withColumn("bucket_hi16", F.shiftrightunsigned("simhash64", 48))
+        (F.col("fp1") == F.col("fp2")).alias("deterministic"),
+        ((bucket >= 0) & (bucket < 65536)).alias("bucket_in_range"),
+    )
 
 
 @query(
@@ -133,12 +215,54 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l3_ann_lsh")  # approximate → rows-only (tests assert recall vs exact)
+def _ann_contract(approx: DataFrame, exact: DataFrame, recall_bound: float) -> DataFrame:
+    """Reduce an approximate top-k result to the driver-checkable contract
+    row: recall vs the exact top-k is >= recall_bound, no query returns
+    more than k rows, and no self-matches leak through. All three are
+    computed distributed (joins + aggregates, no collect)."""
+    a = approx.select("query_id", "neighbor_id")
+    ex = exact.select("query_id", "neighbor_id")
+    recall = (
+        ex.join(a.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+                >= recall_bound
+            ).alias("recall_ok")
+        )
+    )
+    k_ok = (
+        a.groupBy("query_id")
+        .agg(F.count("*").alias("_k"))
+        .agg((F.max("_k") <= 5).alias("k_bound_ok"))
+    )
+    no_self = a.agg(
+        (F.sum((F.col("query_id") == F.col("neighbor_id")).cast("long")) == 0).alias(
+            "no_self_matches"
+        )
+    )
+    return recall.crossJoin(k_ok).crossJoin(no_self)
+
+
+@query(
+    "l3_ann_lsh",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
+    """,
+)
 def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: sign-LSH bucketed approximate top-k (band equi-join
-    instead of full scan; recall asserted ≥0.6 in tests vs brute force)."""
+    instead of full scan). Driver contract: with 48 seeded hyperplanes in
+    4-bit bands the approximate top-5 must recover >= 60% of the exact
+    brute-force top-5 (deterministic for the fixed fixture + seed;
+    measured ~0.8 at sf0.01), return at most k rows per query, and never
+    pair a query with itself. The exact neighbor sets are engine-computed
+    (cosine_topk) — the oracle checks the accuracy CONTRACT, the a4
+    pattern for sketch ops."""
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_planes=48, band_bits=4, dim=64)
+    q = e.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(e, q, k=5, n_planes=48, band_bits=4, dim=64)
+    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6)
 
 
 @query(
@@ -234,10 +358,61 @@ def l4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint_md5("text").alias("fp_md5"))
 
 
-@query("l4_lang_id")  # heuristic → rows-only (fixture text is synthetic word soup)
+@query(
+    "l4_lang_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t,
+             lower(text) AS lt
+      FROM documents
+    ),
+    marks(mlang, markers) AS (VALUES
+      ('de', ['der','die','und','das','ist']),
+      ('en', ['the','and','of','to','a']),
+      ('es', ['el','la','de','que','y']),
+      ('fr', ['le','la','et','les','des']),
+      ('zh', ['de5','shi4','le5','zai4','he2'])),
+    profiles(plang, grams) AS (VALUES
+      ('de', ['der','ein','ich','sch','und']),
+      ('en', ['the','ing','and','ion','ent']),
+      ('es', ['que','ión','ent','ado','los']),
+      ('fr', ['les','ent','ion','que','eur']),
+      ('zh', ['zh1','sh4','ng1','ao4','an2'])),
+    wscored AS (
+      SELECT doc_id, lang, mlang,
+             len(list_filter(t, x -> list_contains(markers, x))) AS hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY len(list_filter(t, x -> list_contains(markers, x))) DESC,
+                        mlang DESC) AS rn
+      FROM toks CROSS JOIN marks
+    ),
+    gscored AS (
+      SELECT doc_id, plang,
+             len(list_filter(grams, g -> POSITION(g IN lt) > 0)) AS hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY len(list_filter(grams, g -> POSITION(g IN lt) > 0)) DESC,
+                        plang DESC) AS rn
+      FROM toks CROSS JOIN profiles
+    )
+    SELECT w.doc_id, w.lang,
+           CASE WHEN w.hits > 0 THEN w.mlang ELSE 'und' END AS lang_pred_words,
+           CASE WHEN g.hits > 0 THEN g.plang ELSE 'und' END AS lang_pred_trigrams
+    FROM wscored w JOIN gscored g ON w.doc_id = g.doc_id
+    WHERE w.rn = 1 AND g.rn = 1
+    """,
+)
 def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: language-ID heuristics — marker-word scoring and the literal
-    char-trigram n-gram form, side by side (JVM-only, deterministic)."""
+    char-trigram n-gram form, side by side (JVM-only, deterministic).
+    EXACT oracle (new in r5): both heuristics are pure functions of fixed
+    marker/profile tables, so DuckDB reproduces the argmax verbatim —
+    occurrence counts of marker TOKENS for the word form, presence of
+    profile trigrams (a trigram is in the doc's distinct-trigram set iff
+    it is a substring of the lowered text) for the n-gram form, ties
+    broken by max language code, 'und' on zero hits — mirroring Spark's
+    array_max(struct(hits, lang)) semantics."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -331,15 +506,109 @@ def l4_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l5_multimodal")  # binary plumbing + stubbed decode → rows-only
+#: Shared oracle scaffold for the PNG queries: the generated image is a
+#: pure function of doc_id (attach_png_media), so the decoded dims are
+#: id-derived integers and the channel-0 pixel mean is the exact average
+#: of (x*7 + y*13 + id) % 256 over the raster grid — DuckDB reproduces it
+#: with a two-stage UNNEST(GENERATE_SERIES) cross product (multiple
+#: UNNESTs in ONE select zip instead of cross-joining, hence two CTEs).
+_PNG_ORACLE_PX = """
+    dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id*3) % 8 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    xs AS (SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM dims),
+    px AS (SELECT doc_id, x, UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs),
+    means AS (
+      SELECT doc_id, AVG((x*7 + y*13 + doc_id) % 256) AS mean_c0
+      FROM px GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "l5_multimodal",
+    oracle=f"""
+    WITH {_PNG_ORACLE_PX}
+    SELECT d.doc_id,
+           TRUE                            AS valid,
+           CAST(d.w AS INT)                AS width,
+           CAST(d.h AS INT)                AS height,
+           CAST(3 AS INT)                  AS channels,
+           CAST(8 AS INT)                  AS bit_depth,
+           m.mean_c0                       AS mean_c0,
+           TRUE                            AS std_in_range
+    FROM dims d JOIN means m ON d.doc_id = m.doc_id
+    """,
+)
 def l5_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: multimodal column plumbing — attach deterministic binary media
-    payload + metadata struct to documents, then run the Arrow-batched
-    mapInPandas feature extractor (fake decode; real decode raises by
-    design in this container)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = attach_fake_media(d, "doc_id")
-    return decode_image_features(media, "doc_id", fake=True)
+    """L5: REAL image decode — deterministic RGB PNGs (true IHDR/IDAT/IEND
+    chunks, zlib-compressed, all five scanline filters) generated per
+    document, then decoded with the stdlib-only spec-subset codec over
+    Arrow batches: chunk-CRC validation, IDAT inflate, per-scanline
+    unfilter, per-channel stats. Pixel values are pure functions of
+    doc_id, so width/height/channels/bit_depth AND the exact channel-0
+    mean are mirrored by the DuckDB oracle; std is emitted as an
+    always-true range invariant (a uint8 raster's std is in [0, 127.5]).
+    Replaces the r1-r4 fake-decode registration (VERDICT r4 #3); the
+    gated JPEG path (entropy coding needs a codec lib) remains
+    decode_image_features."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_png_media,
+        decode_png_features,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+    )
+    feats = decode_png_features(attach_png_media(d, "doc_id"), "doc_id")
+    std0 = F.element_at("std_per_channel", 1)
+    return feats.select(
+        "doc_id", "valid", "width", "height", "channels", "bit_depth",
+        F.element_at("mean_per_channel", 1).alias("mean_c0"),
+        ((std0 >= 0) & (std0 <= 127.5)).alias("std_in_range"),
+    )
+
+
+@query(
+    "l5_multimodal_png",
+    oracle=f"""
+    WITH {_PNG_ORACLE_PX}
+    SELECT d.doc_id,
+           d.doc_id % 37 <> 0                                        AS valid,
+           CAST(CASE WHEN d.doc_id % 37 = 0 THEN 0 ELSE d.w END AS INT) AS width,
+           CAST(CASE WHEN d.doc_id % 37 = 0 THEN 0 ELSE d.h END AS INT) AS height,
+           CASE WHEN d.doc_id % 37 = 0 THEN NULL ELSE m.mean_c0 END  AS mean_c0
+    FROM dims d JOIN means m ON d.doc_id = m.doc_id
+    """,
+)
+def l5_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 poison-path: same PNG pipeline with every 37th payload truncated
+    mid-IDAT. The decoder must flag exactly those rows invalid (zlib
+    inflate fails / chunk stream truncated) with zero dims and NULL stats
+    — never crash the stage — and the oracle mirrors the poison pattern
+    exactly, so the VALIDITY decision itself is driver-checked."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_png_media,
+        decode_png_features,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+    )
+    feats = decode_png_features(
+        attach_png_media(d, "doc_id", poison_every=37), "doc_id"
+    )
+    return feats.select(
+        "doc_id", "valid", "width", "height",
+        F.element_at("mean_per_channel", 1).alias("mean_c0"),
+    )
 
 
 @query(
@@ -368,32 +637,83 @@ def l2_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-@query("l2_embedding_cosine_lsh")  # LSH candidates → rows-only (recall in tests)
+@query(
+    "l2_embedding_cosine_lsh",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           TRUE AS found, TRUE AS cos_near_one
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
 def l2_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 variant 5 at scale: the same cosine-threshold pairs via sign-LSH
-    band self-join (bucket-then-verify; no cross join)."""
+    """L2 variant 5 at scale: cosine-threshold pairs via sign-LSH band
+    self-join (bucket-then-verify; no cross join). Driver contract:
+    every 25th embedding is planted as an IDENTICAL copy under
+    id+100000; an identical vector has the identical sign signature —
+    collides in every band — and cosine 1.0 (within float ulp), so each
+    planted pair must be recovered above the 0.5 threshold. The oracle
+    enumerates those pairs exactly; organic-pair recall vs the exact
+    all-pairs form is asserted in tests."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    aug = e.select("vec_id", "embedding").unionByName(
+        planted.select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
+    )
     # dim is a required parameter since r5 (the probe-a-row fallback was
     # deleted per VERDICT r4 #2); fixture embeddings are 64-d
-    return embedding_near_dup_pairs(e, threshold=0.5, exact=False, dim=64)
+    pairs = embedding_near_dup_pairs(aug, threshold=0.5, exact=False, dim=64)
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return expected.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.col("cos_sim").isNotNull().alias("found"),
+        (F.col("cos_sim") >= 0.999999).alias("cos_near_one"),
+    )
 
 
-@query("l3_ann_ivf")  # approximate → rows-only (recall vs exact in tests)
+@query(
+    "l3_ann_ivf",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
+    """,
+)
 def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #2: IVF top-k (seeded KMeans cells + n_probe search) —
-    data-adaptive alternative to the LSH variant."""
+    data-adaptive alternative to the LSH variant. Same contract shape as
+    l3_ann_lsh: recall >= 0.6 vs exact brute force (seeded KMeans is
+    deterministic for the fixed fixture), k-bound, no self-matches."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
+    q = e.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6)
 
 
-@query("l4_tfidf")  # MLlib vectors → rows-only (weight ordering asserted in tests)
+@query(
+    "l4_tfidf",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS has_terms,
+           TRUE AS n_terms_le_distinct_tokens,
+           TRUE AS weights_nonneg
+    FROM documents
+    """,
+)
 def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: TF-IDF document vectors (HashingTF + IDF, feature hashing —
-    no vocab broadcast). Output: doc_id + top hashed-term weight."""
+    no vocab broadcast). Driver contract (per doc): a non-empty document
+    hashes to at least one feature; the number of non-zero features can
+    never EXCEED the document's distinct-token count (feature hashing
+    only merges buckets, never splits — the invariant that pins the
+    hashing direction); and IDF-smoothed weights are non-negative. The
+    weight VALUES are MLlib-defined floats, hence contract booleans
+    rather than literals; weight ordering is asserted in tests."""
     from pyspark.ml.functions import vector_to_array
 
     from etl_apache_kafka_python_doker_aws_spark.functions.text import tfidf_features
@@ -401,35 +721,117 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     feats = tfidf_features(d, "doc_id", "text")
     arr = vector_to_array(F.col("tfidf"))
-    return feats.select(
+    stats = feats.select(
         "doc_id",
         F.array_max(arr).alias("top_weight"),
+        F.array_min(arr).alias("min_weight"),
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_terms"),
+    )
+    # Tokenizer splits on \s+ after lower(); distinct-token counts come
+    # from the same convention so the bound is tight, not approximate
+    ntok = d.select(
+        "doc_id", F.size(F.array_distinct(tx.tokenize("text"))).alias("n_distinct")
+    )
+    return stats.join(ntok, "doc_id").select(
+        "doc_id",
+        (F.col("n_terms") >= 1).alias("has_terms"),
+        (F.col("n_terms") <= F.col("n_distinct")).alias("n_terms_le_distinct_tokens"),
+        (F.col("min_weight") >= 0.0).alias("weights_nonneg"),
     )
 
 
-@query("l2_simhash_pairs")  # banded Hamming search → rows-only
+@query(
+    "l2_simhash_pairs",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, TRUE AS found_at_zero
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
 def l2_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: SimHash near-dup pairs — split-and-index banded Hamming search
-    (pigeonhole band join + exact bit_count verify)."""
+    (pigeonhole band join + exact bit_count verify). Driver contract:
+    verbatim planted copies (every 25th doc under id+100000) have the
+    IDENTICAL fingerprint, i.e. Hamming distance 0 — the pigeonhole
+    guarantee means they collide in every band, so each planted pair
+    must surface with hamming = 0. The oracle enumerates those pairs
+    exactly; organic near-dup behavior is asserted in tests."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import simhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    aug = _with_planted_copies(d)
+    pairs = simhash_near_dup_pairs(aug, "doc_id", "text", max_hamming=3)
+    expected = d.filter(F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return expected.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (F.col("hamming") == 0).alias("found_at_zero"),
+    )
 
 
-@query("l2_dedup_pipeline")  # iterative clustering → rows-only
+@query(
+    "l2_dedup_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    planted AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_planted
+      FROM t WHERE doc_id % 25 = 0 AND n >= 3 GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) + COALESCE(ANY_VALUE(p.n_planted), 0) AS BIGINT) AS n_before,
+           TRUE AS no_copy_survives,
+           TRUE AS copies_all_removed
+    FROM t LEFT JOIN planted p ON t.lang = p.lang
+    GROUP BY t.lang
+    """,
+)
 def l2_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 capstone: full near-dedup pipeline — MinHash-LSH pairs →
     connected components (iterative min-label propagation) → keep the
-    minimum-id doc per cluster. Returns per-language before/after counts."""
+    minimum-id doc per cluster. Driver contract: verbatim copies of every
+    25th doc are planted under id+100000 (ids strictly greater than every
+    original), so a planted copy is NEVER its cluster's minimum — the
+    dedup must remove every one of them. Per language the query reports
+    the exact augmented input count (oracle-computed) plus two booleans:
+    no id >= 100000 survives, and the survivor count is <= n_before minus
+    the planted count (each copy clusters with its original)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_corpus_near
 
     d = load_table(spark, sf_dir, "documents")
-    deduped = dedup_corpus_near(d, threshold=0.9)
-    before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
-    after = deduped.groupBy("lang").agg(F.count("*").alias("n_after"))
-    return before.join(after, "lang").select("lang", "n_before", "n_after")
+    eligible = (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0) & (
+        F.size(tx.tokenize("text")) >= 3
+    )
+    copies = d.filter(eligible).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "lang", "text"
+    )
+    aug = d.select("doc_id", "lang", "text").unionByName(copies)
+    deduped = dedup_corpus_near(aug, threshold=0.9)
+    before = aug.groupBy("lang").agg(F.count("*").alias("n_before"))
+    planted = copies.groupBy("lang").agg(F.count("*").alias("n_planted"))
+    after = deduped.groupBy("lang").agg(
+        F.count("*").alias("n_after"),
+        F.sum((F.col("doc_id") >= _PLANT_OFFSET).cast("long")).alias("n_copies_left"),
+    )
+    return (
+        before.join(after, "lang")
+        .join(planted, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            (F.col("n_copies_left") == 0).alias("no_copy_survives"),
+            (
+                F.col("n_after")
+                <= F.col("n_before") - F.coalesce(F.col("n_planted"), F.lit(0))
+            ).alias("copies_all_removed"),
+        )
+    )
 
 
 @query(
@@ -474,15 +876,40 @@ def l4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l5_multimodal_raw8")  # numpy raster decode → rows-only
+@query(
+    "l5_multimodal_raw8",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id*3) % 8 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    xs AS (SELECT doc_id, h, UNNEST(GENERATE_SERIES(0, w - 1)) AS x FROM dims),
+    px AS (SELECT doc_id, x, UNNEST(GENERATE_SERIES(0, h - 1)) AS y FROM xs),
+    means AS (
+      SELECT doc_id, AVG((x*7 + y*13 + doc_id) % 256) AS mean_c0
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(3 AS INT)   AS channels,
+           m.mean_c0        AS mean_c0,
+           TRUE             AS thumb_in_range,
+           TRUE             AS valid
+    FROM dims d JOIN means m ON d.doc_id = m.doc_id
+    """,
+)
 def l5_multimodal_raw8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5b: REAL binary decode — deterministic RAW8 raster tiles (a
     documented toy format: magic + uint16 dims + uint8 channels + raw
     pixels) generated per document, then decoded with actual numpy pixel
     math over Arrow batches: header parse, length validation,
-    per-channel mean/std, 4x4 mean-pooled thumbnails. Unlike l5's gated
-    JPEG path this performs the full decode computation; exact expected
-    values are pinned in tests/test_llm_ops.py."""
+    per-channel mean/std, 4x4 mean-pooled thumbnails. The generator's
+    pixel grid is a pure function of doc_id (pixel = (x*7+y*13+id)%256),
+    so the decoded channel-0 mean is EXACTLY reproduced by the DuckDB
+    oracle (integer sums are exact in float64 on both engines; no
+    rounding needed); the pooled thumbnail cell is emitted as a range
+    invariant. Exact thumbnail values are pinned in tests/test_llm_ops.py."""
     from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
         attach_raw8_media,
         decode_raw8_features,
@@ -495,10 +922,11 @@ def l5_multimodal_raw8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feats = decode_raw8_features(attach_raw8_media(d, "doc_id"), "doc_id")
+    thumb0 = F.element_at("thumbnail_4x4", 1)
     return feats.select(
         "doc_id", "width", "height", "channels",
-        F.round(F.element_at("mean_per_channel", 1), 4).alias("mean_c0"),
-        F.round(F.element_at("thumbnail_4x4", 1), 4).alias("thumb_00"),
+        F.element_at("mean_per_channel", 1).alias("mean_c0"),
+        ((thumb0 >= 0) & (thumb0 <= 255)).alias("thumb_in_range"),
         "valid",
     )
 

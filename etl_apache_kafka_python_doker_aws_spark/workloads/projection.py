@@ -160,15 +160,54 @@ def p6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_returnflag", "l_linestatus").distinct()
 
 
-@query("p_sample")  # partition-dependent randomness → rows-only
+@query(
+    "p_sample",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_base,
+           TRUE AS uniform_in_bounds,
+           TRUE AS strata_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def p_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling (seeded) + stratified sampleBy — the corpus
-    down-sampling primitives for training-data pipelines. Deterministic
-    for a fixed seed+partitioning (asserted in tests); rows-only because
-    sampling semantics are engine-specific by design."""
+    down-sampling primitives for training-data pipelines. Driver
+    contract: per stratum the query reports the exact base count
+    (oracle-computed) and booleans asserting each sampled count sits in
+    [0.5, 1.5] x its expectation (0.1 uniform; 0.2/0.05/0.2 per flag) —
+    at fixture scale the binomial sd is under 5% of the expectation, so
+    the band only fails on broken sampling, not on seed choice. The
+    sampled SET itself is engine-specific (per-partition XORShift), so
+    exact membership is asserted in tests, not the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
-    uniform = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber", "l_returnflag")
-    strata = li.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
-    return uniform.unionByName(
-        strata.select("l_orderkey", "l_linenumber", "l_returnflag")
-    ).groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+    uniform = (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_uniform"))
+    )
+    strata_rates = {"A": 0.2, "N": 0.05, "R": 0.2}
+    strata = (
+        li.sampleBy("l_returnflag", strata_rates, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_strata"))
+    )
+    base = li.groupBy("l_returnflag").agg(F.count("*").alias("n_base"))
+    rate = F.when(F.col("l_returnflag") == "N", F.lit(0.05)).otherwise(F.lit(0.2))
+    return (
+        base.join(uniform, "l_returnflag", "left")
+        .join(strata, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_base",
+            (
+                (F.coalesce("n_uniform", F.lit(0)) >= 0.05 * F.col("n_base"))
+                & (F.coalesce("n_uniform", F.lit(0)) <= 0.15 * F.col("n_base"))
+            ).alias("uniform_in_bounds"),
+            (
+                (F.coalesce("n_strata", F.lit(0)) >= 0.5 * rate * F.col("n_base"))
+                & (F.coalesce("n_strata", F.lit(0)) <= 1.5 * rate * F.col("n_base"))
+            ).alias("strata_in_bounds"),
+        )
+    )

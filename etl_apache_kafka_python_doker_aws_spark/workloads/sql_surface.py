@@ -569,6 +569,47 @@ def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a18_salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                       AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(MIN(l_quantity) AS BIGINT)                AS min_qty,
+           CAST(MAX(l_quantity) AS BIGINT)                AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a18_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: LOSSLESS salted two-phase aggregation on a pathologically
+    hot key (operators/skew.salted_agg; VERDICT r4 #5). l_returnflag has
+    3 values over the whole fact table — the degenerate skew case where
+    a plain groupBy funnels ~half the table through one reducer. The
+    salted form partial-aggregates on (flag, xxhash64-salt) bounding
+    every first-stage group at ~1/16 of the hot key, then merges; being
+    algebraic it must equal DuckDB's direct GROUP BY bit-for-bit (unlike
+    the dedup band guard's max_bucket_size drop, nothing is discarded).
+    Plan shape (two hash exchanges, no Expand) pinned in test_plans."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_qty_long", F.col("l_quantity").cast("long")
+    )
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "*"),
+            "sum_qty": ("sum", "_qty_long"),
+            "min_qty": ("min", "_qty_long"),
+            "max_qty": ("max", "_qty_long"),
+        },
+        salt_factor=16,
+        salt_on=["l_orderkey", "l_linenumber"],
+    )
+
+
+@query(
     "f_crypto_roundtrip",
     oracle="""
     SELECT o_orderkey,

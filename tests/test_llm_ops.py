@@ -208,6 +208,80 @@ def test_raw8_roundtrip_via_spark(spark):
         assert all(0.0 <= m <= 255.0 for m in r["mean_per_channel"])
 
 
+def test_png_roundtrip_all_filters_and_modes():
+    """PNG codec: encode→decode is the identity for random rasters in all
+    supported color modes (the encoder rotates through all five scanline
+    filters, so every unfilter path is exercised)."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for c in (1, 3, 4):
+        for _ in range(5):
+            h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+            px = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+            back = decode_png(encode_png(px))
+            assert back is not None and np.array_equal(back, px), (h, w, c)
+
+
+def test_png_poison_blobs_rejected_not_crashed(spark):
+    """PNG decode over Spark: truncated streams, bad signatures, flipped
+    CRC bytes, and NULL payloads all yield valid=false rows — never an
+    executor crash."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_png,
+        decode_png_features,
+        encode_png,
+    )
+
+    good = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    crc_flip = bytearray(good)
+    crc_flip[40] ^= 0xFF
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(good[: len(good) // 2])),
+            (3, bytearray(b"\x89PNGnope")),
+            (4, bytes(crc_flip)),
+            (5, None),
+        ],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in decode_png_features(rows, "doc_id").collect()}
+    assert out[1]["valid"] and out[1]["width"] == 4 and out[1]["channels"] == 3
+    assert all(not out[k]["valid"] for k in (2, 3, 4, 5))
+    assert decode_png(None) is None
+
+
+def test_png_decode_exact_stats(spark):
+    """The registered l5 pattern: generated pixel grid decodes to the
+    exact per-channel means predicted by the closed-form generator."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_png_media,
+        decode_png_features,
+    )
+
+    d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    feats = {r["doc_id"]: r for r in
+             decode_png_features(attach_png_media(d, "doc_id"), "doc_id").collect()}
+    for i in (0, 7, 23, 39):
+        w, h = 8 + i % 16, 8 + (i * 3) % 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 13 + i) % 256
+        r = feats[i]
+        assert r["valid"] and r["width"] == w and r["height"] == h
+        for k in range(3):
+            assert r["mean_per_channel"][k] == ((base + 11 * k) % 256).mean()
+
+
 def test_wav_decode_exact_features(spark):
     """l5c: decode of a known generated clip matches numpy ground truth
     computed directly from the generation formula (doc_id=0: 8000 Hz,

@@ -304,6 +304,42 @@ def test_bitmap_distinct_avoids_expand(spark):
     assert "Expand" not in plan17
 
 
+def test_salted_agg_two_phase_shape(spark):
+    """a18's salted aggregation must plan exactly two hash exchanges —
+    (key, salt) partial then key merge — with no Expand and no extra
+    shuffle; and the deterministic salt must spread the hot key's rows
+    over multiple partial groups (the whole point: bounded first-stage
+    partitions with zero dropped rows)."""
+    import re as _re
+
+    plan = plan_of(spark, "a18_salted_hot_key_agg")
+    assert "Expand" not in plan
+    # formatted mode puts the partitioning on the Exchange's Arguments line
+    n_ex = len(_re.findall(r"hashpartitioning\(", plan))
+    assert n_ex == 2, f"expected 2 exchanges (partial+merge), got {n_ex}"
+    # salt must be a deterministic function of payload columns, not rand()
+    assert "rand" not in plan.lower() or "xxhash" in plan.lower()
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.skew import salted_agg
+
+    # 1000 rows of ONE key: first-stage groups must be ~1000/16 each
+    hot = spark.range(1000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    partials = (
+        hot.withColumn("_salt", F.pmod(F.xxhash64("v"), F.lit(16)))
+        .groupBy("k", "_salt")
+        .count()
+    )
+    sizes = [r["count"] for r in partials.collect()]
+    assert len(sizes) > 8, "salt did not spread the hot key"
+    assert max(sizes) < 1000 / 4, f"a partial group stayed hot: {max(sizes)}"
+    out = salted_agg(
+        hot, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, salt_factor=16
+    ).collect()
+    assert out[0]["n"] == 1000 and out[0]["s"] == 499500  # lossless
+
+
 def test_wire_json_read_is_native_scan(spark, tmp_path):
     """The batch wire reader must plan as a native JSON file scan, not
     read.text + from_json: the from_json Project runs interpreted (no

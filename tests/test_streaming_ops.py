@@ -87,6 +87,44 @@ def test_append_mode_emits_closed_windows_only(spark):
     assert hours == [12], f"expected only closed windows, got {hours}"
 
 
+def test_late_drop_watermark_trails_one_batch(spark):
+    """Pins the emission/eviction timing t2b/t4b's staging depends on:
+    the late-record drop uses the watermark as of the PREVIOUS batch's
+    start, so (a) a late row arriving in the same batch that emits its
+    window is still MERGED into the result, while (b) the same row one
+    batch later is dropped — even into a never-before-seen window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(i, ts):
+        return (i, ts, 1, "click", 1.0, "{}")
+
+    def run(tag, batches):
+        wd = tempfile.mkdtemp(prefix=tag)
+        src = os.path.join(wd, "src")
+        for n, rows in enumerate(batches):
+            _write_batch(spark, src, rows, n)
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = tumbling_counts(stream, watermark_delay="10 minutes", keys=())
+        res = run_available_now(agg, wd, f"{tag}_{uuid.uuid4().hex[:6]}",
+                                output_mode="append")
+        return {r.wstart.hour: r.n for r in res.collect()}
+
+    on_time = [ev(1, base), ev(2, base + dt.timedelta(hours=1)),
+               ev(3, base + dt.timedelta(hours=2))]
+    late = [ev(9, base + dt.timedelta(minutes=5))]
+    flush = [ev(5, base + dt.timedelta(hours=2, minutes=5))]
+    # (a) late row in the emission batch: merged (hour 12 counts 2)
+    assert run("wm_lag_a", [on_time, late]).get(12) == 2
+    # (b) one batch later (flush row in between): dropped (hour 12 stays 1)
+    assert run("wm_lag_b", [on_time, flush, late]).get(12) == 1
+
+
 def test_checkpoint_recovery_resumes_not_restarts(spark):
     """Kill a streaming query after it has consumed some files, add more
     data, restart on the same checkpoint: the sink must contain every row
