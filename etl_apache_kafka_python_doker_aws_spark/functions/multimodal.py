@@ -2,13 +2,17 @@
 
 Design: media travel as opaque `binary` columns beside a typed metadata
 struct; decode/feature-extract run as Arrow-batched functions over
-`mapInPandas`, so each task processes whole record batches and the Spark
-plumbing (schema, partitioning, batch shape) is identical to what a real
-image/audio decoder would use. The actual pixel/sample decoding is STUBBED
-(this container has no image/audio libs): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case it derives
-deterministic pseudo-features from the bytes — making the pipeline fully
-testable end-to-end.
+`mapInPandas`, so each task processes whole record batches.
+
+REAL decodes (no external codec libraries, numpy + stdlib only):
+RAW8 raster tiles, RIFF/PCM16 WAV audio, PNG (full chunk/CRC walk,
+zlib inflate, all five scanline filters), and baseline JPEG
+(functions/jpeg.py: Huffman entropy coding + 8x8 DCT, both directions).
+Every decoder maps poison blobs to valid=false rows — at 100 TB a
+malformed object must never kill the stage. `decode_image_features`
+keeps the legacy NotImplementedError-unless-fake path as the documented
+convention for formats that genuinely need external codecs (video
+codecs, mp3/ogg).
 """
 
 from __future__ import annotations
@@ -484,6 +488,103 @@ def decode_png_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline SOF0): encoded and decoded FOR REAL by functions/jpeg.py
+# (pure numpy + stdlib — Huffman entropy coding, 8x8 DCT, quantization,
+# zigzag, JFIF framing). This retires the r1-r4 "JPEG needs a codec
+# library" gate; decode_image_features' NotImplementedError remains only
+# as the documented convention for formats that genuinely do need
+# external codecs (video codecs, mp3/ogg).
+# ---------------------------------------------------------------------------
+
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_per_channel", T.ArrayType(T.DoubleType())),
+        T.StructField("std_per_channel", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_jpeg_media(
+    df: DataFrame, id_col: str, payload_col: str = "media",
+    quality: int = 90, poison_every: int | None = None,
+) -> DataFrame:
+    """Generate a deterministic RGB baseline JPEG per id (same pixel
+    pattern as attach_png_media: width 8+(id%16), height 8+((id*3)%8),
+    pixel[y,x,k] = (x*7+y*13+id+11k) % 256) via a pandas UDF. JPEG is
+    LOSSY, so downstream contracts bound the reconstruction (mean within
+    quantization error; measured max channel-mean drift 0.354 at q=90
+    over the fixture patterns) instead of pinning exact pixel values.
+    ``poison_every``: every id divisible by it is truncated mid-stream."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import encode_jpeg
+
+    @F.pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 16, 8 + (i * 3) % 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 7 + yy * 13 + i) % 256
+            px = np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
+                np.uint8
+            )
+            blob = encode_jpeg(px, quality=quality)
+            if poison_every and i % poison_every == 0:
+                blob = blob[: len(blob) // 2]
+            out.append(blob)
+        return pd.Series(out)
+
+    return df.withColumn(payload_col, gen(F.col(id_col)))
+
+
+def decode_jpeg_features(
+    df: DataFrame, id_col: str, payload_col: str = "media"
+) -> DataFrame:
+    """REAL decode of baseline-JPEG binary columns over mapInPandas:
+    segment walk, DQT/DHT/SOF0 parse, Huffman entropy decode, dequantize,
+    IDCT, YCbCr→RGB, then per-channel mean/std. Malformed or unsupported
+    (progressive/subsampled) payloads yield valid=false rows — never
+    executor crashes."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import decode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_jpeg(b)
+                if px is None:
+                    rows.append((int(i), False, 0, 0, 0, None, None))
+                    continue
+                h, w, c = px.shape
+                fpx = px.astype(np.float64)
+                rows.append(
+                    (
+                        int(i), True, w, h, c,
+                        [float(m) for m in fpx.mean(axis=(0, 1))],
+                        [float(s) for s in fpx.std(axis=(0, 1))],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "valid", "width", "height", "channels",
+                    "mean_per_channel", "std_per_channel",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, JPEG_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -877,6 +877,76 @@ def l4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l5_multimodal_jpeg",
+    oracle=f"""
+    WITH {_PNG_ORACLE_PX}
+    SELECT d.doc_id,
+           d.doc_id % 37 <> 0                   AS valid,
+           CAST(CASE WHEN d.doc_id % 37 = 0 THEN 0 ELSE d.w END AS INT) AS width,
+           CAST(CASE WHEN d.doc_id % 37 = 0 THEN 0 ELSE d.h END AS INT) AS height,
+           CASE WHEN d.doc_id % 37 = 0 THEN NULL ELSE m.mean_c0 END AS mean_c0_expected,
+           CASE WHEN d.doc_id % 37 = 0 THEN NULL ELSE TRUE END AS mean_within_quant_err
+    FROM dims d JOIN means m ON d.doc_id = m.doc_id
+    """,
+)
+def l5_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: REAL baseline-JPEG round-trip — deterministic RGB JPEGs
+    (functions/jpeg.py: JFIF framing, generated canonical Huffman
+    tables, 8x8 DCT + quantization, byte stuffing) generated per
+    document, every 37th truncated mid-stream as poison, then decoded
+    with the same module's GENERAL baseline decoder (parses whatever
+    DQT/DHT/SOF0 the stream declares). JPEG is lossy, so the contract
+    differs from PNG/RAW8: dimensions and validity are exact
+    (oracle-mirrored, poison pattern included), the EXPECTED channel-0
+    mean is computed exactly on both engines (Spark: nested
+    sequence/aggregate HOFs over the pixel grid — JVM, no UDF; DuckDB:
+    UNNEST cross product), and the DECODED mean must sit within 2.0 of
+    it — quantization-bounded (measured max drift 0.354 at q=90), so a
+    broken DCT/Huffman/dequant path fails the row. Round-trip PSNR >=
+    25 dB is asserted in tests."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        attach_jpeg_media,
+        decode_jpeg_features,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
+    )
+    feats = decode_jpeg_features(
+        attach_jpeg_media(d, "doc_id", poison_every=37), "doc_id"
+    )
+    did = F.col("doc_id")
+    w, h = F.lit(8) + F.pmod(did, F.lit(16)), F.lit(8) + F.pmod(did * 3, F.lit(8))
+    # exact integer pixel-mean, all JVM: sum over x of sum over y of
+    # (x*7 + y*13 + id) % 256, divided by w*h
+    pix_sum = F.aggregate(
+        F.sequence(F.lit(0), w - 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.aggregate(
+            F.sequence(F.lit(0), h - 1),
+            F.lit(0).cast("long"),
+            lambda a2, y: a2 + F.pmod(x * 7 + y * 13 + did, F.lit(256)),
+        ),
+    )
+    expected = pix_sum / (w * h).cast("double")
+    mean0 = F.element_at("mean_per_channel", 1)
+    return feats.select(
+        "doc_id",
+        "valid",
+        "width",
+        "height",
+        F.when(F.col("valid"), expected).alias("mean_c0_expected"),
+        F.when(F.col("valid"), F.abs(mean0 - expected) <= 2.0).alias(
+            "mean_within_quant_err"
+        ),
+    )
+
+
+@query(
     "l5_multimodal_raw8",
     oracle="""
     WITH dims AS (

@@ -151,6 +151,37 @@ def t2b_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t3b_sliding_append",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),
+    starts AS (
+      SELECT UNNEST([DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)),
+                     DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS wstart
+      FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 4 HOUR
+    )
+    -- mx re-joined here: carrying m through the UNNEST select trips a
+    -- DuckDB binder internal error
+    SELECT wstart, CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts, mx
+    WHERE wstart + INTERVAL 2 HOUR <= m - INTERVAL 10 MINUTE
+    GROUP BY wstart
+    """,
+)
+def t3b_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3b (scale-safe form of t3): 2h windows sliding by 1h in APPEND
+    mode with a tight 10-minute watermark, same three-batch arrival as
+    t2b. Each recent event lands in two windows; a window is emitted
+    once the watermark passes its END (wstart + 2h), so the oracle
+    unnests both window starts per recent-slice event and keeps windows
+    closed by max_ts - 10 min; the hours-late batch is provably dropped
+    against the trailing watermark."""
+    wd = _workdir()
+    staged = _stage_two_phase_events(spark, sf_dir, wd)
+    agg = sliding_counts(_two_phase_stream(spark, staged), watermark_delay="10 minutes")
+    return run_available_now(agg, wd, _qname("t3b"), output_mode="append")
+
+
+@query(
     "t4b_session_append",
     oracle="""
     WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS m FROM events),

@@ -282,6 +282,84 @@ def test_png_decode_exact_stats(spark):
             assert r["mean_per_channel"][k] == ((base + 11 * k) % 256).mean()
 
 
+def test_jpeg_roundtrip_psnr_and_modes():
+    """Baseline JPEG codec: encode→decode reconstructs gradient and even
+    pure-noise rasters above 25 dB PSNR in RGB and greyscale, at odd
+    (non-multiple-of-8) dimensions too."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    rng = np.random.RandomState(3)
+    for h, w, c in [(16, 16, 3), (17, 23, 3), (9, 10, 3), (32, 32, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((xx * 3 + yy * 5) % 200 + 20).astype(np.uint8)
+        px = np.stack([base] * c, axis=-1)
+        back = decode_jpeg(encode_jpeg(px, quality=90))
+        assert back is not None and back.shape == (h, w, c)
+        assert psnr(px, back) >= 25.0, (h, w, c)
+    noise = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert back is not None and psnr(noise, back) >= 25.0
+
+
+def test_jpeg_fixture_pattern_mean_bound():
+    """The registered l5_multimodal_jpeg contract offline: for the
+    id-derived pixel pattern, |decoded channel mean - exact mean| stays
+    far below the 2.0 oracle bound (measured max 0.354 at q=90)."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for i in (0, 5, 36, 37, 111, 199):
+        w, h = 8 + i % 16, 8 + (i * 3) % 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 7 + yy * 13 + i) % 256
+        px = np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
+            np.uint8
+        )
+        back = decode_jpeg(encode_jpeg(px, quality=90))
+        assert back is not None and back.shape == px.shape
+        assert abs(back[:, :, 0].astype(float).mean() - base.mean()) <= 2.0
+
+
+def test_jpeg_poison_blobs_rejected_not_crashed(spark):
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.multimodal import (
+        decode_jpeg_features,
+    )
+
+    good = encode_jpeg(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(good[: len(good) // 2])),
+            (3, bytearray(b"\xff\xd8nope")),
+            (4, None),
+        ],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in decode_jpeg_features(rows, "doc_id").collect()}
+    assert out[1]["valid"] and out[1]["width"] == 4 and out[1]["channels"] == 3
+    assert all(not out[k]["valid"] for k in (2, 3, 4))
+    assert decode_jpeg(None) is None
+
+
 def test_wav_decode_exact_features(spark):
     """l5c: decode of a known generated clip matches numpy ground truth
     computed directly from the generation formula (doc_id=0: 8000 Hz,
