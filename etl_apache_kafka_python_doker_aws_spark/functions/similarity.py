@@ -237,6 +237,88 @@ def embedding_near_dup_pairs(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """L3/L5 storage path: PRODUCT QUANTIZATION — compress each vector to
+    ``n_subspaces`` small codes (one seeded KMeans codebook per subspace
+    slice), the standard way to hold billions of embeddings in memory:
+    dim×4 bytes shrink to n_subspaces×1 (16 centroids fit a byte; 64-d
+    float32 → 4 bytes = 64×). Returns (id, codes array<int>,
+    reconstruction_mse double) — the codebooks are tiny
+    (n_subspaces × n_centroids × sub_dim) and broadcast as literals, so
+    encode and decode are pure JVM expressions over the corpus; only
+    codebook TRAINING iterates (``train_fraction`` samples it at scale,
+    like ivf_topk).
+
+    Asymmetric-distance search (query-to-centroid lookup tables) reuses
+    these codes; recall for that path is bounded by reconstruction MSE,
+    which is what the registered contract pins."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    dense = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    codebooks = []  # [subspace][centroid][component]
+    for s in range(n_subspaces):
+        sl = dense.select(
+            array_to_vector(F.slice("_v", s * sub + 1, sub)).alias("features")
+        )
+        train = sl
+        if train_fraction is not None and train_fraction < 1.0:
+            train = train.sample(False, train_fraction, seed=seed + s)
+        km = KMeans(k=n_centroids, seed=seed + s, maxIter=10).fit(train)
+        codebooks.append([list(map(float, c)) for c in km.clusterCenters()])
+
+    def _dists(slice_col, book):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        slice_col,
+                        F.array(*[F.lit(c) for c in centroid]),
+                        lambda x, cc: (x - cc) * (x - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for centroid in book
+            ]
+        )
+
+    out = dense
+    code_cols, err_cols = [], []
+    for s, book in enumerate(codebooks):
+        sl = F.slice("_v", s * sub + 1, sub)
+        d_arr = _dists(sl, book)
+        out = out.withColumn(f"_d{s}", d_arr)
+        code_cols.append(
+            (F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1)
+            .cast("int")
+            .alias(f"_c{s}")
+        )
+        err_cols.append(F.array_min(F.col(f"_d{s}")))
+    out = out.select("_id", "_v", *code_cols, *[e.alias(f"_e{s}") for s, e in enumerate(err_cols)])
+    total_err = sum((F.col(f"_e{s}") for s in range(n_subspaces)), F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_c{s}") for s in range(n_subspaces)]).alias("codes"),
+        (total_err / dim).alias("reconstruction_mse"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -31,11 +31,21 @@ def salted_join(
 
     Returns the joined frame with helper columns dropped — semantically
     identical to left.join(right, key, how).
+
+    The salt is DETERMINISTIC (xxhash64 over the left row's columns, not
+    rand()): any salt value spreads a hot key correctly, but rand() is
+    seeded per-partition, so a task retry or a different input
+    partitioning would re-salt rows differently — fine for a single
+    job's result, hostile to speculative execution and to debugging
+    skew by re-running a stage (same r5 rule as salted_agg).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     salted_left = left.withColumn(
-        "_salt", (F.rand(seed=42) * salt_factor).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)).cast(
+            "int"
+        ),
     )
     exploded_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))

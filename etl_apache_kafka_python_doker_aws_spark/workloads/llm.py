@@ -877,6 +877,142 @@ def l4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_pq_codes",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS codes_in_range,
+           CAST(64.0 AS DOUBLE) AS compression_ratio,
+           TRUE AS beats_mean_baseline,
+           TRUE AS max_mse_bounded
+    FROM embeddings
+    """,
+)
+def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 storage path: product-quantization encode of the embedding
+    corpus (functions/similarity.pq_encode — 4 seeded per-subspace
+    KMeans codebooks; codes + reconstruction error are JVM expressions,
+    only codebook training iterates). Contract row: every vector coded
+    (exact count), codes within [0, 16), the exact 64x compression
+    ratio (64 float32 -> 4 byte codes), average reconstruction MSE
+    beats the predict-the-mean baseline (per-component variance — the
+    bar any quantizer must clear), and max MSE under an absolute bound
+    (0.02; measured 0.0139 on the seeded fixture)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, dim=64, n_subspaces=4, n_centroids=16)
+    comp_var = e.select(
+        F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("v")
+    ).agg(F.variance("v").alias("_var"))
+    stats = enc.agg(
+        F.count("*").alias("n_vectors"),
+        (
+            (F.min(F.array_min("codes")) >= 0) & (F.max(F.array_max("codes")) < 16)
+        ).alias("codes_in_range"),
+        F.lit(64.0).alias("compression_ratio"),
+        F.avg("reconstruction_mse").alias("_avg_mse"),
+        (F.max("reconstruction_mse") <= 0.02).alias("max_mse_bounded"),
+    )
+    return stats.crossJoin(F.broadcast(comp_var)).select(
+        "n_vectors",
+        "codes_in_range",
+        "compression_ratio",
+        (F.col("_avg_mse") < F.col("_var")).alias("beats_mean_baseline"),
+        "max_mse_bounded",
+    )
+
+
+@query(
+    "l4_collapse_repeats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    collapsed AS (
+      SELECT doc_id, t,
+             list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]) AS c
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(len(c) AS BIGINT) AS n_after,
+           md5(array_to_string(c, ' ')) AS collapsed_md5
+    FROM collapsed
+    """,
+)
+def l4_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: consecutive-duplicate-token collapse — the run-length
+    normalization pass crawled corpora need (scrape artifacts repeat
+    words: "a a the the"). Pure JVM HOF: filter each token stream
+    keeping position i only when it differs from position i-1. EXACT
+    oracle: DuckDB's indexed list lambda reproduces the collapse
+    verbatim, so before/after counts AND the md5 of the collapsed text
+    are value-checked per document."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = tx.tokenize("text")
+    with_t = d.select("doc_id", toks.alias("_t"))
+    # filter with (element, 0-based index): keep i==0 or t[i] != t[i-1];
+    # element_at is 1-based, so t[i-1] (0-based) = element_at(_t, i)
+    collapsed = F.filter(
+        F.col("_t"),
+        lambda x, i: (i == 0) | (x != F.element_at(F.col("_t"), i)),
+    )
+    return with_t.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_before"),
+        F.size(collapsed).cast("long").alias("n_after"),
+        F.md5(F.concat_ws(" ", collapsed)).alias("collapsed_md5"),
+    )
+
+
+@query(
+    "l4_stopword_discovery",
+    oracle=r"""
+    WITH doc_toks AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq
+      FROM doc_toks GROUP BY tok
+    )
+    SELECT tok, doc_freq,
+           ROUND(doc_freq / n_docs, 6) AS df_ratio
+    FROM df, n
+    WHERE doc_freq / n_docs >= 0.2
+    """,
+)
+def l4_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-driven stopword discovery — tokens whose DOCUMENT
+    frequency exceeds 20% of the corpus. This is the list that feeds the
+    inverted-index skew guards (ngram_jaccard's hot-token cap, the dedup
+    band bucket analysis): at 100 TB you compute it once per corpus
+    snapshot, broadcast it, and stop-word the quadratic joins. Plan:
+    distinct-tokens-per-doc explode → (token, partial count) two-phase
+    agg → ratio filter; the exact doc-frequency arithmetic is mirrored
+    by DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").cast("double").alias("_n"))
+    df = (
+        d.select("doc_id", F.explode(F.array_distinct(tx.tokenize("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .withColumn("df_ratio", F.round(F.col("doc_freq") / F.col("_n"), 6))
+        .filter(F.col("doc_freq") / F.col("_n") >= 0.2)
+        .select("tok", "doc_freq", "df_ratio")
+    )
+
+
+@query(
     "l5_multimodal_jpeg",
     oracle=f"""
     WITH {_PNG_ORACLE_PX}

@@ -18,6 +18,9 @@ loop):
      format (S3)
   5. read_kafka_stream + availableNow into memory (S2) — parsed rows
      must equal the JDBC table exactly
+  6. write_json_export to a REAL s3a:// bucket (S5, MinIO from the
+     compose file) and re-read — requires hadoop-aws on --packages;
+     skipped with a notice when INTEGRATION_S3_ENDPOINT is unset
 
 Exits non-zero on any mismatch.
 """
@@ -40,6 +43,7 @@ from etl_apache_kafka_python_doker_aws_spark.sources.connectors import (
 )
 from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
 
+S3_ENDPOINT = os.environ.get("INTEGRATION_S3_ENDPOINT", "http://localhost:9000")
 MYSQL_URL = os.environ.get(
     "INTEGRATION_MYSQL_URL",
     "jdbc:mysql://localhost:3306/banco_clientes?user=etl&password=etl",
@@ -104,7 +108,35 @@ def main() -> int:
     assert got.count() == N_ROWS, "Kafka round-trip row count mismatch"
     assert gen.exceptAll(got.select(*gen.columns)).count() == 0
 
-    print("integration round-trip OK: S1/S2/S3/S4 verified against live services")
+    # S5: real s3a:// export against MinIO (needs hadoop-aws on the
+    # classpath; the compose file provisions the endpoint + credentials)
+    s3_ok = "skipped (no INTEGRATION_S3_ENDPOINT)"
+    if S3_ENDPOINT:
+        from etl_apache_kafka_python_doker_aws_spark.sources.connectors import write_json_export
+
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.endpoint", S3_ENDPOINT)
+        hconf.set("fs.s3a.access.key", os.environ.get("INTEGRATION_S3_KEY", "etl"))
+        hconf.set("fs.s3a.secret.key", os.environ.get("INTEGRATION_S3_SECRET", "etletletl"))
+        hconf.set("fs.s3a.path.style.access", "true")
+        hconf.set("fs.s3a.connection.ssl.enabled", "false")
+        try:
+            spark._jvm.org.apache.hadoop.fs.FileSystem.get(
+                spark._jvm.java.net.URI("s3a://etl-output/"), hconf
+            ).mkdirs(spark._jvm.org.apache.hadoop.fs.Path("s3a://etl-output/"))
+            dest = "s3a://etl-output/etl_output_json"
+            write_json_export(back, dest, single_file=True)
+            re_read = spark.read.schema(gen.schema).json(dest)
+            assert re_read.count() == N_ROWS, "s3a export row count mismatch"
+            assert gen.exceptAll(re_read.select(*gen.columns)).count() == 0
+            s3_ok = "verified"
+        except Exception as exc:  # hadoop-aws jar absent → actionable notice
+            s3_ok = f"skipped ({type(exc).__name__}: add hadoop-aws to --packages)"
+
+    print(
+        "integration round-trip OK: S1/S2/S3/S4 verified against live "
+        f"services; S5 s3a export {s3_ok}"
+    )
     return 0
 
 

@@ -282,6 +282,26 @@ def test_png_decode_exact_stats(spark):
             assert r["mean_per_channel"][k] == ((base + 11 * k) % 256).mean()
 
 
+def test_pq_encode_degenerate_and_deterministic(spark):
+    """Product quantization: a corpus of identical vectors reconstructs
+    exactly (every centroid collapses onto the one point -> MSE 0), and
+    seeded codebooks make codes deterministic across invocations."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import pq_encode
+
+    ident = spark.range(0, 40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(0.5 AS FLOAT)) AS embedding",
+    )
+    enc = pq_encode(ident, dim=8, n_subspaces=2, n_centroids=4).collect()
+    assert all(abs(r["reconstruction_mse"]) < 1e-12 for r in enc)
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(e, dim=64).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(e, dim=64).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
 def test_jpeg_roundtrip_psnr_and_modes():
     """Baseline JPEG codec: encode→decode reconstructs gradient and even
     pure-noise rasters above 25 dB PSNR in RGB and greyscale, at odd

@@ -101,6 +101,31 @@ def test_salted_join_matches_plain_join(spark):
     assert counts == exact
 
 
+def test_binned_range_join_exact_at_nanos_and_negative(spark):
+    """ADVICE r4: the bin computation must be exact integer floor
+    division — epoch-NANOS magnitudes (~1.8e18, beyond double's 2^53
+    exact range) and negative values just below a bin boundary both bin
+    correctly, so no candidate pair is silently lost."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import binned_range_join
+
+    nanos = 1_800_000_000_000_000_000  # ~2027 in epoch nanos
+    pts = spark.createDataFrame(
+        [(1, nanos + 1), (2, nanos + 999), (3, -1001), (4, -1)],
+        "pid long, x long",
+    )
+    ivs = spark.createDataFrame(
+        [(10, nanos, nanos + 1000), (20, -2000, 0)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_range_join(pts, ivs, None, "x", "lo", "hi", 1000).collect()
+    }
+    # double division at nanos scale would round the bin and drop pairs;
+    # cast-truncation would misbin the negatives
+    assert got == {(1, 10), (2, 10), (3, 20), (4, 20)}, got
+
+
 def test_tfidf_rare_term_outweighs_common(spark):
     """IDF must upweight rare terms: a term unique to one doc gets a
     higher weight than a term present in every doc."""
