@@ -335,7 +335,10 @@ def _huff_decode(rd: _BitReader, table) -> int | None:
             return None
         code = (code << 1) | b
         first, idx, n = lens[length - 1]
-        if n and code - first < n:
+        # both bounds: a malformed (non-canonical) DHT can make
+        # code < first, and a negative offset would silently index the
+        # symbol list from the END instead of rejecting the stream
+        if n and 0 <= code - first < n:
             return vals[idx + (code - first)]
     return None
 
@@ -400,7 +403,13 @@ def _decode_jpeg_inner(b: bytes | None):
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                 return None
-            if h * w * nc > (1 << 26):
+            # Decode-side working set is float64 planes allocated from
+            # HEADER-declared dims, BEFORE any entropy data is validated
+            # — a 300-byte poison blob declaring 8k x 8k must not force a
+            # half-GB allocation per row. 1<<24 samples = 128 MB of
+            # float64 worst case; anything larger is rejected, not
+            # decoded.
+            if h * w * nc > (1 << 24):
                 return None
             comps = []
             for ci in range(nc):

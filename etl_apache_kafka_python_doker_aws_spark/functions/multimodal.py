@@ -382,7 +382,11 @@ def decode_png(blob: bytes):
     if depth != 8 or color_type not in _PNG_CHANNELS or comp or filt or interlace:
         return None
     c = _PNG_CHANNELS[color_type]
-    if w == 0 or h == 0 or w * h * c > (1 << 26):  # 64 MB raster cap per blob
+    if w == 0 or h == 0 or w * h * c > (1 << 24):
+        # sample cap, allocated from HEADER dims before the stream is
+        # validated — the unfilter working set is int64, so 1<<24 samples
+        # bounds a poison blob at ~128 MB, not the 512 MB a 1<<26 cap
+        # would have allowed (review r5)
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
@@ -418,6 +422,23 @@ def decode_png(blob: bytes):
     return out.reshape(h, w, c).astype(np.uint8)
 
 
+def _pattern_pixels(i: int):
+    """The id-derived RGB raster shared by the PNG and JPEG generators:
+    width 8+(i%16), height 8+((i*3)%8), pixel[y,x,k] = (x*7+y*13+i+11k)
+    % 256. LOAD-BEARING: four registered oracles (_PNG_ORACLE_PX in
+    workloads/llm.py) mirror exactly these formulas in SQL — a change
+    here must change that scaffold in lockstep, which is why both codec
+    generators call this one helper instead of keeping copies."""
+    import numpy as np
+
+    w, h = 8 + i % 16, 8 + (i * 3) % 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + i) % 256
+    return np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
+        np.uint8
+    )
+
+
 def attach_png_media(
     df: DataFrame, id_col: str, payload_col: str = "media", poison_every: int | None = None
 ) -> DataFrame:
@@ -430,20 +451,13 @@ def attach_png_media(
       pixel[y, x, k] = (x*7 + y*13 + id + 11*k) % 256
     ``poison_every``: every id divisible by it gets a corrupted payload
     (truncated mid-IDAT) — the decode must flag it, never crash."""
-    import numpy as np
 
     @F.pandas_udf(T.BinaryType())
     def gen(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             i = int(i)
-            w, h = 8 + i % 16, 8 + (i * 3) % 8
-            yy, xx = np.mgrid[0:h, 0:w]
-            base = (xx * 7 + yy * 13 + i) % 256
-            px = np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
-                np.uint8
-            )
-            blob = encode_png(px)
+            blob = encode_png(_pattern_pixels(i))
             if poison_every and i % poison_every == 0:
                 blob = blob[: len(blob) // 2]  # truncated mid-IDAT
             out.append(blob)
@@ -523,8 +537,6 @@ def attach_jpeg_media(
     quantization error; measured max channel-mean drift 0.354 at q=90
     over the fixture patterns) instead of pinning exact pixel values.
     ``poison_every``: every id divisible by it is truncated mid-stream."""
-    import numpy as np
-
     from etl_apache_kafka_python_doker_aws_spark.functions.jpeg import encode_jpeg
 
     @F.pandas_udf(T.BinaryType())
@@ -532,13 +544,7 @@ def attach_jpeg_media(
         out = []
         for i in ids:
             i = int(i)
-            w, h = 8 + i % 16, 8 + (i * 3) % 8
-            yy, xx = np.mgrid[0:h, 0:w]
-            base = (xx * 7 + yy * 13 + i) % 256
-            px = np.stack([(base + 11 * k) % 256 for k in range(3)], axis=-1).astype(
-                np.uint8
-            )
-            blob = encode_jpeg(px, quality=quality)
+            blob = encode_jpeg(_pattern_pixels(i), quality=quality)
             if poison_every and i % poison_every == 0:
                 blob = blob[: len(blob) // 2]
             out.append(blob)

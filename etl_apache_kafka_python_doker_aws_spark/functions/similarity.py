@@ -264,10 +264,12 @@ def pq_encode(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
-    dense = corpus.select(
+    dense = ensure_parallelism(corpus).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )

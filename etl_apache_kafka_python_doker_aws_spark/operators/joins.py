@@ -135,16 +135,22 @@ def binned_range_join(
     """
 
     def _floor_bin(col_name: str):
-        # Integer floor division, not cast-truncation and not `/`:
+        # Integer FLOOR division, not cast-truncation and not `/`:
         # truncation rounds toward zero, so a negative value just below a
         # bin boundary would land one bin high and its candidate pairs
         # would be missed entirely; and Spark `/` is DOUBLE division,
         # exact only below 2^53 — epoch NANOS (~1.7e18) would silently
-        # bin wrong. pmod keeps the remainder non-negative, making
-        # (c - pmod) an exact multiple of bin_width, so DIV is exact at
-        # full 64-bit range.
+        # bin wrong. Expressed as trunc-DIV with a -1 correction for
+        # negative non-exact values (rather than the (c - pmod) trick,
+        # whose subtraction wraps for values within bin_width of
+        # Long.MIN_VALUE): DIV and % never overflow for positive
+        # bin_width, so this is exact over the entire 64-bit range.
         c = f"CAST(`{col_name}` AS BIGINT)"
-        return F.expr(f"CAST(({c} - pmod({c}, {bin_width})) DIV {bin_width} AS BIGINT)")
+        return F.expr(
+            f"CAST(CASE WHEN {c} >= 0 OR {c} % {bin_width} = 0 "
+            f"THEN {c} DIV {bin_width} "
+            f"ELSE {c} DIV {bin_width} - 1 END AS BIGINT)"
+        )
 
     pts = points.withColumn("_bin", _floor_bin(point_col))
     ivs = intervals.withColumn(

@@ -215,11 +215,15 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_contract(approx: DataFrame, exact: DataFrame, recall_bound: float) -> DataFrame:
+def _ann_contract(
+    approx: DataFrame, exact: DataFrame, recall_bound: float, k: int = 5
+) -> DataFrame:
     """Reduce an approximate top-k result to the driver-checkable contract
     row: recall vs the exact top-k is >= recall_bound, no query returns
-    more than k rows, and no self-matches leak through. All three are
-    computed distributed (joins + aggregates, no collect)."""
+    more than k rows (k passed by the caller — a hardcoded bound would
+    silently decouple from the operator's k argument), and no
+    self-matches leak through. All three are computed distributed
+    (joins + aggregates, no collect)."""
     a = approx.select("query_id", "neighbor_id")
     ex = exact.select("query_id", "neighbor_id")
     recall = (
@@ -234,7 +238,7 @@ def _ann_contract(approx: DataFrame, exact: DataFrame, recall_bound: float) -> D
     k_ok = (
         a.groupBy("query_id")
         .agg(F.count("*").alias("_k"))
-        .agg((F.max("_k") <= 5).alias("k_bound_ok"))
+        .agg((F.max("_k") <= k).alias("k_bound_ok"))
     )
     no_self = a.agg(
         (F.sum((F.col("query_id") == F.col("neighbor_id")).cast("long")) == 0).alias(
@@ -262,7 +266,7 @@ def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     approx = lsh_topk(e, q, k=5, n_planes=48, band_bits=4, dim=64)
-    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6)
+    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6, k=5)
 
 
 @query(
@@ -692,7 +696,7 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     approx = ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
-    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6)
+    return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6, k=5)
 
 
 @query(
@@ -703,6 +707,7 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS n_terms_le_distinct_tokens,
            TRUE AS weights_nonneg
     FROM documents
+    WHERE TRIM(text) <> ''
     """,
 )
 def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,12 +718,25 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only merges buckets, never splits — the invariant that pins the
     hashing direction); and IDF-smoothed weights are non-negative. The
     weight VALUES are MLlib-defined floats, hence contract booleans
-    rather than literals; weight ordering is asserted in tests."""
+    rather than literals; weight ordering is asserted in tests.
+
+    Whitespace is NORMALIZED before Tokenizer (review r5 finding):
+    MLlib's Tokenizer splits on single \\s and emits EMPTY tokens for
+    runs of whitespace — which HashingTF hashes as a feature — while
+    tx.tokenize drops them, so un-normalized input could make n_terms
+    exceed the distinct-token bound on a doc with doubled spaces."""
     from pyspark.ml.functions import vector_to_array
 
     from etl_apache_kafka_python_doker_aws_spark.functions.text import tfidf_features
 
-    d = load_table(spark, sf_dir, "documents")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("text", F.trim(F.regexp_replace("text", r"\s+", " ")))
+        # whitespace-only docs excluded on BOTH sides: "" tokenizes to a
+        # single empty token (n_terms 1 > n_distinct 0) — not a TF-IDF
+        # property worth contracting
+        .filter(F.col("text") != "")
+    )
     feats = tfidf_features(d, "doc_id", "text")
     arr = vector_to_array(F.col("tfidf"))
     stats = feats.select(
@@ -727,8 +745,6 @@ def l4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(arr).alias("min_weight"),
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_terms"),
     )
-    # Tokenizer splits on \s+ after lower(); distinct-token counts come
-    # from the same convention so the bound is tight, not approximate
     ntok = d.select(
         "doc_id", F.size(F.array_distinct(tx.tokenize("text"))).alias("n_distinct")
     )
@@ -951,7 +967,11 @@ def l4_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: DuckDB's indexed list lambda reproduces the collapse
     verbatim, so before/after counts AND the md5 of the collapsed text
     are value-checked per document."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
     toks = tx.tokenize("text")
     with_t = d.select("doc_id", toks.alias("_t"))
     # filter with (element, 0-based index): keep i==0 or t[i] != t[i-1];
@@ -997,7 +1017,9 @@ def l4_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-tokens-per-doc explode → (token, partial count) two-phase
     agg → ratio filter; the exact doc-frequency arithmetic is mirrored
     by DuckDB."""
-    d = load_table(spark, sf_dir, "documents")
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     n_docs = d.agg(F.count("*").cast("double").alias("_n"))
     df = (
         d.select("doc_id", F.explode(F.array_distinct(tx.tokenize("text"))).alias("tok"))

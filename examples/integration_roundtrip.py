@@ -43,7 +43,10 @@ from etl_apache_kafka_python_doker_aws_spark.sources.connectors import (
 )
 from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
 
-S3_ENDPOINT = os.environ.get("INTEGRATION_S3_ENDPOINT", "http://localhost:9000")
+# No default: the S3 leg is opt-in (set to http://localhost:9000 for the
+# compose file's MinIO) so a run without MinIO skips with a clear notice
+# instead of folding a connection failure into a misleading jar hint.
+S3_ENDPOINT = os.environ.get("INTEGRATION_S3_ENDPOINT", "")
 MYSQL_URL = os.environ.get(
     "INTEGRATION_MYSQL_URL",
     "jdbc:mysql://localhost:3306/banco_clientes?user=etl&password=etl",

@@ -109,12 +109,13 @@ def test_binned_range_join_exact_at_nanos_and_negative(spark):
     from etl_apache_kafka_python_doker_aws_spark.operators.joins import binned_range_join
 
     nanos = 1_800_000_000_000_000_000  # ~2027 in epoch nanos
+    lmin = -(2**63)
     pts = spark.createDataFrame(
-        [(1, nanos + 1), (2, nanos + 999), (3, -1001), (4, -1)],
+        [(1, nanos + 1), (2, nanos + 999), (3, -1001), (4, -1), (5, lmin + 5)],
         "pid long, x long",
     )
     ivs = spark.createDataFrame(
-        [(10, nanos, nanos + 1000), (20, -2000, 0)],
+        [(10, nanos, nanos + 1000), (20, -2000, 0), (30, lmin, lmin + 1000)],
         "iid long, lo long, hi long",
     )
     got = {
@@ -122,8 +123,9 @@ def test_binned_range_join_exact_at_nanos_and_negative(spark):
         for r in binned_range_join(pts, ivs, None, "x", "lo", "hi", 1000).collect()
     }
     # double division at nanos scale would round the bin and drop pairs;
-    # cast-truncation would misbin the negatives
-    assert got == {(1, 10), (2, 10), (3, 20), (4, 20)}, got
+    # cast-truncation would misbin the negatives; the (c - pmod) form
+    # would WRAP within bin_width of Long.MIN_VALUE (review r5)
+    assert got == {(1, 10), (2, 10), (3, 20), (4, 20), (5, 30)}, got
 
 
 def test_tfidf_rare_term_outweighs_common(spark):

@@ -318,7 +318,8 @@ def test_salted_agg_two_phase_shape(spark):
     n_ex = len(_re.findall(r"hashpartitioning\(", plan))
     assert n_ex == 2, f"expected 2 exchanges (partial+merge), got {n_ex}"
     # salt must be a deterministic function of payload columns, not rand()
-    assert "rand" not in plan.lower() or "xxhash" in plan.lower()
+    assert "rand(" not in plan.lower()
+    assert "xxhash" in plan.lower()
 
     from pyspark.sql import functions as F
 
