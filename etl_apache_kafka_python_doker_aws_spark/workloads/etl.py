@@ -162,6 +162,44 @@ def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s11_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
+    FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000
+    """,
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: schema-evolution scan — two parquet batches written with
+    DIFFERENT schemas (batch 1 lacks the later-added total_price column)
+    read back as one table with ``mergeSchema=true``: old rows surface
+    NULL for the new column, new rows keep their values, nothing is
+    dropped or misaligned. This is the drift case every long-lived
+    100 TB table hits (new columns land mid-stream; historical
+    partitions never get rewritten); the oracle reconstructs the merged
+    union exactly. mergeSchema is opt-in per read because it
+    footer-scans every file — at scale you pin the merged schema in a
+    catalog instead, but the scan semantics verified here are what the
+    catalog encodes."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_evo_")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") <= 500).select("o_orderkey", "o_orderstatus")
+    v2 = (
+        o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderkey") <= 1000))
+        .select("o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("total_price"))
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(wd, "evolving", "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(wd, "evolving", "batch=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(wd, "evolving"))
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "total_price")
+
+
+@query(
     "s10_orc_roundtrip",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
