@@ -106,7 +106,12 @@ def scd2_apply(
     _recover(target_path)
     upd = updates.dropDuplicates(key_cols).withColumn(
         "valid_from", F.col(ts_col)
-    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    ).withColumn(
+        # match the caller's event-time type exactly: a hardcoded
+        # cast("timestamp") would mix LTZ NULLs into an NTZ history and
+        # shift wall-times under non-UTC sessions (r5 TZ probe)
+        "valid_to", F.lit(None).cast(updates.schema[ts_col].dataType)
+    )
 
     if not os.path.exists(target_path):
         upd.write.mode("overwrite").parquet(target_path)

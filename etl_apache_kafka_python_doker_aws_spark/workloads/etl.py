@@ -162,6 +162,68 @@ def s7_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d5_scd2_asof_read",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+                     ELSE c_acctbal END AS DOUBLE) AS bal,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '2024-06-01'
+                     ELSE TIMESTAMP '2024-01-01' END AS TIMESTAMP) AS valid_from
+    FROM customer
+    """,
+)
+def d5_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: TIME-TRAVEL read over an SCD2-versioned dimension
+    (plans/merge.scd2_apply) — "the table as of T". Three deterministic
+    version waves build the history (initial load at 2024-01-01, +1000
+    to every 10th key at 2024-06-01, +2000 to every 20th key at
+    2024-09-01), then the as-of-2024-07-01 snapshot selects exactly one
+    version per key via the interval predicate
+    valid_from <= T < coalesce(valid_to, inf). The oracle reconstructs
+    that snapshot from base data: 10th keys show the June value and
+    June valid_from, everyone else the initial load — so both the SCD2
+    close-out bookkeeping AND the as-of predicate are value-checked.
+    At 100 TB this is the query pattern dimension history exists for
+    (reproducing any past training snapshot without copying the table)."""
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import scd2_apply
+
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_scd2_")
+    path = os.path.join(wd, "dim_customer")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("bal")
+    )
+
+    def wave(df: DataFrame, ts: str) -> None:
+        # NTZ wall-times: version boundaries are calendar facts, not
+        # instants — LTZ would store UTC-adjusted values and shift the
+        # rendered history under a non-UTC driver session (TZ probe r5)
+        scd2_apply(
+            spark, path, df.withColumn("ts", F.lit(ts).cast("timestamp_ntz")),
+            ["c_custkey"], "ts",
+        )
+
+    wave(c, "2024-01-01")
+    wave(
+        c.filter(F.pmod("c_custkey", F.lit(10)) == 0).withColumn(
+            "bal", F.col("bal") + 1000
+        ),
+        "2024-06-01",
+    )
+    wave(
+        c.filter(F.pmod("c_custkey", F.lit(20)) == 0).withColumn(
+            "bal", F.col("bal") + 2000
+        ),
+        "2024-09-01",
+    )
+    dim = spark.read.parquet(path)
+    t = F.lit("2024-07-01").cast("timestamp_ntz")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("c_custkey", "bal", "valid_from")
+
+
+@query(
     "s11_schema_evolution",
     oracle="""
     SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS total_price
