@@ -144,4 +144,17 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    from etl_apache_kafka_python_doker_aws_spark.sources.connectors import ConnectorUnavailable
+
+    try:
+        raise SystemExit(main())
+    except ConnectorUnavailable as exc:
+        print(
+            "integration round-trip NOT run: connector unavailable "
+            f"({exc}).\nStart the services and include the driver jars:\n"
+            "  docker compose -f docker-compose.integration.yml up -d\n"
+            "  spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0,"
+            "com.mysql:mysql-connector-j:8.4.0,org.apache.hadoop:hadoop-aws:3.4.0 "
+            "examples/integration_roundtrip.py"
+        )
+        raise SystemExit(2)
