@@ -1,0 +1,215 @@
+"""Distributed probabilistic sketches with exact-verify second passes.
+
+Two operators the reference's row-at-a-time loop could never run at
+scale, built so their *registered* output is exactly checkable:
+
+* **Bloom filter build + probe** — set membership over a corpus column.
+  The filter is built distributed (positions exploded, OR-folded into a
+  64-bit-word bitmap via ``bit_or``) and the resulting bitmap table is
+  tiny by construction (``num_bits / 64`` rows max), so the probe side
+  broadcast-joins it: no shuffle of the probe stream at any scale.
+  Guarantee used by the oracle: NO false negatives — a value that was
+  inserted always probes true.
+
+* **Misra-Gries heavy hitters** — frequent-key detection in bounded
+  memory. Phase 1 runs a per-partition Misra-Gries summary inside
+  ``mapInPandas`` (capacity ``ceil(1/ratio)`` counters per partition —
+  constant memory regardless of key cardinality); by the standard
+  averaging argument every key with global frequency ≥ ratio·n survives
+  in at least one partition's summary, so the union of survivors is a
+  SUPERSET of the true heavy hitters. Phase 2 exact-counts only the
+  candidates (semi-join + hash agg) and filters by the true threshold —
+  making the final answer EXACT, which is why a plain GROUP BY/HAVING
+  DuckDB oracle can check it. The point at 100 TB: ``groupBy(key)`` on a
+  high-cardinality key shuffles every distinct key; this shuffles only
+  the bounded candidate set's rows through the final agg while phase 1
+  is a single narrow pass.
+
+Reference parity anchor: the reference has no aggregation surface at all
+(its only "aggregate" is materializing rows into one JSON array,
+``/root/reference/dags/etl_dags.py:58-60``); these are engine-side
+additions for the training-data-pipeline tier (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "bloom_build",
+    "bloom_might_contain",
+    "misra_gries_candidates",
+    "heavy_hitters",
+]
+
+
+def _bloom_positions(col: str, num_bits: int, num_hashes: int) -> list:
+    """k bit positions for a value: ``pmod(xxhash64(value, i), m)``.
+
+    Seeding by hashing the value TOGETHER with the hash index (xxhash64
+    is variadic over columns) gives k decorrelated 64-bit hashes without
+    any Python-side hashing; everything stays in whole-stage codegen.
+    """
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, col: str, *, num_bits: int = 1 << 22, num_hashes: int = 4
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``df[col]`` as a DataFrame of
+    ``(word: long, bits: long)`` — 64 filter bits per row, only words
+    with at least one set bit present (≤ num_bits/64 rows, and ≤
+    rows·num_hashes while the filter is sparse).
+
+    The build is one explode + one hash aggregation: map-side partial
+    ``bit_or`` folds most duplicates before the (tiny) shuffle. Nulls
+    are skipped (a NULL member is not representable; probe returns
+    false).
+    """
+    pos = F.explode(F.array(*_bloom_positions(col, num_bits, num_hashes)))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(pos.alias("pos"))
+        .select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    col: str,
+    bitmap: DataFrame,
+    *,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+    result_col: str = "might_contain",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Probe every row of ``probes`` against a ``bloom_build`` bitmap.
+
+    Returns ``probes`` + a boolean ``result_col``. The probe explodes
+    each row into its k positions, broadcast-joins the bitmap on the
+    word index (the bitmap is ≤ num_bits/64 rows — always broadcastable
+    by construction), tests the bit, and folds back with ``bool_and``:
+    the probe stream itself is never shuffled except by the groupBy on
+    its own (unique) surrogate id, and at scale the explode/fold pair
+    stays within one stage per probe partition.
+
+    ``id_col`` names a UNIQUE key already on ``probes`` — pass it when
+    one exists (deterministic under retries); the
+    ``monotonically_increasing_id`` fallback is partition-layout-stable
+    but not contractual. ``num_bits``/``num_hashes`` MUST match the
+    build call.
+    """
+    if id_col is not None:
+        keyed = probes.withColumn("_probe_uid", F.col(id_col))
+    else:
+        keyed = probes.withColumn("_probe_uid", F.monotonically_increasing_id())
+    pos = F.explode(F.array(*_bloom_positions(col, num_bits, num_hashes)))
+    hits = (
+        keyed.select("_probe_uid", pos.alias("pos"))
+        .select(
+            "_probe_uid",
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "_probe_uid",
+            F.coalesce(
+                F.expr("(bits & mask) <> CAST(0 AS BIGINT)"), F.lit(False)
+            ).alias("_bit_set"),
+        )
+        .groupBy("_probe_uid")
+        .agg(F.expr("bool_and(_bit_set)").alias(result_col))
+    )
+    return keyed.join(hits, "_probe_uid", "left").drop("_probe_uid").withColumn(
+        result_col, F.coalesce(F.col(result_col), F.lit(False))
+    )
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned: a DataFrame of
+    candidate keys guaranteed to be a SUPERSET of every key with global
+    frequency > n/(capacity+1).
+
+    Memory is O(capacity) per partition no matter how many distinct keys
+    stream through; each Arrow batch is counted vectorized
+    (``value_counts``) and merged into the summary, then the summary is
+    shrunk by the batched MG decrement (subtract the minimum counter,
+    drop zeros) until it fits. Output size ≤ partitions · capacity.
+    NULL keys are ignored (they can never be returned).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    field = df.schema[key_col]
+    out_schema = T.StructType([field])
+
+    def mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            while len(counters) > capacity:
+                decrement = min(counters.values())
+                counters = {
+                    k: v - decrement for k, v in counters.items() if v > decrement
+                }
+        if counters:
+            yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(mg, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, *, min_freq_ratio: float
+) -> DataFrame:
+    """EXACT heavy hitters — every key whose frequency is ≥
+    ``min_freq_ratio`` of the table — in bounded memory.
+
+    Misra-Gries candidates (capacity ``ceil(1/ratio)``, superset
+    guarantee) → semi-join restricts the exact count to candidate rows →
+    threshold filter against the true total. Output columns:
+    ``(key_col, cnt, n_total, freq)``. The candidate set is bounded by
+    partitions·capacity, so it is explicitly broadcast; the total is a
+    1-row aggregate, also broadcast (both within the repo's
+    broadcast-hint policy: derived bounded aggregates only).
+    """
+    if not 0.0 < min_freq_ratio <= 1.0:
+        raise ValueError(f"min_freq_ratio must be in (0, 1], got {min_freq_ratio}")
+    capacity = max(1, math.ceil(1.0 / min_freq_ratio))
+    cands = misra_gries_candidates(df, key_col, capacity).distinct()
+    counts = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = df.agg(F.count("*").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("n_total") * F.lit(min_freq_ratio))
+        .select(
+            key_col,
+            "cnt",
+            "n_total",
+            (F.col("cnt") / F.col("n_total")).alias("freq"),
+        )
+    )

@@ -94,3 +94,69 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def top_k_per_group_prereduced(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tiebreak_col: str,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exact top-k per group with a SHUFFLE-BOUNDED plan: a narrow
+    per-partition pre-reduction (each input partition keeps at most k
+    rows per group it has seen, maintained across Arrow batches in
+    ``mapInPandas``) followed by the exact ``row_number`` window over the
+    surviving candidates only.
+
+    Why it exists next to ``top_k_per_group``: the plain window shuffles
+    EVERY row of every group to the reducer before discarding all but k.
+    Here the shuffle carries ≤ partitions · groups-per-partition · k
+    candidate rows — at 100 TB with k=5 that is the difference between
+    shuffling the fact table and shuffling a few thousand rows. The
+    pre-reduction can never drop a global top-k row (any global top-k row
+    is a top-k row of its own partition under the same total order), so
+    the result is EXACT — the same oracle checks both implementations.
+
+    MEASURED trade-off (10M rows, 50 groups, k=5, local[32], cached
+    input, median-of-3): window 0.80 s vs prereduced 4.8 s — in a single
+    JVM the shuffle is a memory copy, while the pre-reduction pays an
+    Arrow round-trip of every input row through Python (~2.5M rows/s).
+    Use the window form by default; reach for this one on a REAL cluster
+    only when the window's shuffle (network) is the measured bottleneck
+    and groups·k ≪ rows — or port the pre-reduction body to a JVM
+    expression if this path ever becomes hot. Kept registered because
+    the exactness contract (identical oracle to o3) is the point.
+
+    Ordering is ``order_col`` (``ascending`` flag) with ``tiebreak_col``
+    ascending as the deterministic tiebreaker; both must be non-null.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out_schema = df.schema
+    gcols = list(group_cols)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cand = cand.sort_values(
+                [order_col, tiebreak_col],
+                ascending=[ascending, True],
+                kind="mergesort",
+            )
+            best = cand.groupby(gcols, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    candidates = df.mapInPandas(local_topk, out_schema)
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*gcols).orderBy(order, F.col(tiebreak_col).asc())
+    return candidates.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

@@ -283,3 +283,56 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(wd, "orders_orc")
     o.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "d6_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def d6_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: incremental materialized-aggregate maintenance. Yesterday's
+    per-customer order aggregate (orders with o_orderkey % 4 != 0) is
+    materialized to parquet as PARTIAL aggregates — count plus an EXACT
+    decimal sum, the house money style (functions/money.py) so the state
+    is mergeable without order-dependence — then today's delta batch
+    (o_orderkey % 4 = 0) is partial-aggregated and MERGED with the state
+    (union of partials → sum-of-sums), touching only state + delta, never
+    rescanning history. The oracle is the full recompute over all orders:
+    equality proves the maintenance is lossless. At 100 TB this is the
+    difference between re-aggregating the corpus nightly and shuffling
+    one day's delta against a keyed state table (both sides partial-agg
+    map-side before the merge shuffle)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.money import money
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", money("o_totalprice").alias("_price_dec")
+    )
+    history = o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) != 0)
+    delta = o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("_n_partial"),
+            F.sum("_price_dec").alias("_sum_partial"),
+        )
+
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_state_")
+    state_path = os.path.join(wd, "agg_state")
+    partials(history).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+
+    return (
+        state.unionByName(partials(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("_n_partial").alias("n_orders"),
+            F.round(F.sum("_sum_partial"), 2).cast("double").alias("total_spend"),
+        )
+    )

@@ -1248,3 +1248,102 @@ def l5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return sample_frames(clips, "doc_id", payload_col="media", every_ms=1000)
+
+
+@query(
+    "l2_bloom_dedup",
+    oracle="""
+    SELECT doc_id + 100000 AS probe_id,
+           TRUE AS flagged,
+           TRUE AS fp_ok
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def l2_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: incremental dedup against a Bloom filter of the existing
+    corpus (functions/sketches.bloom_build / bloom_might_contain) — the
+    production shape for "is this newly crawled document already in the
+    100 TB corpus?" where an exact anti-join would shuffle the whole
+    corpus per increment and the bitmap costs m/8 bytes once.
+
+    Contract (the planted-duplicate pattern): every 25th document is
+    replayed VERBATIM as a probe under doc_id+100000 — a Bloom filter
+    has NO false negatives, so each must probe true (`flagged`). The
+    false-positive side is bounded by a second probe set of provably
+    novel texts (text || ' zqxj' || doc_id, absent from the corpus):
+    their flagged rate must stay under 5% — at m=2^22 bits / k=4 the
+    expected rate is <1e-3 even at the sf0.1 corpus — folded into the
+    `fp_ok` boolean on every output row. Both probe families and the
+    filter are deterministic (xxhash64), so the oracle enumerates the
+    planted rows exactly."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("text")
+    planted = d.filter(F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("probe_id"),
+        F.col("text"),
+        F.lit(True).alias("is_planted"),
+    )
+    novel = d.filter(F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 1).select(
+        (F.col("doc_id") + 2 * _PLANT_OFFSET).alias("probe_id"),
+        F.concat(F.col("text"), F.lit(" zqxj"), F.col("doc_id")).alias("text"),
+        F.lit(False).alias("is_planted"),
+    )
+    probes = planted.unionByName(novel)
+
+    bitmap = bloom_build(corpus, "text")
+    probed = bloom_might_contain(
+        probes, "text", bitmap, result_col="flagged", id_col="probe_id"
+    )
+    fp = probed.filter(~F.col("is_planted")).agg(
+        (
+            F.coalesce(F.avg(F.col("flagged").cast("double")), F.lit(0.0)) <= 0.05
+        ).alias("fp_ok")
+    )
+    return (
+        probed.filter(F.col("is_planted"))
+        .crossJoin(F.broadcast(fp))
+        .select("probe_id", "flagged", "fp_ok")
+    )
+
+
+@query(
+    "l4_length_histogram",
+    oracle="""
+    WITH t AS (
+        SELECT LEAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) // 10, 19)
+                   AS bucket
+        FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t)
+    SELECT CAST(bucket AS BIGINT)      AS bucket,
+           CAST(bucket * 10 AS BIGINT) AS lo_tokens,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / n_total AS share
+    FROM t, tot
+    GROUP BY bucket, n_total
+    """,
+)
+def l4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: token-length histogram (fixed-width 10-token buckets, top
+    bucket open-ended) — the length-distribution profile a training-data
+    pipeline uses to size context windows and packing bins. One narrow
+    pass + a 6-ish-group hash agg; the corpus share joins a 1-row total
+    (broadcast), never a window over the whole table."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = tx.token_count_whitespace("text")
+    bucketed = d.select(
+        F.least(F.floor(ntok / 10), F.lit(19)).cast("long").alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    total = bucketed.agg(F.count("*").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (F.col("bucket") * 10).alias("lo_tokens"),
+        "n_docs",
+        (F.col("n_docs") / F.col("n_total")).alias("share"),
+    )

@@ -215,3 +215,45 @@ def o5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     return f.exceptAll(p)
+
+
+@query(
+    "o3b_topk_prereduced",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rk <= 5
+    """,
+)
+def o3b_topk_prereduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 scalable form: IDENTICAL semantics (and oracle) to
+    o3_topk_per_group, but the plan pre-reduces each partition to ≤ k
+    rows per group (narrow mapInPandas, state carried across Arrow
+    batches) before the exact window — the window shuffle carries only
+    partitions·groups·k candidates instead of the whole join output
+    (operators/windows.top_k_per_group_prereduced). Same answer, two
+    plans: the window form when group count is huge and rows/group
+    small, the pre-reduced form when groups are few and rows/group is
+    the problem."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import (
+        top_k_per_group_prereduced,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group_prereduced(
+        joined,
+        group_cols=["c_mktsegment"],
+        order_col="o_totalprice",
+        k=5,
+        tiebreak_col="o_orderkey",
+        rank_col="rk",
+    )

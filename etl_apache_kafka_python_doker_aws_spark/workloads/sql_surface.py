@@ -636,3 +636,44 @@ def f_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decrypted"),
         F.length(ct).cast("long").alias("ct_len"),
     )
+
+
+@query(
+    "a19_heavy_hitters",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN l_orderkey % 5 < 2 THEN CAST(-1 AS BIGINT)
+                    ELSE l_suppkey END AS hh_key
+        FROM lineitem
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t)
+    SELECT hh_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           n_total,
+           CAST(COUNT(*) AS DOUBLE) / n_total AS freq
+    FROM t, tot
+    GROUP BY hh_key, n_total
+    HAVING COUNT(*) >= 0.004 * n_total
+    """,
+)
+def a19_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: EXACT heavy hitters in bounded memory via per-partition
+    Misra-Gries candidates + exact verify (functions/sketches.py). The
+    key is synthesized skewed the same way the salted-agg fixture is:
+    40% of lineitem lands on one hot key (-1), the tail spreads over
+    l_suppkey — at sf0.01 each organic suppkey holds ~0.6% of rows so
+    the 0.4% threshold genuinely discriminates. Because phase 2
+    exact-counts the candidate superset and filters on the true total,
+    the output is EXACT and a plain GROUP BY/HAVING oracle checks it —
+    the sketch only bounds memory/shuffle, never changes the answer.
+    Scale story: groupBy on a high-cardinality key shuffles every
+    distinct key; this shuffles only candidate rows (≤ partitions ·
+    ceil(1/ratio) keys) and streams the rest through an O(capacity)
+    summary per partition."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(5)) < 2, F.lit(-1).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("hh_key")
+    )
+    return heavy_hitters(li, "hh_key", min_freq_ratio=0.004)

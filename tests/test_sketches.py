@@ -1,0 +1,164 @@
+"""Behavioral tests for functions/sketches.py: Bloom filter (no false
+negatives, bounded false positives, bitmap stays broadcastable) and
+Misra-Gries heavy hitters (exactness vs brute force, superset guarantee,
+bounded candidate set, validation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    heavy_hitters,
+    misra_gries_candidates,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _skewed_keys(spark, n=20000, hot_share_mod=5, hot_below=2):
+    """n rows, 40% on key -1, the tail uniform over 200 organic keys."""
+    return spark.range(n).select(
+        F.when(F.pmod(F.col("id"), F.lit(hot_share_mod)) < hot_below, F.lit(-1))
+        .otherwise(F.pmod(F.col("id"), F.lit(200)) + 100)
+        .cast("long")
+        .alias("k")
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(500).select(F.concat(F.lit("doc-"), F.col("id")).alias("v"))
+    bitmap = bloom_build(members, "v", num_bits=1 << 16)
+    probed = bloom_might_contain(
+        members, "v", bitmap, num_bits=1 << 16, result_col="hit"
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    members = spark.range(500).select(F.concat(F.lit("in-"), F.col("id")).alias("v"))
+    novel = spark.range(2000).select(F.concat(F.lit("out-"), F.col("id")).alias("v"))
+    bitmap = bloom_build(members, "v", num_bits=1 << 16)
+    probed = bloom_might_contain(novel, "v", bitmap, num_bits=1 << 16, result_col="hit")
+    fp = probed.filter(F.col("hit")).count() / 2000
+    # expected fp at n=500, m=65536, k=4 is ~1e-5; 2% is a hard ceiling
+    assert fp <= 0.02, f"false-positive rate too high: {fp}"
+
+
+def test_bloom_bitmap_bounded_and_null_probe_false(spark):
+    members = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    bitmap = bloom_build(members, "v", num_bits=1 << 14)
+    # at most num_bits/64 word rows regardless of member count
+    assert bitmap.count() <= (1 << 14) // 64
+    probes = spark.range(3).select(
+        F.when(F.col("id") == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("v")
+    )
+    out = bloom_might_contain(probes, "v", bitmap, num_bits=1 << 14, result_col="hit")
+    null_row = out.filter(F.col("v").isNull()).collect()
+    assert len(null_row) == 1 and null_row[0]["hit"] is False
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    df = _skewed_keys(spark)
+    got = {
+        (r.k, r.cnt, r.n_total)
+        for r in heavy_hitters(df, "k", min_freq_ratio=0.004).collect()
+    }
+    total = df.count()
+    expected = {
+        (r.k, r.cnt, total)
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+        if r.cnt >= 0.004 * total
+    }
+    assert got == expected
+    # the skew construction must actually discriminate: hot key present,
+    # and not every organic key qualifies
+    assert any(k == -1 for k, _, _ in got)
+    assert len(got) < 201
+
+
+def test_misra_gries_superset_and_bounded(spark):
+    df = _skewed_keys(spark).repartition(8)
+    cap = 250
+    cands = misra_gries_candidates(df, "k", cap)
+    keys = {r.k for r in cands.distinct().collect()}
+    # superset guarantee: every key with freq > n/(cap+1) survives
+    total = df.count()
+    heavy = {
+        r.k
+        for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()
+        if r.c > total / (cap + 1)
+    }
+    assert heavy <= keys
+    # bounded output: at most partitions * capacity candidates
+    assert cands.count() <= 8 * cap
+
+
+def test_heavy_hitters_on_fixture_strings(spark):
+    """String keys work through the Arrow path too (lang column)."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    got = {r.lang for r in heavy_hitters(d, "lang", min_freq_ratio=0.05).collect()}
+    total = d.count()
+    expected = {
+        r.lang
+        for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()
+        if r.c >= 0.05 * total
+    }
+    assert got == expected and got
+
+
+def test_sketch_validation():
+    with pytest.raises(ValueError):
+        heavy_hitters(None, "k", min_freq_ratio=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(None, "k", min_freq_ratio=1.5)
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """The probe-side join must broadcast the bitmap — a shuffle join on
+    the word index would shuffle the probe stream at scale."""
+    members = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    bitmap = bloom_build(members, "v", num_bits=1 << 14)
+    out = bloom_might_contain(members, "v", bitmap, num_bits=1 << 14)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_prereduced_matches_window_form(spark):
+    """The shuffle-bounded top-k must agree with the window form exactly,
+    including on ties (tiebreak ascending) and across partitions."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import (
+        top_k_per_group,
+        top_k_per_group_prereduced,
+    )
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.pmod(F.col("id"), F.lit(7)).alias("g"),
+            # coarse value → many ties per group, exercising the tiebreak
+            F.pmod(F.xxhash64("id"), F.lit(20)).cast("double").alias("v"),
+            F.col("id"),
+        )
+        .repartition(11)
+    )
+    a = {
+        tuple(r)
+        for r in top_k_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], 4
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in top_k_per_group_prereduced(
+            df, ["g"], "v", 4, tiebreak_col="id"
+        ).collect()
+    }
+    assert a == b and len(a) == 7 * 4
+
+    with pytest.raises(ValueError):
+        top_k_per_group_prereduced(df, ["g"], "v", 0, tiebreak_col="id")
