@@ -489,3 +489,109 @@ def dedup_corpus_near(
     clusters = dedup_clusters(pairs, df.select(id_col), id_col, max_iter=max_iter)
     keep = clusters.groupBy("cluster_id").agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def jaccard_pairs_prefix_filtered(
+    df: DataFrame, id_col: str, text_col: str, min_jaccard: float = 0.4
+) -> DataFrame:
+    """L2: EXACT token-set Jaccard pairs at corpus scale via prefix
+    filtering (the SSJoin/PPJoin family of published similarity-join
+    techniques): identical output to ``ngram_jaccard_pairs``, but the
+    candidate self-join runs only over each document's PREFIX — its
+    rarest tokens under one global frequency order — instead of every
+    token.
+
+    Why this is the scale path: the inverted-index join's fan-out per
+    token is quadratic in document frequency, and common tokens dominate
+    (stop-wording caps the blow-up but changes recall at the margin).
+    Under a global rare-first total order, any pair with Jaccard ≥ τ
+    must share a token inside both prefixes of length
+    ``|x| − ⌈τ·|x|⌉ + 1``, so candidates from prefix tokens alone are a
+    superset of the answer — and prefixes are BIASED TOWARD RARE tokens,
+    whose postings lists are short. The verify step then computes exact
+    Jaccard from the full (sorted) token arrays JVM-side
+    (``array_intersect``), so the final answer is exact, not banded.
+
+    We lengthen the prefix to ``|x| − ⌊τ·|x|⌋ + 1`` (floor, not ceil):
+    IEEE ``τ·|x|`` can land an ulp above an integer and ceil would then
+    SHORTEN the prefix below the theorem's bound, dropping true pairs;
+    floor only ever adds candidates, never loses them.
+
+    Plan shape: token explode → df-count join (hash) → per-doc sorted
+    array (one shuffle) → prefix explode self-join (short postings) →
+    broadcast-free verify join on the pair ids. No all-pairs stage.
+
+    MEASURED honestly (local[32]): on the fixture corpus the inverted
+    index WINS (sf0.1, 5000 docs: 5.5 s vs 173 s at τ=0.4; 6.7 s vs
+    128 s at τ=0.9) — the fixture's template-generated vocabulary is so
+    small that even "rare" prefix tokens are hot, candidates stay ~all
+    pairs (83% of ALL pairs exceed Jaccard 0.4 here), and the verify
+    join then shuffles token ARRAYS for millions of pairs where the
+    inverted form only counts. On a Zipfian synthetic corpus (30k docs,
+    50k vocab) both prune well (600 true pairs; 8.3 s vs 4.4 s). The
+    prefix form's regime is the one that doesn't fit on one box: a
+    web-scale corpus where hot-token postings make the inverted join's
+    Σ df² blow past cluster memory — its candidate count is bounded by
+    PREFIX (rare-token) postings only, at the price of the extra
+    df-rank pass. Default to ``ngram_jaccard_pairs`` until the token-df
+    histogram says otherwise.
+    """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    docs = (
+        toks.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "tok"))),
+                lambda x: x["tok"],
+            ).alias("_toks_rare_first"),
+            F.count("*").alias("_sz"),
+        )
+        .withColumn(
+            "_plen",
+            (
+                F.col("_sz")
+                - F.floor(F.col("_sz") * F.lit(min_jaccard)).cast("long")
+                + 1
+            ).cast("int"),
+        )
+    )
+    prefix = docs.select(
+        "_id",
+        F.explode(F.slice(F.col("_toks_rare_first"), F.lit(1), F.col("_plen"))).alias(
+            "tok"
+        ),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("_id").alias("id_a"),
+        F.col("_toks_rare_first").alias("_ta"),
+        F.col("_sz").alias("sz_a"),
+    )
+    db = docs.select(
+        F.col("_id").alias("id_b"),
+        F.col("_toks_rare_first").alias("_tb"),
+        F.col("_sz").alias("sz_b"),
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1347,3 +1347,41 @@ def l4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs") / F.col("n_total")).alias("share"),
     )
+
+
+@query(
+    "l2_jaccard_prefix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.4
+    """,
+)
+def l2_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: exact token-set Jaccard pairs over the WHOLE corpus via prefix
+    filtering (functions/dedup.jaccard_pairs_prefix_filtered) — same
+    semantics as l2_ngram_jaccard but without that query's doc_id < 200
+    cap: the candidate self-join touches only each document's rare-token
+    prefix, so the quadratic verify that forced the cap disappears. The
+    oracle is the brute-force all-pairs SQL over the full table —
+    equality proves the prefix filter drops no true pair."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        jaccard_pairs_prefix_filtered,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix_filtered(d, "doc_id", "text", min_jaccard=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -462,3 +462,29 @@ def test_wav_decode_stereo_downmix(spark):
     assert r["valid"] and r["channels"] == 2 and r["n_samples"] == 4
     assert abs(r["rms"] - 500.0) < 1e-9  # mean of (±1000, 0) is ±500
     assert r["peak"] == 1000  # peak is pre-downmix max |sample|
+
+
+def test_prefix_filtered_jaccard_equals_inverted_index(spark):
+    """Prefix filtering must be lossless: identical pair set + scores to
+    the full inverted-index join on the same corpus, including short docs
+    (prefix length clamps past the array end)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        jaccard_pairs_prefix_filtered,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    short = d.limit(0).sparkSession.createDataFrame(
+        [(90001, "one"), (90002, "one"), (90003, "a b"), (90004, "b a c")],
+        "doc_id long, text string",
+    )
+    corpus = d.select("doc_id", "text").unionByName(short)
+    a = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", 0.4).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_pairs_prefix_filtered(corpus, "doc_id", "text", 0.4).collect()
+    }
+    assert a == b and (90001, 90002, 1.0) in b
