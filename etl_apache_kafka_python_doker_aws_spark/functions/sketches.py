@@ -144,6 +144,24 @@ def bloom_might_contain(
     )
 
 
+def _mg_merge(counters: dict, batch_counts: dict, capacity: int) -> dict:
+    """Merge one batch's exact counts into a Misra-Gries summary and
+    shrink it to ``capacity`` with the batched decrement (subtract the
+    minimum surviving count from every counter, drop zeros, repeat).
+
+    Pure function so the guarantee is property-testable without Spark:
+    every decrement round removes ≥ capacity+1 units of mass in total,
+    so the total decrement D satisfies D ≤ n/(capacity+1) and any key
+    with true count > n/(capacity+1) survives with a positive counter.
+    """
+    for key, c in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(c)
+    while len(counters) > capacity:
+        decrement = min(counters.values())
+        counters = {k: v - decrement for k, v in counters.items() if v > decrement}
+    return counters
+
+
 def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries summaries, unioned: a DataFrame of
     candidate keys guaranteed to be a SUPERSET of every key with global
@@ -166,13 +184,9 @@ def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFr
 
         counters: dict = {}
         for pdf in batches:
-            for key, c in pdf[key_col].value_counts().items():
-                counters[key] = counters.get(key, 0) + int(c)
-            while len(counters) > capacity:
-                decrement = min(counters.values())
-                counters = {
-                    k: v - decrement for k, v in counters.items() if v > decrement
-                }
+            counters = _mg_merge(
+                counters, dict(pdf[key_col].value_counts().items()), capacity
+            )
         if counters:
             yield pd.DataFrame({key_col: list(counters.keys())})
 
@@ -189,16 +203,28 @@ def heavy_hitters(
     guarantee) → semi-join restricts the exact count to candidate rows →
     threshold filter against the true total. Output columns:
     ``(key_col, cnt, n_total, freq)``. The candidate set is bounded by
-    partitions·capacity, so it is explicitly broadcast; the total is a
-    1-row aggregate, also broadcast (both within the repo's
-    broadcast-hint policy: derived bounded aggregates only).
+    partitions·capacity but carries NO explicit broadcast hint — the
+    repo's hint policy (test_plans.py::test_no_fact_table_broadcast_hints)
+    reserves hints for structurally size-bounded inputs, and a
+    mapInPandas output is only bounded by this operator's contract, not
+    by construction; AQE converts the semi-join to broadcast at runtime
+    once the candidate stage's actual (tiny) size is known. The total is
+    a 1-row aggregate and is hinted.
+
+    MEASURED (50M rows, 5M distinct keys + one 10% hot key, ratio=1e-4,
+    local[32], cached input): heavy_hitters 7.3–15.5 s vs plain
+    groupBy+filter 2.9–8.0 s — on ONE box the full groupBy wins because
+    shuffling 5M keys is a memory copy while the MG pass pays an Arrow
+    round-trip of every row. Reach for this form when reducer STATE is
+    the failure mode (distinct keys ~ rows, so the groupBy's own hash
+    tables/output are what OOMs), not for wall-clock on data that fits.
     """
     if not 0.0 < min_freq_ratio <= 1.0:
         raise ValueError(f"min_freq_ratio must be in (0, 1], got {min_freq_ratio}")
     capacity = max(1, math.ceil(1.0 / min_freq_ratio))
     cands = misra_gries_candidates(df, key_col, capacity).distinct()
     counts = (
-        df.join(F.broadcast(cands), key_col, "left_semi")
+        df.join(cands, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
     )

@@ -162,3 +162,36 @@ def test_topk_prereduced_matches_window_form(spark):
 
     with pytest.raises(ValueError):
         top_k_per_group_prereduced(df, ["g"], "v", 0, tiebreak_col="id")
+
+
+# --- pure-logic property tests (no Spark) -----------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_apache_kafka_python_doker_aws_spark.functions.sketches import _mg_merge
+
+_stream = st.lists(st.integers(min_value=0, max_value=40), max_size=400)
+
+
+@given(stream=_stream, capacity=st.integers(min_value=1, max_value=12),
+       n_batches=st.integers(min_value=1, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_mg_merge_superset_guarantee(stream, capacity, n_batches):
+    """Misra-Gries invariant: after merging any batching of the stream,
+    every key with true count > n/(capacity+1) survives, the summary
+    never exceeds capacity, and no surviving counter overestimates."""
+    true = Counter(stream)
+    counters: dict = {}
+    step = max(1, len(stream) // n_batches)
+    for i in range(0, len(stream), step):
+        counters = _mg_merge(counters, Counter(stream[i : i + step]), capacity)
+    assert len(counters) <= capacity
+    n = len(stream)
+    for k, c in true.items():
+        if c > n / (capacity + 1):
+            assert k in counters, (k, c, n, capacity, counters)
+    for k, c in counters.items():
+        assert 0 < c <= true[k]
