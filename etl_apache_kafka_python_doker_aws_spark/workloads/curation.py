@@ -596,3 +596,52 @@ def l8b_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(1), weight)).alias("copy_id"),
     )
+
+
+@query(
+    "l8c_sqrt_temperature_mix",
+    oracle="""
+    WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source)
+    SELECT source,
+           n AS n_docs,
+           CAST(LEAST(n, CAST(FLOOR(SQRT(n) * 20) AS BIGINT)) AS BIGINT)
+               AS n_target,
+           CAST(LEAST(n, CAST(FLOOR(SQRT(n) * 20) AS BIGINT)) AS BIGINT)
+               AS n_sampled,
+           TRUE AS target_met
+    FROM counts
+    """,
+)
+def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: temperature-damped domain mixing — the standard flattening of
+    a skewed source distribution before training (sample ∝ n_s^α, here
+    α=1/2): each source's target is ``min(n, ⌊√n·20⌋)``, so domains
+    under 400 docs are kept whole and bigger ones are √-damped. The
+    pick itself is deterministic (row_number over doc_id within source ≤
+    target — no RNG to coordinate across 1000 executors), and the
+    contract is that the sampler hits the closed-form target EXACTLY,
+    which the oracle computes in SQL. √ is IEEE-correctly-rounded on
+    both engines (unlike pow(x, α) for general α, which is why the
+    registered temperature is 0.5 and not 0.7)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    targets = counts.withColumn(
+        "n_target",
+        F.least(
+            F.col("n_docs"), F.floor(F.sqrt(F.col("n_docs")) * 20).cast("long")
+        ),
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    picked = (
+        d.select("source", "doc_id")
+        .withColumn("_rn", rn)
+        .join(targets, "source")
+        .withColumn("_keep", (F.col("_rn") <= F.col("n_target")).cast("long"))
+    )
+    return picked.groupBy("source", "n_docs", "n_target").agg(
+        F.sum("_keep").alias("n_sampled"),
+        (F.sum("_keep") == F.max("n_target")).alias("target_met"),
+    ).select("source", "n_docs", "n_target", "n_sampled", "target_met")

@@ -336,3 +336,77 @@ def d6_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_sum_partial"), 2).cast("double").alias("total_spend"),
         )
     )
+
+
+@query(
+    "d7_data_quality",
+    oracle="""
+    SELECT 0 AS check_id, 'pk_nulls' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT)
+               AS metric,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS ok
+    UNION ALL
+    SELECT 1, 'pk_duplicates',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    UNION ALL
+    SELECT 2, 'fk_orphans',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 3, 'price_negative',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS BIGINT),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) = 0
+    UNION ALL
+    SELECT 4, 'date_in_range',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate > TIMESTAMP '2000-01-01') AS BIGINT),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1990-01-01'
+               OR o_orderdate > TIMESTAMP '2000-01-01') = 0
+    """,
+)
+def d7_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: data-quality expectations suite — the validation gate a
+    production pipeline runs before publishing a table (null/duplicate
+    primary keys, referential integrity, range and freshness checks),
+    emitted as one row per check with the violation count and a pass
+    boolean. All five checks share ONE pass over orders (conditional
+    aggregates) plus a single left-anti join for the FK check — not one
+    job per rule; at 100 TB the whole suite costs one scan + one
+    shuffle. The oracle recomputes every metric independently in SQL."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("m2")
+    )
+    lo, hi = F.lit("1990-01-01").cast("timestamp_ntz"), F.lit(
+        "2000-01-01"
+    ).cast("timestamp_ntz")
+    base = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("m0"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("m1"),
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias("m3"),
+        F.sum(
+            ((F.col("o_orderdate") < lo) | (F.col("o_orderdate") > hi)).cast("long")
+        ).alias("m4"),
+    )
+    names = ["pk_nulls", "pk_duplicates", "fk_orphans", "price_negative", "date_in_range"]
+    metrics = base.crossJoin(F.broadcast(orphans))
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("check_id"),
+                F.lit(names[i]).alias("check_name"),
+                F.col(f"m{i}").cast("long").alias("metric"),
+                (F.col(f"m{i}") == 0).alias("ok"),
+            )
+            for i in range(5)
+        ]
+    )
+    return metrics.select(F.explode(checks).alias("_c")).select("_c.*")
