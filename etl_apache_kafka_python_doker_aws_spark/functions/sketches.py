@@ -119,6 +119,14 @@ def bloom_might_contain(
         keyed = probes.withColumn("_probe_uid", F.col(id_col))
     else:
         keyed = probes.withColumn("_probe_uid", F.monotonically_increasing_id())
+    # NULL probes are not representable in the filter (build skips them),
+    # but xxhash64 SKIPS null inputs rather than hashing them — a NULL
+    # probe would otherwise map to k fixed positions and could read as
+    # present. Short-circuit to false before hashing.
+    null_probes = keyed.filter(F.col(col).isNull()).withColumn(
+        result_col, F.lit(False)
+    )
+    keyed = keyed.filter(F.col(col).isNotNull())
     pos = F.explode(F.array(*_bloom_positions(col, num_bits, num_hashes)))
     hits = (
         keyed.select("_probe_uid", pos.alias("pos"))
@@ -139,9 +147,10 @@ def bloom_might_contain(
         .groupBy("_probe_uid")
         .agg(F.expr("bool_and(_bit_set)").alias(result_col))
     )
-    return keyed.join(hits, "_probe_uid", "left").drop("_probe_uid").withColumn(
+    probed = keyed.join(hits, "_probe_uid", "left").withColumn(
         result_col, F.coalesce(F.col(result_col), F.lit(False))
     )
+    return probed.unionByName(null_probes).drop("_probe_uid")
 
 
 def _mg_merge(counters: dict, batch_counts: dict, capacity: int) -> dict:
@@ -172,12 +181,17 @@ def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFr
     (``value_counts``) and merged into the summary, then the summary is
     shrunk by the batched MG decrement (subtract the minimum counter,
     drop zeros) until it fits. Output size ≤ partitions · capacity.
-    NULL keys are ignored (they can never be returned).
+    NULL keys are dropped BEFORE the Arrow transfer: a nullable BIGINT
+    batch containing an actual null reaches pandas as float64, which
+    silently corrupts non-null keys above 2^53 (distinct keys collapse)
+    and would break the superset guarantee; filtering JVM-side keeps the
+    batch int64.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     field = df.schema[key_col]
     out_schema = T.StructType([field])
+    df = df.filter(F.col(key_col).isNotNull())
 
     def mg(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -150,7 +150,9 @@ def top_k_per_group_prereduced(
                 ascending=[ascending, True],
                 kind="mergesort",
             )
-            best = cand.groupby(gcols, sort=False).head(k)
+            # dropna=False: Spark's window treats a NULL group key as a
+            # regular partition; pandas' default would silently drop it
+            best = cand.groupby(gcols, sort=False, dropna=False).head(k)
         if best is not None and len(best):
             yield best
 

@@ -122,7 +122,8 @@ def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS tok
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(
+        STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), t -> t <> ''))) AS tok
       FROM documents WHERE doc_id < 200
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
@@ -1276,7 +1277,15 @@ def l2_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected rate is <1e-3 even at the sf0.1 corpus — folded into the
     `fp_ok` boolean on every output row. Both probe families and the
     filter are deterministic (xxhash64), so the oracle enumerates the
-    planted rows exactly."""
+    planted rows exactly.
+
+    Plan note: the fp aggregate and the planted output form a diamond
+    over the same probe pipeline; AQE's runtime exchange reuse dedups
+    the expensive shared stage (verified: the post-execution plan shows
+    a ReusedExchange — the corpus-scan + bit_or bitmap build runs once).
+    A production incremental-dedup job emitting per-probe rows would
+    persist() the probed frame instead; a registered query must stay
+    side-effect-free (builders run many times per session)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
         bloom_build,
         bloom_might_contain,
@@ -1353,7 +1362,8 @@ def l4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2_jaccard_prefix",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS tok
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(
+        STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), t -> t <> ''))) AS tok
       FROM documents
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),

@@ -195,3 +195,42 @@ def test_mg_merge_superset_guarantee(stream, capacity, n_batches):
             assert k in counters, (k, c, n, capacity, counters)
     for k, c in counters.items():
         assert 0 < c <= true[k]
+
+
+def test_topk_prereduced_keeps_null_group(spark):
+    """Regression: pandas groupby drops NaN keys by default; the
+    pre-reduction must keep NULL-group rows like the window form does."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import (
+        top_k_per_group,
+        top_k_per_group_prereduced,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 9.0, 1), (None, 5.0, 2), ("g", 7.0, 3), ("g", 1.0, 4)],
+        "g string, v double, id long",
+    ).repartition(3)
+    a = {
+        tuple(r)
+        for r in top_k_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], 1
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in top_k_per_group_prereduced(
+            df, ["g"], "v", 1, tiebreak_col="id"
+        ).collect()
+    }
+    assert a == b and (None, 9.0, 1, 1) in b
+
+
+def test_misra_gries_null_keys_do_not_corrupt_large_keys(spark):
+    """Regression: a null in a BIGINT batch coerces pandas to float64,
+    mangling keys above 2^53 — nulls must be filtered JVM-side."""
+    big = (1 << 60) + 1
+    rows = [(big,)] * 50 + [(None,)] * 5 + [(i,) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long").repartition(2)
+    keys = {r.k for r in misra_gries_candidates(df, "k", 8).collect()}
+    assert big in keys and None not in keys
+    got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", min_freq_ratio=0.5).collect()}
+    assert got == {(big, 50)}
