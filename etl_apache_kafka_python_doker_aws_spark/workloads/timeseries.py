@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
 from etl_apache_kafka_python_doker_aws_spark.operators.timeseries import gapfill_locf
@@ -251,3 +252,43 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_events"),
         F.sum(flag.cast("int")).alias("n_anomalies"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(value AS DOUBLE) AS value,
+           value / 2
+           + COALESCE(LAG(value, 1) OVER w, 0) / 4
+           + COALESCE(LAG(value, 2) OVER w, 0) / 8
+           + COALESCE(LAG(value, 3) OVER w, 0) / 16
+           + COALESCE(LAG(value, 4) OVER w, 0) / 32
+           + COALESCE(LAG(value, 5) OVER w, 0) / 64
+           + COALESCE(LAG(value, 6) OVER w, 0) / 128
+           + COALESCE(LAG(value, 7) OVER w, 0) / 256 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: truncated exponentially-weighted moving average (α=1/2,
+    8-term horizon) per user over event time. EWMA's recursion
+    y_t = αx_t + (1−α)y_{t−1} has no bounded window form, so the
+    scalable version truncates: weights α(1−α)^k decay to 2^-8 ≈ 0.4%
+    — one window shuffle, no recursion, no state.
+
+    Cross-engine exactness by construction: α=1/2 makes every weight a
+    power of two (division by 2^k is correctly rounded on any IEEE
+    machine — unlike pow(1−α, k) for general α, which is libm-
+    dependent), and both sides write the SAME left-associated addition
+    chain, so every intermediate rounding is identical and the oracle
+    match is bit-exact without any ROUND()."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = F.col("value") / 2
+    for k in range(1, 8):
+        ewma = ewma + F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) / (2 ** (k + 1))
+    return e.select("user_id", "event_id", "ts", "value", ewma.alias("ewma"))
