@@ -527,14 +527,15 @@ def jaccard_pairs_prefix_filtered(
     small that even "rare" prefix tokens are hot, candidates stay ~all
     pairs (83% of ALL pairs exceed Jaccard 0.4 here), and the verify
     join then shuffles token ARRAYS for millions of pairs where the
-    inverted form only counts. On a Zipfian synthetic corpus (30k docs,
-    50k vocab) both prune well (600 true pairs; 8.3 s vs 4.4 s). The
-    prefix form's regime is the one that doesn't fit on one box: a
-    web-scale corpus where hot-token postings make the inverted join's
-    Σ df² blow past cluster memory — its candidate count is bounded by
-    PREFIX (rare-token) postings only, at the price of the extra
-    df-rank pass. Default to ``ngram_jaccard_pairs`` until the token-df
-    histogram says otherwise.
+    inverted form only counts. On a Zipfian synthetic corpus the
+    CROSSOVER is real and measured: at 30k docs / 50k vocab both prune
+    well (600 true pairs; 8.3 s vs 4.4 s), but at 150k docs / 200k
+    vocab the hot-token postings make the inverted join's Σ df²
+    explode and THIS form wins 3.6× (28.3 s vs 101.8 s, identical
+    3000 pairs). Rule of thumb: template/small vocab (or tiny corpus) →
+    ``ngram_jaccard_pairs``; Zipfian web-scale vocab at ≥100k docs →
+    this. The token-df histogram (``l4_stopword_discovery``) tells you
+    which regime you are in before you pay for the wrong join.
     """
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
