@@ -59,6 +59,26 @@ def main() -> None:
     )
     summary.show()
 
+    # 6. incremental ingestion: Bloom-gate a "new crawl" against the
+    #    curated corpus (no false negatives; probes broadcast the bitmap)
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        heavy_hitters,
+    )
+
+    bitmap = bloom_build(deduped.select("text"), "text")
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    gated = bloom_might_contain(
+        new_batch, "text", bitmap, result_col="already_seen", id_col="doc_id"
+    )
+    n_new = gated.filter(~F.col("already_seen")).count()
+    print(f"incremental ingest: {new_batch.count()} crawled, {n_new} genuinely new")
+
+    # 7. dominant sources sanity check (exact heavy hitters, bounded
+    #    memory; the fixture is a uniform 20-source mix at 5% each)
+    heavy_hitters(docs, "source", min_freq_ratio=0.05).orderBy("source").show(5)
+
     spark.stop()
 
 
