@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "bloom_build",
+    "bloom_merge",
     "bloom_might_contain",
     "misra_gries_candidates",
     "heavy_hitters",
@@ -253,3 +254,20 @@ def heavy_hitters(
             (F.col("cnt") / F.col("n_total")).alias("freq"),
         )
     )
+
+
+def bloom_merge(*bitmaps: DataFrame) -> DataFrame:
+    """Union Bloom filters built with IDENTICAL (num_bits, num_hashes):
+    a Bloom filter is a pure OR-fold, so merging bitmaps word-by-word is
+    LOSSLESS — ``bloom_merge(build(A), build(B))`` is bit-for-bit equal
+    to ``build(A ∪ B)`` (asserted in tests). This is the incremental
+    maintenance path: yesterday's corpus filter + today's batch filter
+    combine in O(num_bits/64) rows without touching yesterday's data —
+    the same partial-merge shape as d6's aggregate state.
+    """
+    if not bitmaps:
+        raise ValueError("bloom_merge needs at least one bitmap")
+    merged = bitmaps[0]
+    for b in bitmaps[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))

@@ -234,3 +234,27 @@ def test_misra_gries_null_keys_do_not_corrupt_large_keys(spark):
     assert big in keys and None not in keys
     got = {(r.k, r.cnt) for r in heavy_hitters(df, "k", min_freq_ratio=0.5).collect()}
     assert got == {(big, 50)}
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    """Bloom is an OR-fold: merging two independently built bitmaps must
+    be bit-for-bit identical to building over the unioned members."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import bloom_merge
+
+    a = spark.range(300).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(200).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    m = 1 << 15
+    merged = {
+        (r.word, r.bits)
+        for r in bloom_merge(
+            bloom_build(a, "v", num_bits=m), bloom_build(b, "v", num_bits=m)
+        ).collect()
+    }
+    direct = {
+        (r.word, r.bits)
+        for r in bloom_build(a.unionByName(b), "v", num_bits=m).collect()
+    }
+    assert merged == direct and merged
+
+    with pytest.raises(ValueError):
+        bloom_merge()
