@@ -372,3 +372,31 @@ def test_wire_json_read_is_native_scan(spark, tmp_path):
     assert "from_json" not in plan, "wire read regressed to interpreted from_json"
     assert "Scan json" in plan
     assert df.count() == 10
+
+
+def test_d7_quality_suite_single_scan_shape(spark):
+    """d7's five checks must not plan one job per rule: exactly TWO scans
+    of orders (conditional-agg pass + anti-join probe side) and one scan
+    of customer, with the FK check as a broadcast anti-join at fixture
+    scale (customer measures small)."""
+    import re as _re
+
+    plan = plan_of(spark, "d7_data_quality")
+    # formatted mode detaches the path onto a Location: line per scan node
+    orders_scans = len(_re.findall(r"Location: [^\n]*orders\.parquet", plan))
+    customer_scans = len(_re.findall(r"Location: [^\n]*customer\.parquet", plan))
+    assert orders_scans == 2, f"expected 2 orders scans, got {orders_scans}"
+    assert customer_scans == 1, f"expected 1 customer scan, got {customer_scans}"
+    assert "LeftAnti" in plan
+
+
+def test_a19_heavy_hitters_no_full_key_shuffle(spark):
+    """a19's final aggregation must run on the candidate-restricted rows
+    (semi-join before the exact count) and no full-table groupBy on the
+    raw key: the only hashpartitioning exchanges allowed are the
+    candidate distinct and the post-semi-join count."""
+    plan = plan_of(spark, "a19_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan
+    # exact verify still two-phase: partial + final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 4
