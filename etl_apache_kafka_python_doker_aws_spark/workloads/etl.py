@@ -410,3 +410,73 @@ def d7_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return metrics.select(F.explode(checks).alias("_c")).select("_c.*")
+
+
+@query(
+    "d8_snapshot_read",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+    FROM orders
+    """,
+)
+def d8_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: snapshot isolation / time travel over an append-only table,
+    lakehouse-style: each commit appends immutable parquet files and
+    writes a MANIFEST (the explicit file list) — reading a snapshot
+    means scanning exactly the files its manifest names, so an old
+    version stays readable (and bit-stable) after later appends without
+    copying data. Here commit 1 writes ~2/3 of orders, commit 2 appends
+    the rest into the SAME directory; the query reads snapshot 1 via
+    its manifest (ignoring the newer files physically present) and
+    snapshot 2 via its own, and returns per-version aggregate state.
+    The oracle recomputes both versions from base data — matching
+    proves the manifest isolates the snapshot. At 100 TB manifests are
+    the only metadata read before pruning; file listing never walks the
+    directory."""
+    import json as _json
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.money import money
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_snap_")
+    data_dir = os.path.join(wd, "data")
+
+    def _commit(df: DataFrame, version: int, prev_files: list[str]) -> list[str]:
+        df.write.mode("append").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        new_snapshot = files  # append-only: superset of prev_files
+        with open(os.path.join(wd, f"manifest-v{version}.json"), "w") as fh:
+            _json.dump({"version": version, "files": new_snapshot}, fh)
+        assert set(prev_files) <= set(new_snapshot)
+        return new_snapshot
+
+    v1_files = _commit(o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) != 0), 1, [])
+    _commit(o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0), 2, v1_files)
+
+    def _read_snapshot(version: int) -> DataFrame:
+        with open(os.path.join(wd, f"manifest-v{version}.json")) as fh:
+            manifest = _json.load(fh)
+        snap = spark.read.parquet(*manifest["files"])
+        return snap.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(money("o_totalprice")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+
+    return _read_snapshot(1).unionByName(_read_snapshot(2))
