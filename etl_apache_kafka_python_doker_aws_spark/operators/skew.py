@@ -38,6 +38,15 @@ def salted_join(
     partitioning would re-salt rows differently — fine for a single
     job's result, hostile to speculative execution and to debugging
     skew by re-running a stage (same r5 rule as salted_agg).
+
+    MEASURED (20M-row left with 50% of rows on ONE key, 100k-row right,
+    broadcast disabled, local[32], cached, median-of-2 warm): plain SMJ
+    4.0-4.5 s, salted(16) 2.3-2.5 s — ~1.8× — and the numbers are the
+    SAME with AQE on, because the hot partition (~160 MB of longs)
+    stays under AQE's skewedPartitionThreshold (256 MB default), so
+    OptimizeSkewedJoin never fires. That is precisely this operator's
+    regime: skew bad enough to straggle, not bad enough for AQE's
+    byte-size heuristics to notice.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
