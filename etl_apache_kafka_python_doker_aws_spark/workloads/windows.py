@@ -207,3 +207,36 @@ def w1_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cd"),
         F.nth_value("c_custkey", 2).over(w_nth).cast("double").alias("second_richest"),
     )
+
+
+@query(
+    "w7_windowed_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_types_so_far
+    FROM events
+    """,
+)
+def w7_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: running DISTINCT count over a window — per user, how many
+    distinct event types seen so far. Spark forbids DISTINCT inside
+    window aggregates (``count(DISTINCT x) OVER`` is an
+    AnalysisException); the idiomatic engine form is
+    ``size(collect_set(x) OVER w)`` — the set is bounded by the distinct
+    types, not the frame length, so state stays small even over
+    unbounded-preceding frames. DuckDB supports windowed DISTINCT
+    natively, which makes it the perfect oracle for the rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_so_far"),
+    )
