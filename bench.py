@@ -59,6 +59,10 @@ HEADLINE = [
     "g1_graph_components",
     "l11_curation_pipeline",
     "l5_multimodal_wav",
+    # r5 sketch/quality families — regressions in the bloom bitmap path
+    # and the one-scan expectations suite stay visible round-over-round.
+    "l2_bloom_dedup",
+    "d7_data_quality",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
