@@ -75,9 +75,11 @@ def bloom_build(
     are skipped (a NULL member is not representable; probe returns
     false).
     """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
     pos = F.explode(F.array(*_bloom_positions(col, num_bits, num_hashes)))
     return (
-        df.filter(F.col(col).isNotNull())
+        ensure_parallelism(df.filter(F.col(col).isNotNull()))
         .select(pos.alias("pos"))
         .select(
             F.expr("pos DIV 64").alias("word"),
@@ -116,6 +118,9 @@ def bloom_might_contain(
     but not contractual. ``num_bits``/``num_hashes`` MUST match the
     build call.
     """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    probes = ensure_parallelism(probes)
     if id_col is not None:
         keyed = probes.withColumn("_probe_uid", F.col(id_col))
     else:
@@ -193,6 +198,12 @@ def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFr
     field = df.schema[key_col]
     out_schema = T.StructType([field])
     df = df.filter(F.col(key_col).isNotNull())
+    # Float NaN keys must ALSO stay JVM-side: the Arrow bridge delivers
+    # them to pandas fine, but converts the yielded NaN back to Spark
+    # NULL, silently corrupting the candidate (observed). heavy_hitters
+    # accounts the NaN group directly, like the NULL group.
+    if isinstance(field.dataType, (T.FloatType, T.DoubleType)):
+        df = df.filter(~F.isnan(F.col(key_col)))
 
     def mg(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -205,7 +216,9 @@ def misra_gries_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFr
         if counters:
             yield pd.DataFrame({key_col: list(counters.keys())})
 
-    return df.select(key_col).mapInPandas(mg, out_schema)
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(key_col)).mapInPandas(mg, out_schema)
 
 
 def heavy_hitters(
@@ -243,10 +256,41 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
     )
-    total = df.agg(F.count("*").alias("n_total"))
+    # NULL (and float NaN) keys can't flow through the MG/Arrow path —
+    # the sketch filters them JVM-side (a semi-join never matches NULL;
+    # Arrow converts a yielded NaN back to NULL) — but a plain groupBy
+    # DOES report both groups. Count each directly in the same 1-row
+    # total pass and union them back when they clear the threshold, so
+    # the EXACT-equivalence claim holds on nullable/NaN keys too.
+    key_type = df.schema[key_col].dataType
+    is_float = isinstance(key_type, (T.FloatType, T.DoubleType))
+    nan_flag = (
+        F.isnan(F.col(key_col)) if is_float else F.lit(False)
+    ) & F.col(key_col).isNotNull()
+    total = df.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col(key_col).isNull().cast("long")).alias("_n_null"),
+        F.sum(nan_flag.cast("long")).alias("_n_nan"),
+    )
+    thresh = F.col("n_total") * F.lit(min_freq_ratio)
+
+    def _special(count_col: str, key_lit) -> DataFrame:
+        return total.filter(
+            (F.col(count_col) > 0) & (F.col(count_col) >= thresh)
+        ).select(
+            key_lit.cast(key_type).alias(key_col),
+            F.col(count_col).alias("cnt"),
+            "n_total",
+        )
+
+    specials = _special("_n_null", F.lit(None))
+    if is_float:
+        specials = specials.unionByName(_special("_n_nan", F.lit(float("nan"))))
     return (
-        counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.col("n_total") * F.lit(min_freq_ratio))
+        counts.crossJoin(F.broadcast(total.select("n_total")))
+        .filter(F.col("cnt") >= thresh)
+        .select(key_col, "cnt", "n_total")
+        .unionByName(specials)
         .select(
             key_col,
             "cnt",

@@ -18,6 +18,7 @@ def salted_join(
     key: str,
     salt_factor: int = 8,
     how: str = "inner",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join on `key` with the left side salted and the right side
     exploded `salt_factor` ways, so a hot key's rows spread over
@@ -32,12 +33,18 @@ def salted_join(
     Returns the joined frame with helper columns dropped — semantically
     identical to left.join(right, key, how).
 
-    The salt is DETERMINISTIC (xxhash64 over the left row's columns, not
-    rand()): any salt value spreads a hot key correctly, but rand() is
-    seeded per-partition, so a task retry or a different input
-    partitioning would re-salt rows differently — fine for a single
-    job's result, hostile to speculative execution and to debugging
-    skew by re-running a stage (same r5 rule as salted_agg).
+    The salt is DETERMINISTIC (xxhash64 over ``salt_on`` — by default
+    every hashable left column — not rand()): any salt value spreads a
+    hot key correctly, but rand() is seeded per-partition, so a task
+    retry or a different input partitioning would re-salt rows
+    differently — fine for a single job's result, hostile to
+    speculative execution and to debugging skew by re-running a stage
+    (same r5 rule as salted_agg). Map-typed columns are excluded
+    automatically (xxhash64 rejects MapType). Pass ``salt_on``
+    explicitly when the default would hash only LOW-CARDINALITY payload
+    columns — if the hot key's rows carry e.g. 3 distinct payloads, the
+    default salt lands them in ≤3 buckets and the straggler returns; a
+    unique-ish column (row id, event id) is the right salt input.
 
     MEASURED (20M-row left with 50% of rows on ONE key, 100k-row right,
     broadcast disabled, local[32], cached, median-of-2 warm): plain SMJ
@@ -50,9 +57,21 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
+    if salt_on is None:
+        from pyspark.sql import types as _T
+
+        salt_on = [
+            f.name
+            for f in left.schema.fields
+            if not isinstance(f.dataType, _T.MapType)
+        ]
+        if not salt_on:
+            raise ValueError(
+                "salted_join: no hashable left columns; pass salt_on explicitly"
+            )
     salted_left = left.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)).cast(
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt_factor)).cast(
             "int"
         ),
     )

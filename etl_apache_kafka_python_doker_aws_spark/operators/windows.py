@@ -132,7 +132,11 @@ def top_k_per_group_prereduced(
     the exactness contract (identical oracle to o3) is the point.
 
     Ordering is ``order_col`` (``ascending`` flag) with ``tiebreak_col``
-    ascending as the deterministic tiebreaker; both must be non-null.
+    ascending as the deterministic tiebreaker. NULL and float-NaN
+    order/tiebreak values are REJECTED (task-level ValueError): pandas
+    float64 cannot distinguish them and the Arrow bridge returns a kept
+    NaN candidate as NULL, which the final window would mis-rank — the
+    window form handles both; filter or fillna to use this one.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -145,6 +149,16 @@ def top_k_per_group_prereduced(
         best = None
         for pdf in batches:
             cand = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            # NULL/NaN order values cannot round-trip the Arrow bridge
+            # (a kept NaN candidate comes back as NULL and the final
+            # window mis-ranks it) — fail loudly rather than silently
+            # diverge from the window form.
+            if cand[[order_col, tiebreak_col]].isna().any().any():
+                raise ValueError(
+                    "top_k_per_group_prereduced: NULL/NaN order or tiebreak "
+                    "values are unsupported (Arrow conflates NaN and NULL); "
+                    "filter them or use top_k_per_group"
+                )
             cand = cand.sort_values(
                 [order_col, tiebreak_col],
                 ascending=[ascending, True],

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -102,7 +103,9 @@ def main() -> int:
     q = (
         parsed.writeStream.format("memory")
         .queryName("kafka_roundtrip")
-        .option("checkpointLocation", "/tmp/integration_ckpt")
+        # fresh checkpoint per run: a fixed path would resume committed
+        # offsets from a previous/crashed run and skew the row counts
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="integration_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
