@@ -110,7 +110,9 @@ def cluster_stats(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dense = embeddings.select(
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    dense = ensure_parallelism(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(
@@ -124,24 +126,27 @@ def cluster_stats(
     assigned = model.transform(dense).withColumnRenamed("prediction", "cluster_id")
 
     centers = model.clusterCenters()
-    sq_dist = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(c)) for c in center]),
-                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for center in centers
-        ]
+    # Index into the centroid MATRIX first, then one zip_with against the
+    # row's OWN centroid: 1×dim work per row. The earlier form built an
+    # array of k per-centroid distance aggregates and element_at-picked
+    # one — k×dim multiply-adds per row to keep a single value.
+    centroid_matrix = F.array(
+        *[F.array(*[F.lit(float(c)) for c in center]) for center in centers]
+    )
+    own_center = F.element_at(centroid_matrix, F.col("cluster_id") + 1)
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            own_center,
+            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     # vec_col rides through transform(), so no re-join with the source —
     # one scan, zero extra shuffles (review finding r2)
     with_dist = assigned.select(id_col, vec_col, "cluster_id").withColumn(
-        "_sqd", F.element_at(sq_dist, F.col("cluster_id") + 1)
+        "_sqd", sq_dist
     )
     return with_dist.groupBy("cluster_id").agg(
         F.count("*").alias("n_vecs"),
@@ -201,7 +206,10 @@ def pack_bins(
     """
     from pyspark.sql.window import Window
 
-    toks = F.size(F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != ""))
+    # shared tokenizer (count is lowercase-invariant) + coalesce: a NULL
+    # text would otherwise propagate NULL through the cumsum and create
+    # a NULL bin_id group with NULL bin_tokens
+    toks = F.coalesce(F.size(word_tokens(text_col)), F.lit(0))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

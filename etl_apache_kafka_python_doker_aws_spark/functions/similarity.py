@@ -34,7 +34,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, with the zero-vector case pinned to 0.0.
+
+    Without the guard a zero-norm vector yields 0.0/0.0 = NaN, and Spark
+    orders NaN ABOVE every double — so one all-zero embedding would rank
+    as the #1 neighbor of every query and pass any `>= threshold` dup
+    filter. A zero vector has no direction; similarity 0 is the honest
+    value."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -93,6 +101,11 @@ def lsh_signature(vec: Column, planes: list[list[float]], band_bits: int = 4) ->
     prob 1-θ/π, a band collides at that prob^band_bits. Weakly-similar
     corpora (near-orthogonal embeddings) need narrow bands (4) + more
     bands for recall; tight near-dup search can afford 8-16."""
+    if not 1 <= band_bits <= 16:
+        # the band code space is band_index*100000 + hash; a 17-bit band
+        # hash (131071) would alias into the next band's range and join
+        # unrelated vectors as candidates
+        raise ValueError(f"band_bits must be in [1, 16], got {band_bits}")
     bits = [
         (
             F.aggregate(
@@ -145,8 +158,10 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.explode(lsh_signature(F.col(vec_col), planes, band_bits)).alias("band"),
@@ -241,7 +256,8 @@ def pq_encode(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    *,
+    dim: int,
     n_subspaces: int = 4,
     n_centroids: int = 16,
     seed: int = 42,
@@ -352,7 +368,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
-    dense = corpus.select(
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    dense = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         array_to_vector(

@@ -44,8 +44,12 @@ def gapfill_locf(
     day = day_bucket(ts_col)
     daily = (
         df.select(F.col(key_col), day.alias("_day"), F.col(value_col))
+        # a NULL timestamp has no day — it cannot land on the grid
+        .filter(F.col("_day").isNotNull())
         .groupBy(key_col, "_day")
-        .agg(money_sum(money(value_col), "_v"))
+        # _n distinguishes "no events that day" (a gap) from "events
+        # whose values were all NULL" (an observed day summing to NULL)
+        .agg(money_sum(money(value_col), "_v"), F.count(F.lit(1)).alias("_n"))
     )
     spans = daily.groupBy(key_col).agg(
         F.min("_day").alias("_lo"), F.max("_day").alias("_hi")
@@ -56,18 +60,27 @@ def gapfill_locf(
             F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY"))
         ).alias("_day"),
     )
-    joined = spine.join(daily, [key_col, "_day"], "left")
+    # eqNullSafe on the key: a NULL key is a legitimate group (Spark's
+    # groupBy created it above); plain `=` would orphan its spine rows
+    # and silently blank the group's sums.
+    sp, da = spine.alias("s"), daily.alias("d")
+    joined = sp.join(
+        da,
+        F.col(f"s.{key_col}").eqNullSafe(F.col(f"d.{key_col}"))
+        & (F.col("s._day") == F.col("d._day")),
+        "left",
+    )
     w = (
-        Window.partitionBy(key_col)
-        .orderBy("_day")
+        Window.partitionBy(F.col(f"s.{key_col}"))
+        .orderBy("s._day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # day stays TIMESTAMP_NTZ (not DATE): the grading driver fetches the
     # DuckDB oracle via pandas, which renders DATE as a midnight Timestamp —
     # a Spark DateType would mismatch on rendering (tests/test_output_types.py).
     return joined.select(
-        F.col(key_col),
-        F.col("_day").alias("day"),
-        F.last("_v", ignorenulls=True).over(w).alias(value_name),
-        F.col("_v").isNull().alias("is_gap"),
+        F.col(f"s.{key_col}").alias(key_col),
+        F.col("s._day").alias("day"),
+        F.last("d._v", ignorenulls=True).over(w).alias(value_name),
+        F.col("d._n").isNull().alias("is_gap"),
     )

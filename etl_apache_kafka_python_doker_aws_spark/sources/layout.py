@@ -157,6 +157,34 @@ def compact_small_files(
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".staging"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staging)
+    # Preserve a hive-partitioned layout: partition discovery folds the
+    # dir-encoded columns into the frame, and a flat rewrite would
+    # destroy the layout (readers lose PartitionFilters pruning). The
+    # `name=value` first-level dirs name the partition columns in order;
+    # rewrite partitionBy them. Compaction then happens per-partition —
+    # n_files is the TOTAL target, so each partition gets ~its share via
+    # repartition on the partition columns.
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(probe)
+            if os.path.isdir(os.path.join(probe, d)) and "=" in d
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
+    src = spark.read.parquet(path)
+    if part_cols:
+        (
+            src.repartition(n_files, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
+    else:
+        src.repartition(n_files).write.mode("overwrite").parquet(staging)
     _swap_in(staging, path)
     return n_files

@@ -32,7 +32,9 @@ from etl_apache_kafka_python_doker_aws_spark.workloads.registry import query
                OVER (PARTITION BY s.user_id ORDER BY s.d
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS total_value,
-           daily.v IS NULL AS is_gap
+           -- row-presence, not value-nullness: a day whose observed
+           -- values were all NULL is an observed day, not a gap
+           daily.d IS NULL AS is_gap
     FROM spine s
     LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
     """,

@@ -281,3 +281,46 @@ def test_synthetic_python_datasource(spark):
     }
     assert 0 <= row["caja_ahorro_pesos"] <= 100000
     assert round(row["caja_ahorro_pesos"], 2) == row["caja_ahorro_pesos"]
+
+
+def test_gapfill_null_key_group_and_all_null_day(spark):
+    """Regression: a NULL key is a legitimate group (null-safe spine
+    join), and a day whose observed values are all NULL is an observed
+    day, not a gap."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        (None, "2024-03-01 10:00:00", 5.0),
+        (None, "2024-03-03 10:00:00", 7.0),
+        (1, "2024-03-01 10:00:00", None),   # observed day, all-NULL value
+        (1, "2024-03-02 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    out = gapfill_locf(df, "user_id", "ts", "value")
+    got = {
+        (r.user_id, str(r.day)[:10], r.total_value, r.is_gap)
+        for r in out.collect()
+    }
+    assert (None, "2024-03-01", 5.0, False) in got
+    assert (None, "2024-03-02", 5.0, True) in got       # carried + flagged gap
+    assert (None, "2024-03-03", 7.0, False) in got
+    assert (1, "2024-03-01", None, False) in got        # observed, NOT a gap
+    assert (1, "2024-03-02", 3.0, False) in got
+
+
+def test_cosine_zero_vector_is_not_nan(spark):
+    """Regression: a zero-norm embedding must score 0.0, not NaN (Spark
+    ranks NaN above every double, so NaN would win every top-k)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = corpus.filter("vec_id = 1")
+    top = cosine_topk(corpus, q, k=2).collect()
+    assert [r.neighbor_id for r in top] == [2, 3]
+    zero_row = [r for r in top if r.neighbor_id == 3][0]
+    assert zero_row.cos_sim == 0.0

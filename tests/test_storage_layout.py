@@ -181,3 +181,29 @@ def test_compact_small_files(spark):
     files_after = glob.glob(os.path.join(path, "*.parquet"))
     assert len(files_after) == 1  # all fragments fit one target file
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_compact_small_files_preserves_partitioned_layout(spark):
+    """Regression: compacting a hive-partitioned directory must keep the
+    `col=value` layout (readers rely on partition pruning) instead of
+    flattening it into plain files."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import compact_small_files
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "part_frag")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    df.repartition(16).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    assert len(glob.glob(os.path.join(path, "bucket=*"))) == 3
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    # layout survives and each partition dir still holds parquet files
+    dirs = sorted(glob.glob(os.path.join(path, "bucket=*")))
+    assert [os.path.basename(d) for d in dirs] == ["bucket=0", "bucket=1", "bucket=2"]
+    for d in dirs:
+        assert glob.glob(os.path.join(d, "*.parquet"))
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert back.filter(F.col("bucket") == "1").count() == 1000
