@@ -69,7 +69,9 @@ def quality_features(text: Column | str, stopwords: tuple[str, ...] = _LANG_MARK
         "mean_word_len": F.when(
             n_tokens > 0, total_token_chars / n_tokens
         ),
-        "punct_ratio": punct / n_chars,
+        # guarded like the token ratios: ANSI mode makes a bare /0 on an
+        # empty doc a job-aborting DIVIDE_BY_ZERO, not an Inf/NULL
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars),
         "stopword_ratio": F.when(n_tokens > 0, stop_hits / n_tokens),
     }
 
@@ -228,9 +230,13 @@ def chunk_tokens(
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.floor((n - 1) / F.lit(step)).cast("int") + 1
     )
-    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+    # POSITIVE guard: `n <= 0` is NULL (not true) for a NULL document
+    # under ANSI size(NULL) semantics, which used to fall through to the
+    # otherwise-branch and emit one phantom empty chunk ['']
+    return F.when(
+        n > 0,
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
-        )
-    )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

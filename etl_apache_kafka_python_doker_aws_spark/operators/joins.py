@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -29,10 +29,25 @@ def asof_join(
     right row with ``right.ts <= left.ts`` and equal ``key``.
 
     Implementation (scale-first): tag and union both sides, hash-shuffle
-    once on ``key``, sort each partition by (ts, side), and forward-fill
-    the right payload with ``last(..., ignorenulls=True)`` over an
-    unbounded-preceding frame. Right rows sort before left rows at equal
-    ts, so an exactly-simultaneous right row matches (<= semantics).
+    once on ``key``, sort each partition by (ts, side, tiebreak), and
+    forward-fill the right payload with ``last(..., ignorenulls=True)``
+    over an unbounded-preceding frame. Right rows sort before left rows
+    at equal ts, so an exactly-simultaneous right row matches (<=
+    semantics).
+
+    Row-atomic payload: the right payload forward-fills as ONE STRUCT,
+    never per column — per-column ignorenulls would substitute stale
+    earlier values for a latest row's genuine NULLs and fabricate a
+    composite row that never existed (r5 third-review finding). A NULL
+    field in the latest matching right row is therefore returned as
+    NULL, verbatim. Right rows with a NULL timestamp are excluded — no
+    left ts satisfies ``NULL <= ts``, and letting them sort first would
+    fill rows that have no true predecessor.
+
+    ``tiebreak`` names a RIGHT-side column ordering simultaneous right
+    rows (the row with the GREATEST tiebreak value wins, matching
+    "latest wins"); without it the winner among equal-ts right rows is
+    partition-order-dependent.
 
     Contrast with the driver-side or merge_asof-per-group alternatives:
     this is a single shuffle + sort, identical in shape to a sort-merge
@@ -40,48 +55,54 @@ def asof_join(
     """
     lcols = [c for c in left.columns]
     marker = "_asof_side"
-    order_cols: list[Column] = [F.col("_asof_ts"), F.col(marker)]
-    if tiebreak is not None:
-        order_cols.append(F.col(tiebreak))
 
     if key not in right.columns:
         raise ValueError(f"key column {key!r} must exist on the right side")
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} must exist on the right side")
     left_types = dict(left.dtypes)
     right_types = dict(right.dtypes)
+
+    payload_ddl = (
+        "struct<" + ",".join(f"{c}:{right_types[c]}" for c in payload_cols) + ">"
+    )
+    tb_type = right_types[tiebreak] if tiebreak is not None else "int"
 
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias(marker),
-        *[F.lit(None).cast(right_types[c]).alias(f"_r_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_ddl).alias("_r_payload"),
+        F.lit(None).cast(tb_type).alias("_asof_tb"),
     )
     # Right rows carry their own key; every other left column rides as NULL.
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             F.col(key).alias(c) if c == key else F.lit(None).cast(left_types[c]).alias(c)
             for c in lcols
         ],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_r_payload"),
+        (
+            F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int")
+        ).alias("_asof_tb"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key)
-        .orderBy(*order_cols)
+        .orderBy(F.col("_asof_ts"), F.col(marker), F.col("_asof_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lcols,
         F.col(marker),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_filled_{c}")
-            for c in payload_cols
-        ],
+        F.last(F.col("_r_payload"), ignorenulls=True).over(w).alias("_filled"),
     )
     return filled.filter(F.col(marker) == 1).select(
-        *lcols, *[F.col(f"_filled_{c}").alias(f"asof_{c}") for c in payload_cols]
+        *lcols,
+        *[F.col("_filled").getField(c).alias(f"asof_{c}") for c in payload_cols],
     )
 
 

@@ -59,6 +59,23 @@ def _recover(target_path: str) -> None:
         )
 
 
+def _reject_null_keys(updates: DataFrame, key_cols: list[str], op: str) -> None:
+    """Fail fast on NULL business keys: every join this module builds
+    (left_anti replacement, semi/anti SCD2 splits) uses null-rejecting
+    equality, so a NULL-key update can never match — it would append a
+    duplicate on every re-delivery instead of replacing. One limit(1)
+    probe per sink call (the sink already runs write jobs)."""
+    null_pred = None
+    for c in key_cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if updates.filter(null_pred).limit(1).count() > 0:
+        raise ValueError(
+            f"{op}: NULL values in key columns {key_cols} — keyed merge "
+            "semantics cannot match NULL keys; filter or surrogate them first"
+        )
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -75,8 +92,13 @@ def merge_upsert(
     (same call signature, swap-in point documented here).
 
     Updates must be unique per key (enforced with dropDuplicates).
+    NULL keys are REJECTED: the anti-join that makes replacement work
+    never matches NULL = NULL, so a NULL-key update would APPEND on
+    every re-delivery — the exact duplicate-growth bug this sink exists
+    to fix (r5 third review, verified live).
     """
     _recover(target_path)
+    _reject_null_keys(updates, key_cols, "merge_upsert")
     updates = updates.dropDuplicates(key_cols)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
@@ -102,9 +124,22 @@ def scd2_apply(
     row's ts) and append the new versions as current (valid_to = NULL).
 
     Pure DataFrame composition: one anti/semi split + union; no driver
-    loops. Target schema gains (valid_from, valid_to)."""
+    loops. Target schema gains (valid_from, valid_to). NULL keys are
+    rejected (see merge_upsert — the anti/semi splits would never close
+    a NULL-key current row and would append a new one each run). A batch
+    carrying several versions of one key keeps the LATEST by ``ts_col``
+    (same-ts versions tie-break arbitrarily — give versions distinct
+    event times)."""
+    from pyspark.sql.window import Window
+
     _recover(target_path)
-    upd = updates.dropDuplicates(key_cols).withColumn(
+    _reject_null_keys(updates, key_cols, "scd2_apply")
+    latest = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    upd = (
+        updates.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    ).withColumn(
         "valid_from", F.col(ts_col)
     ).withColumn(
         # match the caller's event-time type exactly: a hardcoded

@@ -54,7 +54,11 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataF
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     staged = _STAGED_EVENTS.get(cache_key)
     if staged is None or not os.path.exists(staged):
-        staged = os.path.join(workdir, "events_staged")
+        # the staged dir name carries the sf_dir identity: two sf_dirs
+        # sharing a workdir must not clobber each other's staged copy
+        # while the first cache entry still points at the shared path
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        staged = os.path.join(workdir, f"events_staged_{sf_tag}")
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
         _STAGED_EVENTS[cache_key] = staged
     return (
@@ -201,10 +205,13 @@ def run_available_now(
 def run_to_parquet(
     stream_df: DataFrame, workdir: str, name: str,
     batch_fn: Callable[[DataFrame, int], None] | None = None,
-) -> str:
+) -> str | None:
     """T8/T9: checkpointed parquet sink (exactly-once file sink), or a
     foreachBatch custom sink when batch_fn is given (the idempotent-upsert
-    hook for JDBC/MERGE targets). Returns the output path."""
+    hook for JDBC/MERGE targets). Returns the parquet output path — or
+    None on the foreachBatch branch, where batch_fn owns the destination
+    and nothing is written under workdir (returning a path there pointed
+    callers at a dir that never exists)."""
     out = os.path.join(workdir, f"out_{name}")
     writer = (
         stream_df.writeStream.option(
@@ -216,7 +223,7 @@ def run_to_parquet(
     else:
         q = writer.format("parquet").option("path", out).outputMode("append").start()
     q.awaitTermination()
-    return out
+    return None if batch_fn is not None else out
 
 
 def transform_with_state_user_totals(stream: DataFrame) -> DataFrame:
@@ -241,7 +248,6 @@ def transform_with_state_user_totals(stream: DataFrame) -> DataFrame:
             "applyInPandasWithState form (T6) covers the same semantics here"
         ) from ex
 
-    import pandas as pd  # local: keep module import light
     from pyspark.sql.streaming import StatefulProcessor
 
     class _UserTotals(StatefulProcessor):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -324,3 +326,90 @@ def test_cosine_zero_vector_is_not_nan(spark):
     assert [r.neighbor_id for r in top] == [2, 3]
     zero_row = [r for r in top if r.neighbor_id == 3][0]
     assert zero_row.cos_sim == 0.0
+
+
+def test_asof_join_tiebreak_and_atomic_payload(spark):
+    """Regression (r5 fourth review): (a) simultaneous right rows resolve
+    by the RIGHT-side tiebreak (greatest wins), input-order-independent;
+    (b) the payload fills as one struct — a latest row's genuine NULL
+    field is returned verbatim, never backfilled from an older row;
+    (c) NULL-timestamp right rows never match."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(100, 30)], "user_id long, ts long")
+    for right_rows in (
+        [(100, 10, 1.0, 7), (100, 10, 2.0, 8), (100, None, 9.9, 99)],
+        [(100, 10, 2.0, 8), (100, None, 9.9, 99), (100, 10, 1.0, 7)],
+    ):
+        right = spark.createDataFrame(
+            right_rows, "user_id long, ts long, value double, rid long"
+        ).repartition(3)
+        out = asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["value", "rid"], tiebreak="rid",
+        ).collect()
+        assert len(out) == 1
+        assert (out[0].asof_value, out[0].asof_rid) == (2.0, 8)
+
+    # atomic payload: latest row (ts=20) has value NULL — keep it NULL
+    right2 = spark.createDataFrame(
+        [(100, 10, 1.0, 7), (100, 20, None, 8)],
+        "user_id long, ts long, value double, rid long",
+    )
+    out2 = asof_join(
+        left, right2, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value", "rid"], tiebreak="rid",
+    ).collect()
+    assert (out2[0].asof_value, out2[0].asof_rid) == (None, 8)
+
+
+def test_merge_upsert_rejects_null_keys(spark):
+    """Regression: a NULL-key update can never be replaced by the
+    anti-join (NULL = NULL never matches) — it would duplicate on every
+    redelivery, so the sink must reject it loudly."""
+    import tempfile as _tf
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import merge_upsert
+
+    wd = _tf.mkdtemp()
+    upd = spark.createDataFrame([(None, 1.0), (5, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="NULL values in key columns"):
+        merge_upsert(spark, os.path.join(wd, "t"), upd, ["k"])
+
+
+def test_scd2_batch_keeps_latest_version(spark):
+    """Regression: a batch with two versions of one key must keep the
+    LATEST by ts (dropDuplicates kept an arbitrary one)."""
+    import tempfile as _tf
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import scd2_apply
+
+    wd = _tf.mkdtemp()
+    path = os.path.join(wd, "scd2")
+    upd = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00"), (1, 20.0, "2024-06-01 00:00:00")],
+        "k long, v double, ts string",
+    ).select("k", "v", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    out = scd2_apply(spark, path, upd, ["k"], "ts")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v == 20.0
+
+
+def test_text_null_and_empty_edge_cases(spark):
+    """Regression: punct_ratio must not DIVIDE_BY_ZERO on empty docs
+    (ANSI); chunk_tokens(NULL) must yield [], not a phantom ['']."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import (
+        chunk_tokens,
+        quality_features,
+    )
+
+    df = spark.createDataFrame([("",), (None,), ("a b c",)], "text string")
+    feats = quality_features(F.col("text"))
+    got = df.select(
+        feats["punct_ratio"].alias("pr"),
+        chunk_tokens(F.col("text"), chunk_size=2, overlap=1).alias("c"),
+    ).collect()
+    by_len = {len(r.c): r for r in got}
+    assert by_len[0].pr is None or by_len[0].pr == 0.0  # empty/NULL: no crash
+    assert got[1].c == [] and got[0].c == []            # NULL and '' both []
+    assert len(by_len[3].c) == 3                        # 'a b c': [a b],[b c],[c]
