@@ -120,8 +120,17 @@ def bloom_might_contain(
     """
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
+    if "_probe_uid" in probes.columns:
+        # the surrogate would silently overwrite (and later drop) the
+        # caller's column of the same name (ADVICE r5)
+        raise ValueError(
+            "bloom_might_contain: probes already has a '_probe_uid' column "
+            "— rename it; the name is reserved for the internal surrogate key"
+        )
     probes = ensure_parallelism(probes)
     if id_col is not None:
+        # contract (docstring): id_col must be UNIQUE — duplicate ids
+        # would merge distinct probes' bool_and results into one row
         keyed = probes.withColumn("_probe_uid", F.col(id_col))
     else:
         keyed = probes.withColumn("_probe_uid", F.monotonically_increasing_id())

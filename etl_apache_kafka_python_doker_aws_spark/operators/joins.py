@@ -11,25 +11,37 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 from pyspark.sql.window import Window
+
+
+def _bq(name: str) -> Column:
+    """Column reference by VERBATIM name: backtick-quoted so names with
+    dots/spaces/dashes/reserved words resolve as one identifier instead
+    of being parsed as an expression (ADVICE r5: interpolating raw names
+    into parsed strings breaks on anything needing quoting)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     left_ts: str,
     right_ts: str,
     payload_cols: Sequence[str],
     tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the latest
-    right row with ``right.ts <= left.ts`` and equal ``key``.
+    right row with ``right.ts <= left.ts`` and equal ``key`` — ``key``
+    may be one column name or a sequence (composite keys, e.g.
+    (custkey, region) alignment); all key columns must exist on BOTH
+    sides.
 
     Implementation (scale-first): tag and union both sides, hash-shuffle
-    once on ``key``, sort each partition by (ts, side, tiebreak), and
+    once on the key columns, sort each partition by (ts, side, tiebreak), and
     forward-fill the right payload with ``last(..., ignorenulls=True)``
     over an unbounded-preceding frame. Right rows sort before left rows
     at equal ts, so an exactly-simultaneous right row matches (<=
@@ -54,54 +66,73 @@ def asof_join(
     join, and spills via Spark's external sorter at any scale.
     """
     lcols = [c for c in left.columns]
+    keys = [key] if isinstance(key, str) else list(key)
     marker = "_asof_side"
 
-    if key not in right.columns:
-        raise ValueError(f"key column {key!r} must exist on the right side")
+    if not keys:
+        raise ValueError("asof_join needs at least one key column")
+    for kcol in keys:
+        if kcol not in left.columns:
+            raise ValueError(f"key column {kcol!r} must exist on the left side")
+        if kcol not in right.columns:
+            raise ValueError(f"key column {kcol!r} must exist on the right side")
     if tiebreak is not None and tiebreak not in right.columns:
         raise ValueError(f"tiebreak column {tiebreak!r} must exist on the right side")
-    left_types = dict(left.dtypes)
-    right_types = dict(right.dtypes)
+    # Validate payload membership up front (ADVICE r5: a missing payload
+    # column surfaced as a raw KeyError deep in the plan build).
+    for c in payload_cols:
+        if c not in right.columns:
+            raise ValueError(f"payload column {c!r} must exist on the right side")
 
-    payload_ddl = (
-        "struct<" + ",".join(f"{c}:{right_types[c]}" for c in payload_cols) + ">"
+    left_fields = {f.name: f.dataType for f in left.schema.fields}
+    right_fields = {f.name: f.dataType for f in right.schema.fields}
+    # The NULL payload on left rows is a typed null struct built from the
+    # right schema's DataType objects — never a DDL string, which would
+    # need quoting rules for field names with spaces/dashes/reserved
+    # words (ADVICE r5) and can drift from the real type on exotic types.
+    payload_type = StructType(
+        [StructField(c, right_fields[c], True) for c in payload_cols]
     )
-    tb_type = right_types[tiebreak] if tiebreak is not None else "int"
+    tb_type = right_fields[tiebreak] if tiebreak is not None else IntegerType()
 
     l_tagged = left.select(
-        *lcols,
-        F.col(left_ts).alias("_asof_ts"),
+        *[_bq(c) for c in lcols],
+        _bq(left_ts).alias("_asof_ts"),
         F.lit(1).alias(marker),
-        F.lit(None).cast(payload_ddl).alias("_r_payload"),
+        # typed NULL of the struct type (NOT a struct of nulls, which
+        # would be non-null and break the ignorenulls forward fill)
+        F.lit(None).cast(payload_type).alias("_r_payload"),
         F.lit(None).cast(tb_type).alias("_asof_tb"),
     )
-    # Right rows carry their own key; every other left column rides as NULL.
-    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+    # Right rows carry their own keys; every other left column rides as NULL.
+    r_tagged = right.filter(_bq(right_ts).isNotNull()).select(
         *[
-            F.col(key).alias(c) if c == key else F.lit(None).cast(left_types[c]).alias(c)
+            _bq(c).alias(c)
+            if c in keys
+            else F.lit(None).cast(left_fields[c]).alias(c)
             for c in lcols
         ],
-        F.col(right_ts).alias("_asof_ts"),
+        _bq(right_ts).alias("_asof_ts"),
         F.lit(0).alias(marker),
-        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_r_payload"),
+        F.struct(*[_bq(c).alias(c) for c in payload_cols]).alias("_r_payload"),
         (
-            F.col(tiebreak) if tiebreak is not None else F.lit(None).cast("int")
+            _bq(tiebreak) if tiebreak is not None else F.lit(None).cast("int")
         ).alias("_asof_tb"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*[_bq(k) for k in keys])
         .orderBy(F.col("_asof_ts"), F.col(marker), F.col("_asof_tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *lcols,
+        *[_bq(c) for c in lcols],
         F.col(marker),
         F.last(F.col("_r_payload"), ignorenulls=True).over(w).alias("_filled"),
     )
     return filled.filter(F.col(marker) == 1).select(
-        *lcols,
+        *[_bq(c) for c in lcols],
         *[F.col("_filled").getField(c).alias(f"asof_{c}") for c in payload_cols],
     )
 

@@ -142,6 +142,19 @@ def top_k_per_group_prereduced(
         raise ValueError(f"k must be >= 1, got {k}")
     out_schema = df.schema
     gcols = list(group_cols)
+    # Integer GROUP columns need the same Arrow guard as order/tiebreak
+    # (ADVICE r5): a nullable BIGINT group column with an actual NULL in
+    # a batch arrives in pandas as float64, silently corrupting keys
+    # above 2^53 (distinct groups merge) — the exact trap
+    # misra_gries_candidates accounts for JVM-side.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    int_gcols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in gcols
+        and isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
+    ]
 
     def local_topk(batches):
         import pandas as pd
@@ -158,6 +171,13 @@ def top_k_per_group_prereduced(
                     "top_k_per_group_prereduced: NULL/NaN order or tiebreak "
                     "values are unsupported (Arrow conflates NaN and NULL); "
                     "filter them or use top_k_per_group"
+                )
+            if int_gcols and cand[int_gcols].isna().any().any():
+                raise ValueError(
+                    "top_k_per_group_prereduced: NULL keys in integer group "
+                    "columns are unsupported (Arrow coerces the column to "
+                    "float64, corrupting keys above 2^53); filter them or "
+                    "use top_k_per_group"
                 )
             cand = cand.sort_values(
                 [order_col, tiebreak_col],

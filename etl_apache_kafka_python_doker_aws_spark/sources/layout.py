@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -161,9 +162,7 @@ def compact_small_files(
     # dir-encoded columns into the frame, and a flat rewrite would
     # destroy the layout (readers lose PartitionFilters pruning). The
     # `name=value` first-level dirs name the partition columns in order;
-    # rewrite partitionBy them. Compaction then happens per-partition —
-    # n_files is the TOTAL target, so each partition gets ~its share via
-    # repartition on the partition columns.
+    # rewrite partitionBy them.
     part_cols: list[str] = []
     probe = path
     while True:
@@ -178,8 +177,69 @@ def compact_small_files(
         probe = os.path.join(probe, subdirs[0])
     src = spark.read.parquet(path)
     if part_cols:
+        # Size each hive partition INDIVIDUALLY (ADVICE r5, medium):
+        # repartition(n, *part_cols) hashes only the partition columns,
+        # sending each hive partition's rows to exactly ONE task — a
+        # 10 GB partition became one 10 GB file written by a single
+        # straggler. Instead, walk per-partition byte totals, give each
+        # partition ceil(bytes / target) output slots, and add an
+        # intra-partition split key so big partitions are written by
+        # several tasks in parallel. Sizes are approximate: two splits
+        # of the same partition that hash-collide into one task merge
+        # into one ~2x-target file (each task still writes one file per
+        # partitionBy value it holds).
+        from urllib.parse import unquote
+
+        per_part: dict[tuple[str, ...], int] = {}
+        for root, _, files in os.walk(path):
+            pbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+            if not pbytes:
+                continue
+            rel = os.path.relpath(root, path)
+            vals = tuple(
+                unquote(seg.split("=", 1)[1])
+                for seg in rel.split(os.sep)
+                if "=" in seg
+            )
+            if len(vals) == len(part_cols):
+                per_part[vals] = per_part.get(vals, 0) + pbytes
+        splits = {
+            vals: max(1, math.ceil(b / target_file_bytes))
+            for vals, b in per_part.items()
+        }
+        n_files = max(1, sum(splits.values()))
+        pv_cols = [f"_pv_{i}" for i in range(len(part_cols))]
+        nmap = spark.createDataFrame(
+            [(*vals, n) for vals, n in splits.items()],
+            schema=pv_cols + ["_n_split"],
+        )
+        # Join on the dir-rendered string form of each partition value
+        # (NULL renders as the hive default-partition sentinel); a
+        # render mismatch degrades to the old one-file-per-partition
+        # behavior via the coalesce(…, 1), never to data loss.
+        cond = None
+        for c, pv in zip(part_cols, pv_cols):
+            eq = F.coalesce(
+                F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+            ) == F.col(pv)
+            cond = eq if cond is None else (cond & eq)
+        data_cols = [c for c in src.columns if c not in part_cols]
+        # spark_partition_id rides as a hash INPUT (not added after —
+        # bigint + would overflow under ANSI) so constant-content rows
+        # still spread across splits.
+        split_key = F.pmod(
+            F.xxhash64(*[F.col(c) for c in data_cols], F.spark_partition_id()),
+            F.coalesce(F.col("_n_split"), F.lit(1)).cast("bigint"),
+        )
         (
-            src.repartition(n_files, *part_cols)
+            src.join(F.broadcast(nmap), cond, "left")
+            .withColumn("_split", split_key)
+            .repartition(n_files, *part_cols, "_split")
+            .drop("_split", "_n_split", *pv_cols)
             .write.mode("overwrite")
             .partitionBy(*part_cols)
             .parquet(staging)

@@ -258,6 +258,58 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j7b_asof_join_multikey",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.value AS asof_value,
+           CAST(c.event_id AS DOUBLE) AS asof_event_id
+    FROM (SELECT *, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT *, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d
+          FROM events WHERE event_type = 'view') c
+      ON p.user_id = c.user_id
+     AND p.d = c.d
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+    """,
+)
+def j7b_asof_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7b (VERDICT r5 #4): COMPOSITE-key as-of join — each purchase is
+    annotated with the latest same-user SAME-DAY view at-or-before it
+    (the (custkey, region)-style alignment ask). Exercises the
+    ``key=[...]`` form of operators/joins.asof_join: one hash shuffle on
+    (user_id, day), identical union+window plan shape as j7. The day
+    bucket is util.day_bucket (NTZ→DATE→NTZ — no session-zone coercion);
+    DuckDB's ASOF JOIN takes the extra day equality as a second ON
+    conjunct. asof_event_id is DOUBLE on both sides (nullable-int
+    pandas-fetch rule)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import day_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", day_bucket("ts").alias("d")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", day_bucket("ts").alias("d"), "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key=["user_id", "d"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value", "event_id"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_value"),
+        F.col("asof_event_id").cast("double"),
+    )
+
+
+@query(
     "j8_interval_join",
     oracle="""
     WITH iv AS (

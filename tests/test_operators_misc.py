@@ -210,6 +210,69 @@ def test_asof_join_missing_key_raises(spark):
         asof_join(left, right, "user_id", "event_id", "other", ["other"])
 
 
+def test_asof_join_missing_payload_raises(spark):
+    """ADVICE r5: a payload column absent from the right side must raise
+    the same ValueError pattern as key/tiebreak, not a raw KeyError."""
+    import pytest as _pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1)], "event_id long, user_id long")
+    right = spark.createDataFrame([(1, 2)], "user_id long, ts long")
+    with _pytest.raises(ValueError, match="payload column"):
+        asof_join(left, right, "user_id", "event_id", "ts", ["nope"])
+
+
+def test_asof_join_quoted_payload_names(spark):
+    """ADVICE r5: payload/key names needing quoting (spaces, dashes,
+    reserved words) must survive — the null payload is a typed struct
+    built from DataType objects, never a parsed DDL string."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(6))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, t(5), 55.0, "x")],
+        "user_id long, ts timestamp, `the value` double, `select` string",
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", "ts", ["the value", "select"]
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["asof_the value"] == 55.0
+    assert row["asof_select"] == "x"
+
+
+def test_asof_join_multi_key(spark):
+    """j7b shape: composite (k1, k2) as-of keys — rows only match within
+    the exact key combination, never across."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, "eu", t(6)), (2, 10, "us", t(6)), (3, 11, "eu", t(6))],
+        "event_id long, user_id long, region string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "eu", t(5), 1.0), (10, "us", t(4), 2.0), (12, "eu", t(3), 3.0)],
+        "user_id long, region string, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: r.asof_value
+        for r in asof_join(
+            left, right, ["user_id", "region"], "ts", "ts", ["value"]
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None}
+
+
 def test_char_ngram_lang_id_scores_profiles(spark):
     """Char-trigram lang ID: a text full of German trigrams scores 'de';
     profile-free text scores 'und'; deterministic across runs."""

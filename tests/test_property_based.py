@@ -189,3 +189,51 @@ def test_word_ngrams_matches_python_reference(spark, texts, n):
         toks = [w for w in t.lower().strip().split() if w]
         want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
         assert got[i] == want, (t, n)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1), st.integers(0, 100),
+                  st.integers(0, 1000)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_asof_join_multikey_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """Multi-key as-of join (j7b, VERDICT r5 #4) vs the pandas
+    ``merge_asof(by=[k1, k2])`` reference on arbitrary grouped fixtures.
+    The engine's greatest-tiebreak-wins rule maps to merge_asof's
+    last-row-wins once the right side is sorted by (ts, tiebreak)."""
+    import pandas as pd
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    lrows = [(i, k1, k2, ts) for i, (k1, k2, ts) in enumerate(left_rows)]
+    ldf = spark.createDataFrame(lrows, "rid long, k1 long, k2 long, ts long")
+    rschema = "k1 long, k2 long, ts long, payload long"
+    rdf = spark.createDataFrame(right_rows, rschema)
+    out = asof_join(ldf, rdf, ["k1", "k2"], "ts", "ts", ["payload"],
+                    tiebreak="payload")
+    got = {r.rid: r.asof_payload for r in out.collect()}
+
+    lp = pd.DataFrame(lrows, columns=["rid", "k1", "k2", "ts"]).sort_values(
+        "ts", kind="mergesort"
+    )
+    if right_rows:
+        rp = pd.DataFrame(
+            right_rows, columns=["k1", "k2", "ts", "payload"]
+        ).sort_values(["ts", "payload"], kind="mergesort")
+        ref = pd.merge_asof(lp, rp, on="ts", by=["k1", "k2"],
+                            direction="backward", allow_exact_matches=True)
+    else:
+        ref = lp.assign(payload=None)
+    want = {
+        int(r.rid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in ref.itertuples()
+    }
+    assert got == want

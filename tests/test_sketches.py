@@ -314,3 +314,56 @@ def test_salted_join_salt_on_and_map_columns(spark):
     assert {(r.k, r.payload, r.dim) for r in out2} == {
         (1, 10, "x"), (1, 20, "x"), (2, 30, "y"),
     }
+
+
+def test_bloom_probe_uid_collision_raises(spark):
+    """ADVICE r5: a pre-existing '_probe_uid' probe column would be
+    silently overwritten then dropped — must raise instead."""
+    import pytest as _pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    bitmap = bloom_build(members, "v")
+    probes = members.withColumnRenamed("v", "_probe_uid").withColumn(
+        "v", F.col("_probe_uid")
+    )
+    with _pytest.raises(ValueError, match="_probe_uid"):
+        bloom_might_contain(probes, "v", bitmap)
+
+
+def test_prereduced_topk_null_int_group_key_raises(spark):
+    """ADVICE r5: a NULL key in an integer GROUP column coerces the whole
+    pandas column to float64 (keys above 2^53 would silently merge) —
+    must fail loudly like the order/tiebreak guard."""
+    import pytest as _pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import (
+        top_k_per_group_prereduced,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1), (None, 2.0, 2), (1, 3.0, 3)],
+        "g long, v double, id long",
+    )
+    with _pytest.raises(Exception, match="integer group"):
+        top_k_per_group_prereduced(df, ["g"], "v", 2, tiebreak_col="id").collect()
+
+
+def test_prereduced_topk_string_group_null_ok(spark):
+    """NULL keys in a STRING group column remain a regular partition
+    (pandas dropna=False) — only integer group columns are rejected."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import (
+        top_k_per_group_prereduced,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), (None, 2.0, 2), (None, 3.0, 3), ("a", 4.0, 4)],
+        "g string, v double, id long",
+    )
+    rows = top_k_per_group_prereduced(df, ["g"], "v", 1, tiebreak_col="id").collect()
+    got = {r.g: r.v for r in rows}
+    assert got == {"a": 4.0, None: 3.0}

@@ -207,3 +207,40 @@ def test_compact_small_files_preserves_partitioned_layout(spark):
     back = spark.read.parquet(path)
     assert back.count() == 3000
     assert back.filter(F.col("bucket") == "1").count() == 1000
+
+
+def test_compact_small_files_splits_big_partitions(spark):
+    """ADVICE r5 (medium): a hive partition larger than target_file_bytes
+    must compact into SEVERAL ~target-sized files written by multiple
+    tasks — hashing only on the partition columns had sent each
+    partition to exactly one task (one file regardless of size)."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import compact_small_files
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "skewed_frag")
+    big = spark.range(0, 40000).select(
+        F.col("id").alias("k"),
+        F.lit("big").alias("bucket"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),  # incompressible
+    )
+    small = spark.range(40000, 40100).select(
+        F.col("id").alias("k"), F.lit("small").alias("bucket"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    big.unionByName(small).repartition(16).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
+    big_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "bucket=big", "*.parquet"))
+    )
+    compact_small_files(spark, path, target_file_bytes=max(1, big_bytes // 4))
+    big_files = glob.glob(os.path.join(path, "bucket=big", "*.parquet"))
+    small_files = glob.glob(os.path.join(path, "bucket=small", "*.parquet"))
+    assert len(big_files) >= 2, big_files      # split, not one straggler file
+    assert len(small_files) == 1, small_files  # small partition stays one file
+    back = spark.read.parquet(path)
+    assert back.count() == 40100
+    assert back.select("k").distinct().count() == 40100
+    assert back.filter(F.col("bucket") == "small").count() == 100
