@@ -48,7 +48,10 @@ HEADLINE = [
     "l2_minhash_near_dup",
     "l3_cosine_topk",
     "l4_word_topk",
-    "t2_tumbling_window",
+    # r6 (VERDICT r5 #1): bench the SHIP shapes — append mode + tight
+    # watermark (t2b/t4b), not the complete-mode batch-parity forms.
+    "t2b_tumbling_append",
+    "t4b_session_append",
     "etl_reference_pipeline",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

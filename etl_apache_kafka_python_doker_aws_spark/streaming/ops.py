@@ -68,6 +68,51 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataF
     )
 
 
+def stage_ordered_batches(
+    dfs: list[DataFrame], staged: str, seconds_apart: float = 10.0
+) -> list[str]:
+    """Stage DataFrames as single parquet files whose CONSUMPTION ORDER
+    is pinned deterministically: the file stream source orders files by
+    modification time, and mtime is set EXPLICITLY via ``os.utime`` —
+    strictly increasing, ``seconds_apart`` apart — so with
+    ``maxFilesPerTrigger=1`` batch i is always consumed i-th.
+
+    Replaces sleep-between-writes staging (VERDICT r5 #2): the old form
+    slept 1.1 s per file so filesystem mtimes would differ — dead time
+    on every fresh session, and correctness hung on mtime granularity.
+    Pinning the source's own ordering key is exact on any filesystem and
+    takes zero wall time. Calling again on a non-empty dir APPENDS: new
+    files continue the numbering and sort after every existing file
+    (tests that interleave writes with stream runs).
+
+    Returns the staged file paths in consumption order."""
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    os.makedirs(staged, exist_ok=True)
+    existing = sorted(_glob.glob(os.path.join(staged, "batch*.parquet")))
+    idx0 = len(existing)
+    prev = max(
+        (os.path.getmtime(f) for f in existing),
+        default=_time.time() - seconds_apart * (len(dfs) + 1),
+    )
+    out: list[str] = []
+    for i, df in enumerate(dfs):
+        tmp = staged.rstrip("/") + f".tmp{idx0 + i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if len(parts) != 1:
+            raise RuntimeError(f"expected one part file in {tmp}, got {parts}")
+        dst = os.path.join(staged, f"batch{idx0 + i:03d}.parquet")
+        shutil.move(parts[0], dst)
+        t = prev + seconds_apart * (i + 1)
+        os.utime(dst, (t, t))
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.append(dst)
+    return out
+
+
 def with_watermark(stream: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
     """T1: event-time watermark — bounds state for windows/dedup/joins and
     defines the late-data drop line (T7)."""

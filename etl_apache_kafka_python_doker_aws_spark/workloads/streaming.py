@@ -71,8 +71,9 @@ _STAGED_TWO_PHASE: dict[tuple[str, str, int], str] = {}
 def _stage_two_phase_events(spark: SparkSession, sf_dir: str, wd: str,
                             late_hours: int = 4) -> str:
     """Stage the events fixture as THREE parquet files with controlled
-    arrival order (older mtime = consumed first; the 1.1 s sleeps
-    guarantee distinct mtimes and maxFilesPerTrigger=1 pins one file per
+    arrival order (older mtime = consumed first; mtimes are PINNED
+    explicitly by stage_ordered_batches — zero sleeps, deterministic on
+    any filesystem — and maxFilesPerTrigger=1 pins one file per
     micro-batch):
 
       batch 0 — the RECENT slice (ts >= max_ts - late_hours): advances
@@ -93,10 +94,11 @@ def _stage_two_phase_events(spark: SparkSession, sf_dir: str, wd: str,
     The cutoff is computed with a broadcast max join — no driver-side
     collect. The staged layout is cached per (session, sf_dir): t2b, t3b
     and t4b stage the IDENTICAL three files, so re-staging per query
-    would triple the scan+agg jobs and the mtime sleeps (review r5)."""
-    import time
-
+    would triple the scan+agg jobs (review r5)."""
     from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+        stage_ordered_batches,
+    )
 
     cache_key = (spark.sparkContext.applicationId, sf_dir, late_hours)
     cached = _STAGED_TWO_PHASE.get(cache_key)
@@ -111,11 +113,7 @@ def _stage_two_phase_events(spark: SparkSession, sf_dir: str, wd: str,
     recent = with_cut.filter(F.col("ts") >= F.col("_cut")).drop("_max_ts", "_cut")
     flush = with_cut.filter(F.col("ts") == F.col("_max_ts")).drop("_max_ts", "_cut")
     late = with_cut.filter(F.col("ts") < F.col("_cut")).drop("_max_ts", "_cut")
-    recent.coalesce(1).write.mode("overwrite").parquet(staged)
-    time.sleep(1.1)
-    flush.coalesce(1).write.mode("append").parquet(staged)
-    time.sleep(1.1)
-    late.coalesce(1).write.mode("append").parquet(staged)
+    stage_ordered_batches([recent, flush, late], staged)
     _STAGED_TWO_PHASE[cache_key] = staged
     return staged
 
