@@ -940,6 +940,36 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_pq_search",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
+    """,
+)
+def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #3 (VERDICT r5 #3): PQ asymmetric-distance search —
+    ADC lookup-table shortlist over the 8-byte PQ codes (32x less scan
+    memory than the raw 64-float vectors), then exact re-rank of the
+    50-candidate shortlist only (functions/similarity.pq_topk — the
+    standard ADC-then-refine tier). Contract (the l3_ann pattern):
+    recall >= 0.6 vs the ENGINE-COMPUTED exact squared-L2 top-5 (same
+    metric, uncompressed — isolates quantization loss; measured 0.86 at
+    sf0.01, vs 0.24 ADC-only — the fixture's near-uniform embeddings
+    are PQ's worst case), at most k rows per query, no self-matches.
+    Seeded KMeans codebooks make it deterministic for the fixture."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        l2_topk,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    approx = pq_topk(
+        e, q, k=5, dim=64, n_subspaces=8, n_centroids=32, shortlist=50
+    )
+    return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
+
+
+@query(
     "l4_collapse_repeats",
     oracle=r"""
     WITH toks AS (

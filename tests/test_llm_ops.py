@@ -488,3 +488,53 @@ def test_prefix_filtered_jaccard_equals_inverted_index(spark):
         for r in jaccard_pairs_prefix_filtered(corpus, "doc_id", "text", 0.4).collect()
     }
     assert a == b and (90001, 90002, 1.0) in b
+
+
+def test_pq_topk_rerank_matches_exact_on_separable_corpus(spark):
+    """pq_topk with an exact re-rank shortlist must recover the exact
+    L2 top-k on a cleanly clustered corpus (codebooks resolve the
+    clusters, the shortlist holds every same-cluster neighbor, and the
+    refine stage is exact arithmetic)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        l2_topk,
+        pq_topk,
+    )
+
+    # 4 well-separated cluster centers in R^8, 10 points per cluster
+    # with small deterministic offsets
+    centers = [
+        [float(50 * c)] * 8 for c in range(4)
+    ]
+    rows = []
+    vid = 0
+    for c, ctr in enumerate(centers):
+        for j in range(10):
+            vec = [x + 0.01 * j * ((i % 2) * 2 - 1) for i, x in enumerate(ctr)]
+            rows.append((vid, [float(v) for v in vec]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id").isin(0, 15, 27))
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in l2_topk(corpus, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(
+            corpus, queries, k=5, dim=8, n_subspaces=2, n_centroids=4,
+            shortlist=12,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_pq_topk_shortlist_smaller_than_k_raises(spark):
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        pq_topk(corpus, corpus, k=5, dim=2, n_subspaces=1, n_centroids=2,
+                shortlist=3)
