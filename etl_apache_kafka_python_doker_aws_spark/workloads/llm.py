@@ -1390,6 +1390,7 @@ def l4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l2_jaccard_prefix",
+    scale_form="bounded",
     oracle="""
     WITH toks AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(

@@ -219,6 +219,7 @@ def o5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "o3b_topk_prereduced",
+    scale_form="bounded",
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, rk
     FROM (

@@ -570,6 +570,7 @@ def a17_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a18_salted_hot_key_agg",
+    scale_form="bounded",
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT)                       AS n,
@@ -640,6 +641,7 @@ def f_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a19_heavy_hitters",
+    scale_form="bounded",
     oracle="""
     WITH t AS (
         SELECT CASE WHEN l_orderkey % 5 < 2 THEN CAST(-1 AS BIGINT)

@@ -38,6 +38,7 @@ def _qname(base: str) -> str:
 
 @query(
     "t2_tumbling_window",
+    scale_form="parity",
     oracle="""
     SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS wstart,
            event_type,
@@ -236,6 +237,7 @@ def t4b_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t3_sliding_window",
+    scale_form="parity",
     oracle="""
     WITH starts AS (
       SELECT UNNEST([DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)),
@@ -259,6 +261,7 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t4_session_window",
+    scale_form="parity",
     oracle="""
     WITH flagged AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
