@@ -240,3 +240,161 @@ def chunk_tokens(
             lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Lexical retrieval baseline: BM25 top-k documents for a literal
+    term query — the standard sparse counterpart to the L3 vector tier
+    (hybrid retrieval = union of this and cosine/ANN top-k).
+
+    Plan (one corpus pass + 1-row broadcasts, no per-term shuffle): per
+    doc, tf for each query term via a JVM array filter over the shared
+    tokenization; corpus stats (N, Σdl — an exact BIGINT sum so avgdl is
+    a deterministic double) and per-term document frequencies reduce to
+    1-row frames that broadcast back; the score is a fixed-order literal
+    expression per doc, then one window shuffle for the top-k.
+
+    Cross-engine determinism (oracle-exact by construction): ln() is the
+    ONLY transcendental and Java's Math.log can differ from libm by one
+    ulp (measured: 54/1374 probed inputs), so each idf is ROUNDED to 6
+    dp immediately after the ln; every other step — integer tf/df/N,
+    exact-sum avgdl, exactly-rounded IEEE mults/divs, and a summation
+    pinned to the literal term order — is then bit-identical on any
+    engine, and the DuckDB mirror writes the same expression shape with
+    the same parenthesization. rk ties break on id.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    def _tf_expr(term: str):
+        # NB: a `lambda t, w=w:` closure would give the HOF lambda TWO
+        # parameters and PySpark would bind the second to the array
+        # INDEX — a real one-arg closure is required
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    toks = tokenize(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[_tf_expr(w).alias(f"_tf{i}") for i, w in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double").alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.round(
+            F.ln(
+                (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+                / (F.col(f"_df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + (F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl")))
+        )
+        term = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+        score = term if score is None else score + term
+    # orderBy().limit(k) plans TakeOrderedAndProject (map-side partial
+    # top-k, no single-reducer global sort); the rank window then runs
+    # over only the k survivors.
+    top = (
+        scored.withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select(F.col(id_col), F.round("_score", 6).alias("score"), "rk")
+    )
+
+
+def bigram_cross_entropy(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Perplexity-style quality scoring: per-document cross-entropy under
+    an add-one-smoothed BIGRAM language model trained on the corpus
+    itself — the classic KenLM-shaped filter (prune documents whose
+    cross-entropy is far from the corpus median) without an external
+    model artifact. p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).
+
+    Plan: explode bigrams once, count bigrams/unigrams (map-side partial
+    aggs on token keys), join the counts back, and fold each document's
+    per-position ln-probs in POSITION order. Returns
+    (id_col, n_bigrams, cross_entropy) — documents with fewer than two
+    tokens have no bigrams and are omitted.
+
+    Cross-engine determinism (same discipline as bm25_topk): each ln is
+    rounded to 6 dp immediately (the only transcendental); counts and V
+    are integers; the per-doc sum is a LEFT FOLD over the
+    position-sorted array (DuckDB mirror: list(lnp ORDER BY pos) +
+    list_reduce), so the result is bit-identical across engines.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokenize(text_col)
+    t = docs.select(F.col(id_col), toks.alias("_tk"))
+    bigrams = F.zip_with(
+        F.slice("_tk", 1, F.greatest(F.size("_tk") - 1, F.lit(0))),
+        F.slice("_tk", 2, F.greatest(F.size("_tk") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = t.select(
+        F.col(id_col), F.posexplode(bigrams).alias("pos", "bg")
+    ).select(
+        F.col(id_col), "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    uni = (
+        t.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("_c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+    bic = (
+        bi.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("_c2"))
+    )
+    lnp = F.round(
+        F.ln((F.col("_c2") + F.lit(1.0)) / (F.col("_c1") + F.col("_v"))), 6
+    )
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, bi["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), "pos", lnp.alias("_lnp"))
+    )
+    perdoc = scored.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("p"), F.col("_lnp").alias("l")))
+        ).alias("_ls")
+    )
+    total = F.aggregate(
+        F.transform("_ls", lambda s: s.getField("l")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return perdoc.select(
+        F.col(id_col),
+        F.size("_ls").cast("long").alias("n_bigrams"),
+        F.round((-total) / F.size("_ls").cast("double"), 6).alias("cross_entropy"),
+    )

@@ -940,6 +940,126 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l4_bigram_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS DOUBLE) AS c1
+      FROM (SELECT UNNEST(tk) AS w FROM toks)
+      GROUP BY w
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+      SELECT doc_id, UNNEST(range(1, greatest(len(tk), 1))) AS pos, tk
+      FROM toks
+    ),
+    bi2 AS (
+      SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2 FROM bi
+    ),
+    bic AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bi2 GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT b.doc_id, b.pos,
+             ROUND(LN((bc.c2 + 1.0) / (u.c1 + v.v)), 6) AS lnp
+      FROM bi2 b
+      JOIN bic bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN uni u ON b.w1 = u.w
+      CROSS JOIN vocab v
+    ),
+    perdoc AS (
+      SELECT doc_id, list(lnp ORDER BY pos) AS ls
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_bigrams,
+           ROUND(-(list_reduce(ls, (a, b) -> a + b)) / len(ls), 6) AS cross_entropy
+    FROM perdoc
+    """,
+)
+def l4_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: perplexity-style quality scoring — per-doc cross-entropy under
+    an add-one-smoothed bigram LM trained on the corpus itself
+    (functions/text.bigram_cross_entropy), the KenLM-shaped filter
+    without an external model. Exact-hash oracle by the bm25 discipline:
+    round each ln (the only transcendental) to 6 dp, integer counts,
+    per-doc LEFT FOLD over position-sorted ln-probs (DuckDB mirror:
+    list(lnp ORDER BY pos) + list_reduce — a left fold with the same
+    association as Spark's aggregate-from-0.0)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import (
+        bigram_cross_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(d)
+
+
+@query(
+    "l3_bm25_topk",
+    oracle=r"""
+    WITH lens AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, t -> t = 'merge')) AS DOUBLE) AS tf2
+      FROM lens
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id,
+          ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+            * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+            * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+            * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+          AS score
+      FROM tf, stats
+    )
+    SELECT doc_id, ROUND(score, 6) AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+    FROM scored ORDER BY rk LIMIT 20
+    """,
+)
+def l3_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 lexical tier: BM25 top-20 for the literal query (spark, vector,
+    merge) — the sparse-retrieval counterpart of the cosine/ANN vector
+    tier (hybrid retrieval unions the two candidate sets). Exact-hash
+    oracle BY CONSTRUCTION, not luck: ln() is the only transcendental
+    (Java Math.log vs libm differ by 1 ulp on ~4% of inputs — measured),
+    so each idf is rounded to 6 dp immediately; tf/df/N are integers,
+    avgdl is an exact BIGINT sum over the count, multiplies/divides are
+    IEEE exactly-rounded with the SAME parenthesization in both
+    engines, and the per-doc sum runs in literal term order. The plan is
+    one corpus pass + two 1-row broadcasts + TakeOrderedAndProject (no
+    global sort, no single-reducer window)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["spark", "vector", "merge"], k=20)
+    return out.select("doc_id", "score", F.col("rk").cast("long"))
+
+
+@query(
     "l3_pq_search",
     oracle="""
     SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches

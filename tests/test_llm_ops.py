@@ -538,3 +538,49 @@ def test_pq_topk_shortlist_smaller_than_k_raises(spark):
     with pytest.raises(ValueError, match="shortlist"):
         pq_topk(corpus, corpus, k=5, dim=2, n_subspaces=1, n_centroids=2,
                 shortlist=3)
+
+
+def test_bm25_ranks_term_dense_docs_higher(spark):
+    """BM25 sanity on a crafted corpus: the doc stuffed with the query
+    term outranks a doc with one mention, which outranks a doc with
+    none; df-common terms contribute less than rare ones."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple banana kiwi"),
+            (1, "apple pear plum grape melon"),
+            (2, "pear plum grape melon kiwi"),
+            (3, "banana banana pear plum grape"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.rk, r.score) for r in bm25_topk(docs, ["apple"], k=4).collect()}
+    assert out[0][0] == 1 and out[1][0] == 2       # tf 3 beats tf 1
+    assert out[0][1] > out[1][1] > 0.0
+    assert out[2][1] == 0.0 and out[3][1] == 0.0   # no term: score 0
+    # rarer term (kiwi, df=2) yields higher idf weight than common pear (df=3)
+    kiwi = {r.doc_id: r.score for r in bm25_topk(docs, ["kiwi"], k=4).collect()}
+    pear = {r.doc_id: r.score for r in bm25_topk(docs, ["pear"], k=4).collect()}
+    assert kiwi[2] > pear[2]
+
+
+def test_bigram_cross_entropy_prefers_predictable_text(spark):
+    """The corpus-repeated phrase scores LOWER cross-entropy (more
+    predictable) than a doc of corpus-unique bigrams; one-token docs
+    are omitted (no bigrams)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import (
+        bigram_cross_entropy,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(10, "zebra quark fjord nymph waltz"), (11, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in
+           bigram_cross_entropy(docs).collect()}
+    assert 11 not in out                       # no bigrams -> omitted
+    assert out[0][0] == 5 and out[10][0] == 4
+    assert out[0][1] < out[10][1]              # predictable < gibberish
