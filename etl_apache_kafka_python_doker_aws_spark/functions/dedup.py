@@ -440,7 +440,11 @@ def dedup_clusters(
     remaining rounds, locally and at cluster scale alike.
 
     Returns (id_col, cluster_id) where cluster_id is the minimum member
-    id; singletons keep their own id.
+    id; singletons keep their own id. The number of propagation rounds
+    the last call executed (including the final no-improvement check
+    round) is recorded on ``dedup_clusters.last_rounds`` — the
+    round-over-round scale probe (scale_probe.py) tracks it so a
+    superlinear convergence regression is visible.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -449,7 +453,10 @@ def dedup_clusters(
         .localCheckpoint(eager=False)
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
+        dedup_clusters.last_rounds = rounds  # type: ignore[attr-defined]
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Round-over-round scale probe for the ITERATIVE tier (VERDICT r5 #5):
+the three superlinear-risk plans — MinHash-LSH pair generation
+(l2_minhash_near_dup), label-propagation connected components
+(g1_graph_components) and the full curation capstone
+(l11_curation_pipeline) — run once per round against a synthetic
+sf1-class corpus (default 1M documents, ~200× the sf0.1 documents
+fixture), recording wall time AND rounds-to-convergence
+(``dedup_clusters.last_rounds``) in SCALING.md. Any superlinear jump
+becomes a visible regression instead of a surprise at 100 TB.
+
+Corpus: deterministic, id-derived (no RNG to coordinate): 60 tokens per
+doc from a 30k-word vocabulary via xxhash64(content_id, position); every
+50-doc family opens with 10 NEAR-copies (same content_id, plus one
+distinct tail token each), so 20% of the corpus is near-duplicate mass
+in 10-cliques that survives the exact-dedup stage and must be collapsed
+by MinHash+CC — dense enough to stress candidate generation and label
+propagation, structured enough that clique convergence is provably fast
+(diameter 1). All other tables are symlinked from the base sf dir.
+
+Usage:  python scale_probe.py            # 1M docs, prints one JSON line
+        SPARK_GRAFT_PROBE_DOCS=200000 python scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PROBE_QUERIES = ["l2_minhash_near_dup", "g1_graph_components", "l11_curation_pipeline"]
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "embeddings",
+]
+
+
+def build_probe_dir(spark, base_sf: str, probe_dir: str, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(probe_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base_sf, f"{t}.parquet")
+        dst = os.path.join(probe_dir, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    docs_path = os.path.join(probe_dir, "documents.parquet")
+    marker = os.path.join(probe_dir, f".docs_{n_docs}")
+    if os.path.exists(marker) and os.path.exists(docs_path):
+        return
+    shutil.rmtree(docs_path, ignore_errors=True)
+    content = (
+        F.when((F.col("id") % 50) < 10, F.col("id") - F.col("id") % 50)
+        .otherwise(F.col("id"))
+    )
+    # every 10th token is a real stopword so the Gopher-style quality
+    # gate (stopword ratio >= 0.01) keeps the corpus
+    stopwords = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "a")])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.when(
+            i % 10 == 0,
+            F.element_at(
+                stopwords,
+                (F.pmod(F.xxhash64(F.col("_content"), i), F.lit(5)) + 1).cast("int"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("_content"), i), F.lit(30000)).cast("string"),
+            )
+        ),
+    )
+    (
+        spark.range(n_docs)
+        .repartition(64)
+        .withColumn("_content", content)
+        .select(
+            F.col("id").alias("doc_id"),
+            # near-copy families: a distinct tail token keeps the sha256
+            # distinct (survives exact dedup) while ~59/60 shingles are
+            # shared (caught by MinHash+CC)
+            F.concat(
+                F.array_join(toks, " "),
+                F.when(
+                    ((F.col("id") % 50) < 10) & ((F.col("id") % 50) > 0),
+                    F.concat(F.lit(" zz"), (F.col("id") % 50).cast("string")),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(docs_path)
+    )
+    for f in os.listdir(probe_dir):
+        if f.startswith(".docs_"):
+            os.remove(os.path.join(probe_dir, f))
+    open(marker, "w").close()
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SPARK_GRAFT_PROBE_DOCS", "1000000"))
+    base_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    probe_dir = os.environ.get(
+        "SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_scale_probe"
+    )
+    from etl_apache_kafka_python_doker_aws_spark import get_spark
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_clusters
+    from etl_apache_kafka_python_doker_aws_spark.workloads import QUERIES
+
+    spark = get_spark()
+    t0 = time.time()
+    build_probe_dir(spark, base_sf, probe_dir, n_docs)
+    build_sec = round(time.time() - t0, 1)
+
+    timings: dict[str, float] = {}
+    cc_rounds: dict[str, int] = {}
+    for name in PROBE_QUERIES:
+        dedup_clusters.last_rounds = 0  # type: ignore[attr-defined]
+        t0 = time.time()
+        QUERIES[name](spark, probe_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 1)
+        rounds = getattr(dedup_clusters, "last_rounds", 0)
+        if rounds:
+            cc_rounds[name] = rounds
+    print(
+        json.dumps(
+            {
+                "probe": "iterative_tier",
+                "n_docs": n_docs,
+                "build_sec": build_sec,
+                "queries_sec": timings,
+                "cc_rounds": cc_rounds,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
