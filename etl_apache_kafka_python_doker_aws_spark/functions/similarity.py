@@ -653,3 +653,51 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion — the standard hybrid-retrieval combiner
+    (fuse a sparse/BM25 ranking with a dense/cosine ranking without
+    score calibration): score(id) = Σ_lists 1 / (k + rank_list(id)),
+    absent-from-list contributes 0.
+
+    Exactness: ranks are integers, 1.0/(k + rk) is one exactly-rounded
+    IEEE division, and the sum is a FIXED-ORDER expression over the
+    rankings list (an outer-join chain, not an aggregation) — so fused
+    scores are bit-identical on any engine and an exact-hash oracle is
+    safe. Plan: |lists|-1 small outer joins over top-N lists (tiny by
+    construction), TakeOrderedAndProject for the final cut.
+
+    Returns (id_col, rrf_score, rk) — rk ties break on id.
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"_rk{i}"))
+        fused = ri if fused is None else fused.join(ri, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"_rk{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    topped = (
+        fused.withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    return topped.withColumn("rk", F.row_number().over(w)).select(
+        F.col(id_col),
+        F.round("_score", 6).alias("rrf_score"),
+        "rk",
+    )

@@ -940,6 +940,96 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_hybrid_rrf",
+    oracle=r"""
+    WITH lens AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, t -> t = 'merge')) AS DOUBLE) AS tf2
+      FROM lens
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM tf
+    ),
+    bm AS (
+      SELECT doc_id,
+          ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+            * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+            * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+        + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+            * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+          AS score
+      FROM tf, stats
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM bm ORDER BY rk LIMIT 20
+    ),
+    qv AS (SELECT * FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_dot_product(qv.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.embedding::DOUBLE[], qv.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos_sim
+      FROM embeddings c, qv
+      WHERE c.vec_id != qv.vec_id
+    ),
+    dense AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rk
+      FROM cos ORDER BY rk LIMIT 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + l.rk), 0.0)
+           + COALESCE(1.0 / (60 + d.rk), 0.0) AS s
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rk
+    FROM fused ORDER BY rk LIMIT 20
+    """,
+)
+def l3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 hybrid retrieval: Reciprocal Rank Fusion of the sparse BM25
+    top-20 (terms: spark, vector, merge) and the dense exact-cosine
+    top-20 for query vector 0 (functions/similarity.rrf_fuse) — the
+    standard calibration-free sparse+dense combiner. Exact-hash oracle:
+    RRF arithmetic is integer ranks + one exactly-rounded division per
+    list summed in fixed list order (no transcendental beyond BM25's
+    already-rounded idf), so fused scores are bit-identical across
+    engines. Doc and vector ids share the fixture id space."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, ["spark", "vector", "merge"], k=20).select("doc_id", "rk")
+    dense = cosine_topk(e, e.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rk"
+    )
+    fused = rrf_fuse([lex, dense], top=20)
+    return fused.select("doc_id", "rrf_score", F.col("rk").cast("long"))
+
+
+@query(
     "l4_bigram_perplexity",
     oracle=r"""
     WITH toks AS (

@@ -584,3 +584,17 @@ def test_bigram_cross_entropy_prefers_predictable_text(spark):
     assert 11 not in out                       # no bigrams -> omitted
     assert out[0][0] == 5 and out[10][0] == 4
     assert out[0][1] < out[10][1]              # predictable < gibberish
+
+
+def test_rrf_fuse_boosts_overlap(spark):
+    """An id present in BOTH rankings outscores ids present in one, even
+    at worse individual ranks; absent lists contribute zero."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rk long")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rk long")
+    out = {r.doc_id: (r.rk, r.rrf_score) for r in rrf_fuse([a, b], top=10).collect()}
+    assert out[3][0] == 1                       # rank 3 + rank 1 beats rank 1 alone
+    assert abs(out[3][1] - (1 / 63 + 1 / 61)) < 1e-6  # scores round to 6 dp
+    assert abs(out[1][1] - 1 / 61) < 1e-6
+    assert set(out) == {1, 2, 3, 4}
