@@ -44,6 +44,9 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_might_contain",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
     "misra_gries_candidates",
     "heavy_hitters",
 ]
@@ -100,53 +103,36 @@ def bloom_might_contain(
     num_bits: int = 1 << 22,
     num_hashes: int = 4,
     result_col: str = "might_contain",
-    id_col: str | None = None,
 ) -> DataFrame:
     """Probe every row of ``probes`` against a ``bloom_build`` bitmap.
 
-    Returns ``probes`` + a boolean ``result_col``. The probe explodes
-    each row into its k positions, broadcast-joins the bitmap on the
-    word index (the bitmap is ≤ num_bits/64 rows — always broadcastable
-    by construction), tests the bit, and folds back with ``bool_and``:
-    the probe stream itself is never shuffled except by the groupBy on
-    its own (unique) surrogate id, and at scale the explode/fold pair
-    stays within one stage per probe partition.
+    Returns ``probes`` + a boolean ``result_col``. Membership depends
+    only on the probed VALUE, so the result is computed once per
+    DISTINCT value (explode the k positions, broadcast-join the
+    ≤ num_bits/64-row bitmap, ``bool_and`` fold grouped BY THE VALUE)
+    and joined back to the probe rows on the value itself — no
+    surrogate row id anywhere. (The previous implementation folded on a
+    ``monotonically_increasing_id`` surrogate, which is assigned
+    per-evaluation: when the probe frame's row order is not
+    deterministic — e.g. the output of a groupBy — the id assignment
+    can DIFFER between the fold branch and the join-back branch of the
+    same plan, silently mispairing results. Caught via cms_estimate's
+    impossible undercounts, r6.)
 
-    ``id_col`` names a UNIQUE key already on ``probes`` — pass it when
-    one exists (deterministic under retries); the
-    ``monotonically_increasing_id`` fallback is partition-layout-stable
-    but not contractual. ``num_bits``/``num_hashes`` MUST match the
-    build call.
+    NULL probes are not representable in the filter (build skips them)
+    and never equi-join back — they get ``false`` via the coalesce.
+    ``num_bits``/``num_hashes`` MUST match the build call.
     """
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
-    if "_probe_uid" in probes.columns:
-        # the surrogate would silently overwrite (and later drop) the
-        # caller's column of the same name (ADVICE r5)
-        raise ValueError(
-            "bloom_might_contain: probes already has a '_probe_uid' column "
-            "— rename it; the name is reserved for the internal surrogate key"
-        )
-    probes = ensure_parallelism(probes)
-    if id_col is not None:
-        # contract (docstring): id_col must be UNIQUE — duplicate ids
-        # would merge distinct probes' bool_and results into one row
-        keyed = probes.withColumn("_probe_uid", F.col(id_col))
-    else:
-        keyed = probes.withColumn("_probe_uid", F.monotonically_increasing_id())
-    # NULL probes are not representable in the filter (build skips them),
-    # but xxhash64 SKIPS null inputs rather than hashing them — a NULL
-    # probe would otherwise map to k fixed positions and could read as
-    # present. Short-circuit to false before hashing.
-    null_probes = keyed.filter(F.col(col).isNull()).withColumn(
-        result_col, F.lit(False)
-    )
-    keyed = keyed.filter(F.col(col).isNotNull())
     pos = F.explode(F.array(*_bloom_positions(col, num_bits, num_hashes)))
-    hits = (
-        keyed.select("_probe_uid", pos.alias("pos"))
+    flags = (
+        ensure_parallelism(probes.filter(F.col(col).isNotNull()))
+        .select(col)
+        .distinct()
+        .select(F.col(col), pos.alias("pos"))
         .select(
-            "_probe_uid",
+            F.col(col),
             F.expr("pos DIV 64").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
                 "mask"
@@ -154,18 +140,17 @@ def bloom_might_contain(
         )
         .join(F.broadcast(bitmap), "word", "left")
         .select(
-            "_probe_uid",
+            F.col(col),
             F.coalesce(
                 F.expr("(bits & mask) <> CAST(0 AS BIGINT)"), F.lit(False)
             ).alias("_bit_set"),
         )
-        .groupBy("_probe_uid")
+        .groupBy(col)
         .agg(F.expr("bool_and(_bit_set)").alias(result_col))
     )
-    probed = keyed.join(hits, "_probe_uid", "left").withColumn(
+    return probes.join(flags, [col], "left").withColumn(
         result_col, F.coalesce(F.col(result_col), F.lit(False))
     )
-    return probed.unionByName(null_probes).drop("_probe_uid")
 
 
 def _mg_merge(counters: dict, batch_counts: dict, capacity: int) -> dict:
@@ -324,3 +309,106 @@ def bloom_merge(*bitmaps: DataFrame) -> DataFrame:
     for b in bitmaps[1:]:
         merged = merged.unionByName(b)
     return merged.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def _cms_cells(col: str, depth: int, width: int) -> list:
+    """One (row, column) hash per sketch row for a value — xxhash64 with
+    the row index as seed, pmod to the width (the standard CMS layout)."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(d)), F.lit(width)) for d in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """SK4: COUNT-MIN SKETCH build over ``df[col]`` as a DataFrame of
+    ``(d: int, w: long, cnt: long)`` — ≤ depth·width rows regardless of
+    input size, the fixed-memory frequency summary that complements
+    Bloom (membership) and Misra-Gries (top-k): point-frequency
+    estimates with ONE-SIDED error (never under, over by at most the
+    collision mass in the estimate's min cell).
+
+    Build is one explode + hash aggregation with map-side partial
+    counts; NULLs are skipped (not representable — estimate 0). The
+    sketch is LINEAR: cms_merge of two builds equals the build of the
+    union cell-for-cell (asserted in tests), which is the incremental/
+    distributed maintenance path.
+    """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), c.alias("w"))
+                for d, c in enumerate(_cms_cells(col, depth, width))
+            ]
+        )
+    )
+    return (
+        ensure_parallelism(df.filter(F.col(col).isNotNull()))
+        .select(cells.alias("c"))
+        .select(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    col: str,
+    sketch: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    result_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for every probe row against a
+    ``cms_build`` sketch: est = min over rows d of counter[d, h_d(x)]
+    (an absent cell counts 0). Returns ``probes`` + ``result_col``.
+
+    Like bloom_might_contain, the estimate depends only on the probed
+    VALUE: computed once per distinct value (explode depth cells,
+    broadcast-join the ≤ depth·width-row sketch, ``min`` fold grouped
+    by the value) and joined back on the value — no surrogate row id,
+    so a probe frame with non-deterministic row order (a groupBy
+    output) cannot mispair results. ``depth``/``width`` MUST match the
+    build. NULL probes estimate 0.
+    """
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), c.alias("w"))
+                for d, c in enumerate(_cms_cells(col, depth, width))
+            ]
+        )
+    )
+    ests = (
+        ensure_parallelism(probes.filter(F.col(col).isNotNull()))
+        .select(col)
+        .distinct()
+        .select(F.col(col), cells.alias("c"))
+        .select(F.col(col), F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .join(F.broadcast(sketch), ["d", "w"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(result_col))
+    )
+    return probes.join(ests, [col], "left").withColumn(
+        result_col, F.coalesce(F.col(result_col), F.lit(0)).cast("long")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with IDENTICAL (depth, width): the
+    sketch is linear, so cell-wise ADDITION is lossless —
+    ``cms_merge(build(A), build(B))`` equals ``build(A ∪ B)``
+    cell-for-cell (asserted in tests). Incremental maintenance in
+    O(depth·width) rows, the bloom_merge shape with SUM instead of OR."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))

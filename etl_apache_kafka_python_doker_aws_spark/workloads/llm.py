@@ -1546,9 +1546,7 @@ def l2_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = planted.unionByName(novel)
 
     bitmap = bloom_build(corpus, "text")
-    probed = bloom_might_contain(
-        probes, "text", bitmap, result_col="flagged", id_col="probe_id"
-    )
+    probed = bloom_might_contain(probes, "text", bitmap, result_col="flagged")
     fp = probed.filter(~F.col("is_planted")).agg(
         (
             F.coalesce(F.avg(F.col("flagged").cast("double")), F.lit(0.0)) <= 0.05

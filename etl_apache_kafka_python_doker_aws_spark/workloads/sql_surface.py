@@ -640,6 +640,62 @@ def f_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sk4_count_min",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_probes,
+           TRUE AS no_undercount,
+           TRUE AS overcount_bounded,
+           TRUE AS merge_lossless
+    FROM orders
+    """,
+)
+def sk4_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK4: COUNT-MIN SKETCH point-frequency estimates over orders'
+    o_custkey (functions/sketches.cms_build/cms_estimate — 4x2048
+    counters, fixed memory regardless of key cardinality). Contract
+    row, every leg engine-computed distributed (the bloom/a4 pattern):
+    every distinct custkey probed (exact n_probes), NO undercount
+    (est >= true always — the CMS one-sided guarantee; an undercount
+    can only mean a bug, which is exactly how the r6 surrogate-id
+    mispairing was caught), overcount bounded (<= 64; measured max 15
+    at sf0.01, 0 at sf0.001 with ~1500 keys in 2048 columns), and
+    MERGE LOSSLESSNESS: the sketch is linear, so cms_merge of the two
+    order-parity halves must equal the whole-corpus sketch
+    cell-for-cell (symmetric exceptAll folded to a boolean — the d6
+    partial-aggregate-state argument, proved on the sketch itself)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sk = cms_build(o, "o_custkey", depth=4, width=2048)
+    true_counts = o.groupBy("o_custkey").agg(F.count("*").alias("_true"))
+    est = cms_estimate(true_counts, "o_custkey", sk, depth=4, width=2048)
+    checks = est.agg(
+        F.count("*").alias("n_probes"),
+        F.expr("bool_and(est_count >= _true)").alias("no_undercount"),
+        (F.max(F.col("est_count") - F.col("_true")) <= 64).alias("overcount_bounded"),
+    )
+    halves = cms_merge(
+        cms_build(o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0),
+                  "o_custkey", depth=4, width=2048),
+        cms_build(o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1),
+                  "o_custkey", depth=4, width=2048),
+    )
+    d1 = halves.exceptAll(sk).agg(F.count("*").alias("_d1"))
+    d2 = sk.exceptAll(halves).agg(F.count("*").alias("_d2"))
+    lossless = (
+        d1.crossJoin(d2)
+        .select(((F.col("_d1") == 0) & (F.col("_d2") == 0)).alias("merge_lossless"))
+    )
+    return checks.crossJoin(F.broadcast(lossless)).select(
+        "n_probes", "no_undercount", "overcount_bounded", "merge_lossless"
+    )
+
+
+@query(
     "a19_heavy_hitters",
     scale_form="bounded",
     oracle="""

@@ -316,23 +316,36 @@ def test_salted_join_salt_on_and_map_columns(spark):
     }
 
 
-def test_bloom_probe_uid_collision_raises(spark):
-    """ADVICE r5: a pre-existing '_probe_uid' probe column would be
-    silently overwritten then dropped — must raise instead."""
-    import pytest as _pytest
-
+def test_bloom_probe_groupby_derived_probes_deterministic(spark):
+    """Regression (r6, found via cms_estimate's impossible undercounts):
+    probe results must pair correctly even when the probe frame's row
+    order is non-deterministic (a groupBy output) — the old surrogate
+    monotonically_increasing_id fold could mispair rows between the two
+    evaluations of the same plan. Results are now keyed by the value."""
     from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
         bloom_build,
         bloom_might_contain,
     )
 
-    members = spark.createDataFrame([(i,) for i in range(10)], "v long")
-    bitmap = bloom_build(members, "v")
-    probes = members.withColumnRenamed("v", "_probe_uid").withColumn(
-        "v", F.col("_probe_uid")
+    members = spark.createDataFrame([(i % 200,) for i in range(2000)], "v long")
+    bitmap = bloom_build(members, "v", num_bits=1 << 16)
+    # groupBy-derived probes: hash-agg output order is not contractual
+    probes = members.groupBy("v").count().withColumn(
+        "v2", F.col("v") + 1000  # 1000+ are provably novel
     )
-    with _pytest.raises(ValueError, match="_probe_uid"):
-        bloom_might_contain(probes, "v", bitmap)
+    out = bloom_might_contain(probes, "v", bitmap, num_bits=1 << 16)
+    assert out.filter(~F.col("might_contain")).count() == 0
+    novel = probes.select(F.col("v2").alias("v"))
+    out2 = bloom_might_contain(novel, "v", bitmap, num_bits=1 << 16)
+    # false-positive rate on novel keys stays tiny; a mispairing bug
+    # would instead flip large blocks of rows
+    assert out2.filter(F.col("might_contain")).count() <= 5
+
+    # a probe row with a NULL value reads false, never true
+    with_null = spark.createDataFrame([(None,), (5,)], "v long")
+    got = {r.v: r.might_contain for r in
+           bloom_might_contain(with_null, "v", bitmap, num_bits=1 << 16).collect()}
+    assert got == {None: False, 5: True}
 
 
 def test_prereduced_topk_null_int_group_key_raises(spark):
@@ -367,3 +380,34 @@ def test_prereduced_topk_string_group_null_ok(spark):
     rows = top_k_per_group_prereduced(df, ["g"], "v", 1, tiebreak_col="id").collect()
     got = {r.g: r.v for r in rows}
     assert got == {"a": 4.0, None: 3.0}
+
+
+def test_cms_estimate_one_sided_and_merge_lossless(spark):
+    """CMS invariants: estimates NEVER undercount (even for probes
+    derived from a groupBy — the r6 mispairing regression), novel keys
+    estimate >= 0, NULL probes estimate 0, and merging two half-builds
+    equals the whole build cell-for-cell (linearity)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([(i % 100,) for i in range(5000)], "v long")
+    sk = cms_build(df, "v", depth=4, width=256)
+    true = df.groupBy("v").count()
+    est = cms_estimate(true, "v", sk, depth=4, width=256)
+    bad = est.filter(F.col("est_count") < F.col("count")).count()
+    assert bad == 0
+
+    with_null = spark.createDataFrame([(None,), (7,)], "v long")
+    got = {r.v: r.est_count for r in
+           cms_estimate(with_null, "v", sk, depth=4, width=256).collect()}
+    assert got[None] == 0 and got[7] >= 50
+
+    keyed = spark.createDataFrame([(i, i % 100) for i in range(5000)], "i long, v long")
+    a = cms_build(keyed.filter(F.col("i") % 2 == 0), "v", depth=4, width=256)
+    b = cms_build(keyed.filter(F.col("i") % 2 == 1), "v", depth=4, width=256)
+    merged = cms_merge(a, b)
+    assert merged.exceptAll(sk).count() == 0
+    assert sk.exceptAll(merged).count() == 0
