@@ -280,6 +280,29 @@ def _pq_train(
     return codebooks
 
 
+def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
+    """Nearest-centroid assignment per subspace (shared by pq_encode and
+    pq_topk so the stored codes and the search-path codes can never
+    desynchronize — review r6): adds ``_c{s}`` (the code, 0-based) and
+    ``_e{s}`` (squared distance to the chosen centroid) per subspace.
+    ``_d{s}`` is materialized as a column reference first so the
+    n_centroids × sub_dim distance tree evaluates once per row."""
+    out = dense
+    for s, book in enumerate(codebooks):
+        out = out.withColumn(
+            f"_d{s}", _subspace_dists(F.slice("_v", s * sub + 1, sub), book)
+        )
+    sel = [F.col(c) for c in dense.columns]
+    for s in range(len(codebooks)):
+        sel.append(
+            (F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1)
+            .cast("int")
+            .alias(f"_c{s}")
+        )
+        sel.append(F.array_min(F.col(f"_d{s}")).alias(f"_e{s}"))
+    return out.select(*sel)
+
+
 def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     """Squared L2 distance from an array slice to each centroid of one
     codebook, as an array<double> expression (centroids are literals)."""
@@ -335,19 +358,7 @@ def pq_encode(
     )
     codebooks = _pq_train(dense, sub, n_subspaces, n_centroids, seed, train_fraction)
 
-    out = dense
-    code_cols, err_cols = [], []
-    for s, book in enumerate(codebooks):
-        sl = F.slice("_v", s * sub + 1, sub)
-        d_arr = _subspace_dists(sl, book)
-        out = out.withColumn(f"_d{s}", d_arr)
-        code_cols.append(
-            (F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1)
-            .cast("int")
-            .alias(f"_c{s}")
-        )
-        err_cols.append(F.array_min(F.col(f"_d{s}")))
-    out = out.select("_id", "_v", *code_cols, *[e.alias(f"_e{s}") for s, e in enumerate(err_cols)])
+    out = _pq_assign(dense, codebooks, sub)
     total_err = sum((F.col(f"_e{s}") for s in range(n_subspaces)), F.lit(0.0))
     return out.select(
         F.col("_id").alias(id_col),
@@ -419,19 +430,10 @@ def pq_topk(
     )
     codebooks = _pq_train(dense, sub, n_subspaces, n_centroids, seed, train_fraction)
 
-    # Encode the corpus: nearest-centroid code per subspace (JVM exprs).
-    coded = dense
-    for s, book in enumerate(codebooks):
-        coded = coded.withColumn(f"_d{s}", _subspace_dists(F.slice("_v", s * sub + 1, sub), book))
-    coded = coded.select(
+    # Encode the corpus with the SAME assignment stage pq_encode uses.
+    coded = _pq_assign(dense, codebooks, sub).select(
         F.col("_id").alias("neighbor_id"),
-        F.array(
-            *[
-                (F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1)
-                .cast("int")
-                for s in range(n_subspaces)
-            ]
-        ).alias("_codes"),
+        F.array(*[F.col(f"_c{s}") for s in range(n_subspaces)]).alias("_codes"),
     )
 
     # Per-query ADC lookup tables: array of n_subspaces arrays of

@@ -61,6 +61,13 @@ def asof_join(
     "latest wins"); without it the winner among equal-ts right rows is
     partition-order-dependent.
 
+    NULL keys follow SQL JOIN semantics (review r6): a NULL never
+    equals a NULL, so right rows with any NULL key column are excluded
+    up front and left rows with NULL keys always get a NULL payload —
+    the window would otherwise co-partition all NULL-key rows and
+    cross-fill them, diverging from both an ASOF JOIN oracle and
+    pandas merge_asof.
+
     Contrast with the driver-side or merge_asof-per-group alternatives:
     this is a single shuffle + sort, identical in shape to a sort-merge
     join, and spills via Spark's external sorter at any scale.
@@ -104,8 +111,13 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_r_payload"),
         F.lit(None).cast(tb_type).alias("_asof_tb"),
     )
-    # Right rows carry their own keys; every other left column rides as NULL.
-    r_tagged = right.filter(_bq(right_ts).isNotNull()).select(
+    # Right rows carry their own keys; every other left column rides as
+    # NULL. A NULL key can never match (SQL semantics) — drop those
+    # rows here so they cannot fill the NULL-key window partition.
+    right_keyed = right.filter(_bq(right_ts).isNotNull())
+    for kcol in keys:
+        right_keyed = right_keyed.filter(_bq(kcol).isNotNull())
+    r_tagged = right_keyed.select(
         *[
             _bq(c).alias(c)
             if c in keys

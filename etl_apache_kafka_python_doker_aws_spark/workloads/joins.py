@@ -220,7 +220,17 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.value AS asof_value,
            CAST(c.event_id AS DOUBLE) AS asof_event_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        -- one row per (user, ts): max-event_id wins, mirroring the
+        -- engine's tiebreak — DuckDB ASOF picks an ARBITRARY row among
+        -- equal-ts matches otherwise (review r6; current fixtures have
+        -- no such ties, this pins the semantics rather than the luck)
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                       ORDER BY event_id DESC) AS tie_rn
+          FROM events WHERE event_type = 'click'
+        ) WHERE tie_rn = 1
+    ) c
       ON p.user_id = c.user_id
      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
     """,
@@ -265,9 +275,17 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.event_id AS DOUBLE) AS asof_event_id
     FROM (SELECT *, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d
           FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN
-         (SELECT *, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d
-          FROM events WHERE event_type = 'view') c
+    ASOF LEFT JOIN (
+        -- tie-robust view side: max-event_id per (user, day, ts), see j7
+        SELECT * FROM (
+          SELECT *, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS d,
+                 ROW_NUMBER() OVER (PARTITION BY user_id,
+                                    DATE_TRUNC('day', CAST(ts AS TIMESTAMP)),
+                                    CAST(ts AS TIMESTAMP)
+                                    ORDER BY event_id DESC) AS tie_rn
+          FROM events WHERE event_type = 'view'
+        ) WHERE tie_rn = 1
+    ) c
       ON p.user_id = c.user_id
      AND p.d = c.d
      AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)

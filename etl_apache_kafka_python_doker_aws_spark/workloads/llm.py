@@ -939,10 +939,11 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "l3_hybrid_rrf",
-    oracle=r"""
-    WITH lens AS (
+#: Shared BM25 oracle CTEs (lens/tf/stats/bm) — l3_bm25_topk and
+#: l3_hybrid_rrf build their oracles from this ONE string so the formula,
+#: tokenizer mirror and query terms can never drift apart (review r6; the
+#: _DUCK_TOKS pattern from workloads/curation.py).
+_BM25_LEX_CTES = r"""lens AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                          t -> t <> '') AS toks
@@ -974,7 +975,13 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
           AS score
       FROM tf, stats
-    ),
+    )"""
+
+
+@query(
+    "l3_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_LEX_CTES},
     lex AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
       FROM bm ORDER BY rk LIMIT 20
@@ -1091,43 +1098,11 @@ def l4_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l3_bm25_topk",
-    oracle=r"""
-    WITH lens AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                         t -> t <> '') AS toks
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id,
-             CAST(len(toks) AS DOUBLE) AS dl,
-             CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) AS tf0,
-             CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) AS tf1,
-             CAST(len(list_filter(toks, t -> t = 'merge')) AS DOUBLE) AS tf2
-      FROM lens
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
-             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-      FROM tf
-    ),
-    scored AS (
-      SELECT doc_id,
-          ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
-            * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
-        + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
-            * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
-        + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
-            * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
-          AS score
-      FROM tf, stats
-    )
+    oracle=f"""
+    WITH {_BM25_LEX_CTES}
     SELECT doc_id, ROUND(score, 6) AS score,
            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-    FROM scored ORDER BY rk LIMIT 20
+    FROM bm ORDER BY rk LIMIT 20
     """,
 )
 def l3_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

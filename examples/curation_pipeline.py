@@ -70,7 +70,7 @@ def main() -> None:
     bitmap = bloom_build(deduped.select("text"), "text")
     new_batch = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     gated = bloom_might_contain(
-        new_batch, "text", bitmap, result_col="already_seen", id_col="doc_id"
+        new_batch, "text", bitmap, result_col="already_seen"
     )
     n_new = gated.filter(~F.col("already_seen")).count()
     print(f"incremental ingest: {new_batch.count()} crawled, {n_new} genuinely new")

@@ -476,3 +476,25 @@ def test_text_null_and_empty_edge_cases(spark):
     assert by_len[0].pr is None or by_len[0].pr == 0.0  # empty/NULL: no crash
     assert got[1].c == [] and got[0].c == []            # NULL and '' both []
     assert len(by_len[3].c) == 3                        # 'a b c': [a b],[b c],[c]
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Review r6: SQL join semantics for NULL keys — a NULL-key left row
+    gets a NULL payload and a NULL-key right row matches nothing; the
+    window partition must not cross-fill them."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, None, t(6)), (2, 10, t(6))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, t(5), 99.0), (10, t(5), 55.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r.event_id: r.asof_value for r in
+           asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()}
+    assert out == {1: None, 2: 55.0}
