@@ -174,3 +174,70 @@ def scd2_apply(
     merged.write.mode("overwrite").parquet(staging)
     _swap_in(staging, target_path)
     return spark.read.parquet(target_path)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """D9: apply a CDC op-log (I/U/D rows with a total per-key order
+    ``seq_col``) to a base snapshot and return the FINAL STATE — the
+    Debezium/binlog replay primitive the reference's at-least-once
+    consumer loop needed (it crashed on re-delivered keys instead,
+    /root/reference/dags/etl_dags.py:46-51).
+
+    Semantics: per key, the change with the greatest ``seq_col`` wins;
+    'D' removes the key, 'I'/'U' upsert the row's payload; keys without
+    changes keep their base row. Late/duplicate deliveries are absorbed
+    by the same rule (idempotent replay — applying the log twice is a
+    no-op because max-seq is stable).
+
+    Plan: tag base rows as seq=-inf inserts, union with the log, ONE
+    hash-shuffle window on the key (row_number by seq desc), keep rank 1
+    that is not a delete. No driver-side state; scales like any window.
+    Ties on (key, seq) break toward the CHANGE side then by op for
+    determinism — but a log with duplicate seq per key is malformed;
+    callers should guarantee uniqueness.
+
+    ``changes`` must carry every ``base`` column plus ``op_col`` and
+    ``seq_col``; NULL keys are rejected (never matchable, the
+    merge_upsert rule).
+    """
+    from pyspark.sql.window import Window
+
+    for c in [op_col, seq_col]:
+        if c not in changes.columns:
+            raise ValueError(f"cdc_apply: changes is missing column {c!r}")
+    _reject_null_keys(changes, key_cols, "cdc_apply")
+    payload_cols = [c for c in base.columns]
+    b = base.select(
+        *payload_cols,
+        F.lit(None).cast(dict(changes.dtypes)[seq_col]).alias("_seq"),
+        F.lit("I").alias("_op"),
+        F.lit(0).alias("_is_change"),
+    )
+    c = changes.select(
+        *payload_cols,
+        F.col(seq_col).alias("_seq"),
+        F.col(op_col).alias("_op"),
+        F.lit(1).alias("_is_change"),
+    )
+    # NULLS LAST would float base rows above changes under desc order in
+    # some engines; make it explicit: order by (_seq desc nulls last,
+    # _is_change desc) so any change outranks the base row and higher
+    # seq outranks lower.
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_seq").desc_nulls_last(),
+        F.col("_is_change").desc(),
+        F.col("_op").asc(),
+    )
+    latest = (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_op") != "D")
+    )
+    return latest.select(*payload_cols)

@@ -480,3 +480,61 @@ def d8_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _read_snapshot(1).unionByName(_read_snapshot(2))
+
+
+@query(
+    "d9_cdc_apply",
+    oracle="""
+    WITH final AS (
+      SELECT * REPLACE (CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
+                             ELSE c_acctbal END AS c_acctbal)
+      FROM customer WHERE c_custkey % 10 <> 7
+      UNION ALL
+      SELECT * REPLACE (c_custkey + 1000000 AS c_custkey)
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_bal
+    FROM final GROUP BY c_nationkey
+    """,
+)
+def d9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: CDC op-log replay (plans/merge.cdc_apply) — a deterministic
+    Debezium-shaped change log against the customer snapshot: updates
+    (+100 acctbal on custkey%10==3, seq 2), deletes (custkey%10==7,
+    seq 3), inserts (shifted new keys for custkey%10==0, seq 1) — and
+    the ENTIRE log is delivered TWICE (at-least-once redelivery, the
+    reference consumer's crash case) to prove replay idempotence:
+    max-seq-wins absorbs duplicates. The oracle computes the equivalent
+    closed-form final state; output is the per-nation aggregate of the
+    applied snapshot (money discipline: decimal sum, DOUBLE out)."""
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
+    from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum
+
+    c = load_table(spark, sf_dir, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        c.filter(F.col("c_custkey") % 10 == 7)
+        .withColumn("seq", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("I"))
+    )
+    log = upd.unionByName(dels).unionByName(ins)
+    log = log.unionByName(log)  # at-least-once: full duplicate delivery
+    final = cdc_apply(c, log, ["c_custkey"], "seq", "op")
+    return final.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        money_sum(money("c_acctbal"), "total_bal"),
+    )

@@ -136,3 +136,42 @@ def test_kafka_shaped_wire_stream(spark):
     q.awaitTermination()
     got = {r.id for r in spark.sql("SELECT id FROM kshape").collect()}
     assert got == {r.c_custkey for r in customer.collect()}
+
+
+def test_cdc_apply_semantics(spark):
+    """cdc_apply unit semantics: max-seq wins per key, deletes remove,
+    inserts add, untouched base rows survive, duplicate log delivery is
+    a no-op, and NULL change keys are rejected loudly."""
+    import pytest as _pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),
+            (1, "a3", 2, "U"),     # later seq wins
+            (2, "b", 5, "D"),      # delete
+            (4, "d", 1, "I"),      # insert new key
+        ],
+        "k long, v string, seq long, op string",
+    )
+    want = {(1, "a3"), (3, "c"), (4, "d")}
+    got = {(r.k, r.v) for r in cdc_apply(base, log, ["k"], "seq").collect()}
+    assert got == want
+    # replaying the log twice changes nothing
+    twice = log.unionByName(log)
+    got2 = {(r.k, r.v) for r in cdc_apply(base, twice, ["k"], "seq").collect()}
+    assert got2 == want
+    # a delete then a later re-insert resurrects the key
+    log2 = log.unionByName(
+        spark.createDataFrame([(2, "b9", 6, "I")], "k long, v string, seq long, op string")
+    )
+    got3 = {(r.k, r.v) for r in cdc_apply(base, log2, ["k"], "seq").collect()}
+    assert got3 == want | {(2, "b9")}
+
+    bad = spark.createDataFrame([(None, "x", 1, "U")], "k long, v string, seq long, op string")
+    with _pytest.raises(ValueError, match="NULL"):
+        cdc_apply(base, bad, ["k"], "seq")
