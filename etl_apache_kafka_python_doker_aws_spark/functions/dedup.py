@@ -603,3 +603,67 @@ def jaccard_pairs_prefix_filtered(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """G2: PageRank over a directed edge list — the second classic
+    iterative graph primitive next to connected components
+    (dedup_clusters); at corpus scale it ranks pages/documents by link
+    mass for crawl-frontier and quality weighting.
+
+    Each iteration is one join + one aggregate (contributions grouped by
+    destination) with the same bounded-iteration shape as label
+    propagation; lineage is truncated per round with localCheckpoint.
+    Dangling-node mass is dropped (documented choice — redistribute
+    variants renormalize afterwards; the oracle mirrors this exactly).
+
+    Cross-engine determinism: each iteration's rank is ROUNDED to 9 dp
+    after the aggregate — the contribution SUM is the only
+    order-nondeterministic float step, and rounding collapses its
+    few-ulp variance so the next iteration starts from bit-identical
+    inputs on any engine (the cross-engine-float discipline; a DuckDB
+    oracle unrolls the same iterations as CTEs).
+
+    Returns (node_id, pr) for every node appearing in the edge list.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    n_total = nodes.agg(F.count("*").cast("double").alias("_n"))
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node_id", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node_id)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node_id"), (F.col("pr") / F.col("_deg")).alias("_c"))
+            .groupBy("node_id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node_id",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -645,3 +645,83 @@ def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_keep").alias("n_sampled"),
         (F.sum("_keep") == F.max("n_target")).alias("target_met"),
     ).select("source", "n_docs", "n_target", "n_sampled", "target_met")
+
+
+@query(
+    "g2_pagerank",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(o_custkey AS BIGINT) AS a,
+             CAST(l_suppkey + 1000000000 AS BIGINT) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM raw
+        UNION ALL
+        SELECT b AS src, a AS dst FROM raw
+      )
+    ),
+    nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node_id, 1.0 / n AS pr FROM nodes, nn),
+    r1 AS (
+      SELECT nodes.node_id,
+             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+      FROM nodes
+      LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
+                 FROM edges e JOIN r0 r ON e.src = r.node_id
+                 JOIN outdeg d ON e.src = d.src GROUP BY e.dst) c
+        ON nodes.node_id = c.node_id
+      CROSS JOIN nn
+    ),
+    r2 AS (
+      SELECT nodes.node_id,
+             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+      FROM nodes
+      LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
+                 FROM edges e JOIN r1 r ON e.src = r.node_id
+                 JOIN outdeg d ON e.src = d.src GROUP BY e.dst) c
+        ON nodes.node_id = c.node_id
+      CROSS JOIN nn
+    ),
+    r3 AS (
+      SELECT nodes.node_id,
+             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+      FROM nodes
+      LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
+                 FROM edges e JOIN r2 r ON e.src = r.node_id
+                 JOIN outdeg d ON e.src = d.src GROUP BY e.dst) c
+        ON nodes.node_id = c.node_id
+      CROSS JOIN nn
+    )
+    SELECT node_id, pr FROM r3
+    """,
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: PageRank (3 iterations, damping 0.85) on the same undirected
+    (both-direction) customer↔supplier urgent-order graph g1 clusters —
+    functions/dedup.pagerank, one join+agg per round with checkpoint
+    truncation. EXACT-hash oracle by the cross-engine float discipline:
+    every iteration's rank is rounded to 9 dp right after the (order-
+    nondeterministic) contribution SUM, so each round restarts from
+    bit-identical doubles; the damping constants are written as
+    (1.0 - 0.85) on BOTH engines because the Python/SQL literal 0.15 is
+    a DIFFERENT double from computed 1.0-0.85. The DuckDB mirror
+    unrolls the three iterations as CTEs."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    ab = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("a"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).cast("long").alias("b"),
+    )
+    edges = ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85).select("node_id", "pr")

@@ -150,3 +150,18 @@ def test_graph_components_mass_and_determinism(spark):
     n_custs = edges.select("o_custkey").distinct().count()
     n_supps = edges.select("l_suppkey").distinct().count()
     assert sum(size * n for size, n in a) == n_custs + n_supps
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    """PageRank sanity: on a star (all leaves -> hub, hub -> all leaves),
+    the hub outranks every leaf; leaves are symmetric (equal ranks);
+    total rank stays <= 1 (dangling mass only ever shrinks it)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+
+    leaves = list(range(1, 9))
+    edges = [(leaf, 0) for leaf in leaves] + [(0, leaf) for leaf in leaves]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r.node_id: r.pr for r in pagerank(e, iterations=3).collect()}
+    assert pr[0] > max(pr[leaf] for leaf in leaves)
+    assert len({pr[leaf] for leaf in leaves}) == 1
+    assert sum(pr.values()) <= 1.0 + 1e-6
