@@ -22,7 +22,12 @@ from __future__ import annotations
 import random
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _FIRST = ("maria", "jose", "ana", "luis", "carmen", "juan", "lucia", "pedro",
           "sofia", "diego", "elena", "pablo", "marta", "raul", "irene", "oscar")
@@ -72,6 +77,34 @@ class SyntheticCustomersReader(DataSourceReader):
             yield _row(self.seed, i)
 
 
+class SyntheticCustomersStreamReader(SimpleDataSourceStreamReader):
+    """S7b: the same deterministic generator as a STREAMING source
+    (Spark 4 SimpleDataSourceStreamReader). Offsets are plain row
+    counts; each micro-batch emits ``batchrows`` rows until ``rows`` is
+    reached, after which read() returns an empty batch at the same
+    offset — availableNow then terminates. readBetweenOffsets replays
+    any committed range exactly (per-row seeded RNG ⇒ replay-identical,
+    the exactly-once property the reference's consumer lacked)."""
+
+    def __init__(self, options: dict):
+        self.max_rows = int(options.get("rows", 1000))
+        self.batch_rows = max(1, int(options.get("batchrows", 250)))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return (iter([_row(self.seed, i) for i in range(lo, hi)]), {"offset": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_row(self.seed, i) for i in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
 class SyntheticCustomersDataSource(DataSource):
     """Usage::
 
@@ -89,6 +122,9 @@ class SyntheticCustomersDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticCustomersReader:
         return SyntheticCustomersReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticCustomersStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -318,3 +318,52 @@ def transform_with_state_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_until_rows(
+    stream_df: DataFrame,
+    workdir: str,
+    name: str,
+    n_rows: int,
+    timeout_sec: float = 120.0,
+) -> tuple[DataFrame, int]:
+    """Run an unbounded stream with a fast processingTime trigger until
+    the memory sink holds ``n_rows`` rows, then stop; returns (result
+    DataFrame, number of micro-batches that delivered data).
+
+    Exists for sources whose availableNow snapshot covers only ONE
+    prefetched batch (the Python SimpleDataSourceStreamReader wrapper
+    prefetches a single read() per trigger) — availableNow would stop
+    after the first micro-batch, never exercising the multi-batch
+    offset/commit path this helper is for. The polling is driver-side
+    METADATA only (sink row count + progress), like awaitTermination.
+    """
+    import time
+
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, f"ckpt_{name}"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    try:
+        while time.monotonic() < deadline:
+            if spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0] >= n_rows:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"run_until_rows: {name} did not reach {n_rows} rows "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
+    )
+    return spark.sql(f"SELECT * FROM {name}"), n_batches

@@ -725,3 +725,63 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, iterations=3, damping=0.85).select("node_id", "pr")
+
+
+@query(
+    "l8d_token_budget_mix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_tokens) AS BIGINT) AS budget_used
+    FROM running
+    WHERE cum_tokens <= 4000
+    GROUP BY source
+    """,
+)
+def l8d_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8d: TOKEN-BUDGET domain mixing — the mixer real training runs
+    need (budgets are in tokens, not documents): per source, take
+    documents in deterministic doc_id order until the cumulative token
+    count reaches the per-domain budget (4000 here). One window cumsum
+    per source (no RNG, no driver state — a 1000-executor run picks the
+    identical set), then the per-source audit row: docs taken, tokens
+    taken, budget actually used. Exact oracle: the whitespace tokenizer
+    mirror + the same windowed cumsum in SQL. Composes with l8c's
+    √-temperature targets (feed those as per-source budgets)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from etl_apache_kafka_python_doker_aws_spark.functions import text as tx
+
+    n_tokens = F.size(tx.tokenize("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        running.filter(F.col("cum_tokens") <= 4000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("cum_tokens").alias("budget_used"),
+        )
+    )

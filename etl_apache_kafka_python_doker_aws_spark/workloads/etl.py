@@ -538,3 +538,77 @@ def d9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         money_sum(money("c_acctbal"), "total_bal"),
     )
+
+
+@query(
+    "s7b_synthetic_stream",
+    oracle="""
+    SELECT CAST(1000 AS BIGINT) AS n_rows,
+           TRUE AS id_range_exact,
+           TRUE AS multi_batch,
+           TRUE AS replay_equals_batch
+    """,
+)
+def s7b_synthetic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7b: the synthetic generator as a STREAMING Python data source
+    (Spark 4 SimpleDataSourceStreamReader, sources/pysource.py) — row-
+    count offsets, 300-row micro-batches, checkpointed memory sink.
+    Driver contract: exactly 1000 rows with ids forming [0,1000) (no
+    batch lost, none duplicated across the offset/commit path), the run
+    took MULTIPLE micro-batches (the availableNow wrapper would stop
+    after one prefetched batch — run_until_rows drives the real
+    multi-batch path), and every streamed row equals the BATCH reader's
+    row for the same seed (per-row seeded RNG ⇒ stream/batch/replay all
+    produce identical data — the exactly-once replay property)."""
+    import tempfile
+    import uuid
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.pysource import register
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import run_until_rows
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_customers")
+        .option("rows", 1000).option("batchrows", 300).option("seed", 7)
+        .load()
+    )
+    out, n_batches = run_until_rows(
+        stream, tempfile.mkdtemp(prefix="s7b_"), f"s7b_{uuid.uuid4().hex[:8]}", 1000
+    )
+    batch = (
+        spark.read.format("synthetic_customers")
+        .option("rows", 1000).option("partitions", 4).option("seed", 7)
+        .load()
+    )
+    payload = [c for c in batch.columns if c != "id"]
+    same_row = None
+    for c in payload:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        same_row = eq if same_row is None else (same_row & eq)
+    replay = (
+        out.alias("a")
+        .join(batch.alias("b"), F.col("a.id") == F.col("b.id"), "full")
+        .agg(
+            F.expr("bool_and(a.id IS NOT NULL AND b.id IS NOT NULL)").alias("_paired")
+        )
+        .crossJoin(
+            out.alias("a")
+            .join(batch.alias("b"), F.col("a.id") == F.col("b.id"), "inner")
+            .agg(F.min(same_row.cast("int")).alias("_same"))
+        )
+        .select(((F.col("_paired")) & (F.col("_same") == 1)).alias("replay_equals_batch"))
+    )
+    checks = out.agg(
+        F.count("*").alias("n_rows"),
+        (
+            (F.min("id") == 0)
+            & (F.max("id") == 999)
+            & (F.countDistinct("id") == 1000)
+        ).alias("id_range_exact"),
+    )
+    return checks.crossJoin(F.broadcast(replay)).select(
+        "n_rows",
+        "id_range_exact",
+        F.lit(bool(n_batches > 1)).alias("multi_batch"),
+        "replay_equals_batch",
+    )

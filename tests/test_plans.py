@@ -400,3 +400,36 @@ def test_a19_heavy_hitters_no_full_key_shuffle(spark):
     assert "LeftSemi" in plan
     # exact verify still two-phase: partial + final HashAggregate pairs
     assert plan.count("HashAggregate") >= 4
+
+
+def test_bm25_uses_take_ordered_not_global_sort(spark):
+    """l3_bm25_topk's top-k must plan as TakeOrderedAndProject (map-side
+    partial top-k) — a global Sort or a single-partition Window over the
+    whole corpus would serialize the ranking at 100 TB."""
+    plan = plan_of(spark, "l3_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_hybrid_rrf_uses_take_ordered(spark):
+    plan = plan_of(spark, "l3_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_search_broadcasts_queries_and_shortlist(spark):
+    """l3_pq_search: the ADC scoring side must broadcast the query LUTs
+    (BroadcastNestedLoopJoin over the codes scan — never shuffle the
+    corpus), and the exact re-rank must broadcast the tiny shortlist
+    into a BroadcastHashJoin against the corpus."""
+    plan = plan_of(spark, "l3_pq_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus codes side must not be exchanged for the cross join
+    assert plan.count("BroadcastExchange") >= 2, "queries/shortlist not broadcast"
+
+
+def test_cdc_apply_single_window_shuffle(spark):
+    """d9: one keyed window (hashpartitioning on the key) applies the
+    whole log — no per-op joins, no iterative passes."""
+    plan = plan_of(spark, "d9_cdc_apply")
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
