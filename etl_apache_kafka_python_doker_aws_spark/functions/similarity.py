@@ -703,3 +703,88 @@ def rrf_fuse(
         F.round("_score", 6).alias("rrf_score"),
         "rk",
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """L2 (SemDeDup-style semantic dedup): near-duplicate embedding
+    pairs via KMEANS-CELL buckets + exact cosine verify within each
+    cell — the data-ADAPTIVE alternative to the sign-LSH buckets of
+    embedding_near_dup_pairs (clustered corpora pack near-dups into the
+    same cell far more reliably than random hyperplanes; the published
+    SemDeDup recipe is exactly cluster-then-compare-within-cluster).
+
+    Same bucket-then-verify scale shape: candidate generation is a
+    self-equi-join on cell id (never a cross join), centroids are tiny
+    literals broadcast everywhere, ``train_fraction`` samples KMeans
+    input at scale. Known-by-design miss: a pair straddling a cell
+    boundary is not compared (SemDeDup accepts this; raise n_cells
+    recall by unioning with the LSH pairs). IDENTICAL vectors always
+    share a cell (identical distance arrays ⇒ identical argmin), which
+    is what the planted-duplicate contract pins.
+
+    Returns (id_a < id_b, cos_sim) with cosine >= threshold.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    dense = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    train = dense.select("features")
+    if train_fraction is not None and train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+
+    def cell_dists(vec_column):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec_column,
+                        F.array(*[F.lit(float(c)) for c in centroid]),
+                        lambda x, cc: (x - cc) * (x - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for centroid in km.clusterCenters()
+            ]
+        )
+
+    assigned = dense.select(
+        "_id", "_v", cell_dists(F.col("_v")).alias("_d")
+    ).select(
+        "_id",
+        "_v",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+        .cast("int")
+        .alias("_cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs

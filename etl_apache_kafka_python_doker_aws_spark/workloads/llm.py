@@ -682,6 +682,46 @@ def l2_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_semdedup",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+           TRUE AS found, TRUE AS cos_near_one
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant 6: SemDeDup-style semantic dedup — seeded KMeans cells
+    as DATA-ADAPTIVE buckets, exact cosine verify within each cell
+    (functions/similarity.semantic_dedup_pairs; the published
+    cluster-then-compare recipe, complementing the sign-LSH variant).
+    Driver contract, same planted-duplicate construction as
+    l2_embedding_cosine_lsh: every 25th embedding replayed verbatim
+    under id+100000 — identical vectors share identical centroid
+    distances hence the same cell, and must pair at cosine ~1.0. The
+    oracle enumerates the planted pairs exactly."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    aug = e.select("vec_id", "embedding").unionByName(
+        planted.select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
+    )
+    pairs = semantic_dedup_pairs(aug, threshold=0.5, n_cells=16)
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return expected.join(pairs, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.col("cos_sim").isNotNull().alias("found"),
+        (F.col("cos_sim") >= 0.999999).alias("cos_near_one"),
+    )
+
+
+@query(
     "l3_ann_ivf",
     oracle="""
     SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
