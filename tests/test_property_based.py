@@ -237,3 +237,37 @@ def test_asof_join_multikey_matches_pandas_merge_asof(spark, left_rows, right_ro
         for r in ref.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    base_keys=st.sets(st.integers(0, 6), max_size=5),
+    log_rows=st.lists(
+        st.tuples(st.integers(0, 6),            # key
+                  st.integers(0, 999),          # value payload
+                  st.sampled_from(["I", "U", "D"])),
+        max_size=20,
+    ),
+)
+def test_cdc_apply_matches_python_replay(spark, base_keys, log_rows):
+    """cdc_apply vs a trivial sequential dict replay: same final state
+    for any random I/U/D log (seq = arrival order, unique per key by
+    construction here)."""
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(k, -k) for k in (sorted(base_keys) or [99])], "k long, v long"
+    )
+    log = [(k, v, i, op) for i, (k, v, op) in enumerate(log_rows)]
+    ldf = spark.createDataFrame(log, "k long, v long, seq long, op string")
+
+    state = {k: -k for k in (sorted(base_keys) or [99])}
+    for k, v, _, op in log:                      # seq == arrival order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    want = set(state.items())
+    got = {(r.k, r.v) for r in cdc_apply(base, ldf, ["k"], "seq").collect()}
+    assert got == want
