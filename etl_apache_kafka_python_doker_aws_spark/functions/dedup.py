@@ -635,12 +635,18 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint(eager=False)
+    # nodes/outdeg are loop-invariant — truncate them too (review r6:
+    # un-checkpointed they re-embed a distinct-union and an aggregate
+    # into EVERY iteration's plan, two redundant shuffles per round)
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg")).localCheckpoint(
+        eager=False
+    )
     n_total = nodes.agg(F.count("*").cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node_id", (F.lit(1.0) / F.col("_n")).alias("pr")

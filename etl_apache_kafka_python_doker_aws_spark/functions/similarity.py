@@ -280,6 +280,52 @@ def _pq_train(
     return codebooks
 
 
+def _kmeans_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    train_fraction: float | None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Seeded KMeans cell assignment shared by ivf_topk and
+    semantic_dedup_pairs (review r6: the two inline copies could drift
+    apart — the _pq_assign argument). Trains on ``train_fraction`` of
+    the corpus (assignment always covers every vector), assigns each
+    vector to its nearest centroid via the materialized-distance-array
+    argmin, and returns (assigned, centroids) where assigned has
+    columns ``_id``, ``_v`` (array<double>, built ONCE and reused for
+    the feature vector) and ``_cell``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    dense = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("features", array_to_vector(F.col("_v")))
+    )
+    train = dense.select("features")
+    if train_fraction is not None and train_fraction < 1.0:
+        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in km.clusterCenters()]
+    assigned = dense.select(
+        "_id", "_v", _subspace_dists(F.col("_v"), centroids).alias("_d")
+    ).select(
+        "_id",
+        "_v",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+        .cast("int")
+        .alias("_cell"),
+    )
+    return assigned, centroids
+
+
 def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
     """Nearest-centroid assignment per subspace (shared by pq_encode and
     pq_topk so the stored codes and the search-path codes can never
@@ -577,49 +623,18 @@ def ivf_topk(
     passes over its training set (VERDICT r1: training must sample at
     100 TB). None/1.0 trains on everything (fixture scale).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.window import Window
 
-    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
-
-    dense = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features"),
+    assigned, centroids = _kmeans_cells(
+        corpus, id_col, vec_col, n_cells, seed, train_fraction
     )
-    train = dense.select("features")
-    if train_fraction is not None and train_fraction < 1.0:
-        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = km.clusterCenters()
-
-    def cell_dists(vec_column):
-        # squared L2 distance to each centroid, as an array expression
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec_column,
-                        F.array(*[F.lit(float(c)) for c in centroid]),
-                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for centroid in centroids
-            ]
-        )
-
-    c_with_d = dense.select("neighbor_id", "_cvec", cell_dists(F.col("_cvec")).alias("_d"))
-    c_assigned = c_with_d.select(
-        "neighbor_id",
-        "_cvec",
-        # _d is a materialized column reference, so the n_cells x dim
-        # distance tree is evaluated once per row, not twice
-        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast("int").alias("cell"),
+    c_assigned = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cvec"),
+        F.col("_cell").alias("cell"),
+    )
+    q_dists = _subspace_dists(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")), centroids
     )
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
@@ -629,7 +644,7 @@ def ivf_topk(
                 F.transform(
                     F.array_sort(
                         F.zip_with(
-                            cell_dists(F.col(vec_col)),
+                            q_dists,
                             F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
                             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
                         )
@@ -732,47 +747,8 @@ def semantic_dedup_pairs(
 
     Returns (id_a < id_b, cos_sim) with cosine >= threshold.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
-
-    dense = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features"),
-    )
-    train = dense.select("features")
-    if train_fraction is not None and train_fraction < 1.0:
-        train = train.sample(withReplacement=False, fraction=train_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-
-    def cell_dists(vec_column):
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec_column,
-                        F.array(*[F.lit(float(c)) for c in centroid]),
-                        lambda x, cc: (x - cc) * (x - cc),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for centroid in km.clusterCenters()
-            ]
-        )
-
-    assigned = dense.select(
-        "_id", "_v", cell_dists(F.col("_v")).alias("_d")
-    ).select(
-        "_id",
-        "_v",
-        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
-        .cast("int")
-        .alias("_cell"),
+    assigned, _ = _kmeans_cells(
+        corpus, id_col, vec_col, n_cells, seed, train_fraction
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (

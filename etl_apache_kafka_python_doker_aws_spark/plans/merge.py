@@ -212,6 +212,20 @@ def cdc_apply(
         if c not in changes.columns:
             raise ValueError(f"cdc_apply: changes is missing column {c!r}")
     _reject_null_keys(changes, key_cols, "cdc_apply")
+    # The BASE must obey the same rule (review r6): two NULL-key base
+    # rows would share the single NULL window partition and the
+    # row_number dedup would silently drop all but one.
+    _reject_null_keys(base, key_cols, "cdc_apply(base)")
+    # An op outside {I,U,D} (or NULL) would silently act as a delete:
+    # NULL != 'D' is NULL, so the filter drops the winning row.
+    bad_op = changes.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    )
+    if bad_op.limit(1).count() > 0:
+        raise ValueError(
+            f"cdc_apply: {op_col!r} values must be one of 'I'/'U'/'D' "
+            "(NULL or unknown ops would silently drop their key)"
+        )
     payload_cols = [c for c in base.columns]
     b = base.select(
         *payload_cols,

@@ -354,6 +354,15 @@ def run_until_rows(
         while time.monotonic() < deadline:
             if spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0] >= n_rows:
                 break
+            if not q.isActive:
+                # a dead query never reaches n_rows — surface its real
+                # exception NOW instead of spinning out the full
+                # timeout first (review r6)
+                q.awaitTermination()
+                raise RuntimeError(
+                    f"run_until_rows: {name} terminated before reaching "
+                    f"{n_rows} rows"
+                )
             time.sleep(0.2)
         else:
             raise TimeoutError(

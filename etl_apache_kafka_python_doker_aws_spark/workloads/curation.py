@@ -669,7 +669,8 @@ def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 AS (SELECT node_id, 1.0 / n AS pr FROM nodes, nn),
     r1 AS (
       SELECT nodes.node_id,
-             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+             ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
       FROM nodes
       LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
                  FROM edges e JOIN r0 r ON e.src = r.node_id
@@ -679,7 +680,8 @@ def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r2 AS (
       SELECT nodes.node_id,
-             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+             ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
       FROM nodes
       LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
                  FROM edges e JOIN r1 r ON e.src = r.node_id
@@ -689,7 +691,8 @@ def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r3 AS (
       SELECT nodes.node_id,
-             ROUND((1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
+             ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + 0.85 * COALESCE(c.m, 0.0), 9) AS pr
       FROM nodes
       LEFT JOIN (SELECT e.dst AS node_id, SUM(r.pr / d.deg) AS m
                  FROM edges e JOIN r2 r ON e.src = r.node_id
@@ -707,10 +710,12 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation. EXACT-hash oracle by the cross-engine float discipline:
     every iteration's rank is rounded to 9 dp right after the (order-
     nondeterministic) contribution SUM, so each round restarts from
-    bit-identical doubles; the damping constants are written as
-    (1.0 - 0.85) on BOTH engines because the Python/SQL literal 0.15 is
-    a DIFFERENT double from computed 1.0-0.85. The DuckDB mirror
-    unrolls the three iterations as CTEs."""
+    bit-identical doubles; the teleport constant must be the SAME
+    double on both engines — Python computes 1.0-0.85 in binary
+    (0.1500000000000000222) while a bare SQL (1.0 - 0.85) is DECIMAL
+    arithmetic in DuckDB (= the literal-0.15 double, review r6), so the
+    oracle spells it CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE). The
+    DuckDB mirror unrolls the three iterations as CTEs."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -175,3 +175,31 @@ def test_cdc_apply_semantics(spark):
     bad = spark.createDataFrame([(None, "x", 1, "U")], "k long, v string, seq long, op string")
     with _pytest.raises(ValueError, match="NULL"):
         cdc_apply(base, bad, ["k"], "seq")
+
+
+def test_cdc_apply_rejects_bad_ops_and_null_base_keys(spark):
+    """Review r6: an op outside I/U/D (or NULL) would silently act as a
+    delete via NULL-propagating comparison, and NULL-key BASE rows would
+    silently collapse in the window dedup — both must raise."""
+    import pytest as _pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad_op = spark.createDataFrame(
+        [(1, "x", 1, None)], "k long, v string, seq long, op string"
+    )
+    with _pytest.raises(ValueError, match="'I'/'U'/'D'"):
+        cdc_apply(base, bad_op, ["k"], "seq")
+    unknown_op = spark.createDataFrame(
+        [(1, "x", 1, "UPSERT")], "k long, v string, seq long, op string"
+    )
+    with _pytest.raises(ValueError, match="'I'/'U'/'D'"):
+        cdc_apply(base, unknown_op, ["k"], "seq")
+
+    null_base = spark.createDataFrame([(None, "a"), (None, "b")], "k long, v string")
+    ok_log = spark.createDataFrame(
+        [(1, "x", 1, "I")], "k long, v string, seq long, op string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        cdc_apply(null_base, ok_log, ["k"], "seq")
