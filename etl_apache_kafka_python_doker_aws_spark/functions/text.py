@@ -308,9 +308,13 @@ def bm25_topk(
             6,
         )
         tf = F.col(f"_tf{i}").cast("double")
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b) + (F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl")))
+        # avgdl = 0 (an all-empty corpus) would make dl/avgdl a
+        # job-aborting ANSI divide-by-zero; tf is 0 for every doc then,
+        # so pinning the length ratio to 0 keeps every score 0
+        ratio = F.when(F.col("_avgdl") == 0, F.lit(0.0)).otherwise(
+            F.col("_dl").cast("double") / F.col("_avgdl")
         )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * ratio))
         term = idf * ((tf * F.lit(k1 + 1.0)) / denom)
         score = term if score is None else score + term
     # orderBy().limit(k) plans TakeOrderedAndProject (map-side partial

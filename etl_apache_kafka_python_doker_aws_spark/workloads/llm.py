@@ -1008,11 +1008,11 @@ _BM25_LEX_CTES = r"""lens AS (
     bm AS (
       SELECT doc_id,
           ROUND(LN((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
-            * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+            * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * (CASE WHEN avgdl = 0 THEN 0.0 ELSE (dl / avgdl) END)))))
         + ROUND(LN((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
-            * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+            * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * (CASE WHEN avgdl = 0 THEN 0.0 ELSE (dl / avgdl) END)))))
         + ROUND(LN((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
-            * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (dl / avgdl)))))
+            * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + (0.75 * (CASE WHEN avgdl = 0 THEN 0.0 ELSE (dl / avgdl) END)))))
           AS score
       FROM tf, stats
     )"""

@@ -271,3 +271,80 @@ def test_cdc_apply_matches_python_replay(spark, base_keys, log_rows):
     want = set(state.items())
     got = {(r.k, r.v) for r in cdc_apply(base, ldf, ["k"], "seq").collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=1, max_size=10
+    ),
+)
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_topk vs an independent pure-Python BM25 (same formula, same
+    idf rounding) on arbitrary whitespace-soup corpora — checks the
+    whole tf/df/avgdl/score pipeline, not just the DuckDB mirror."""
+    import math
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import bm25_topk
+
+    terms = ["a", "ab", "abc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, terms, k=len(texts)).collect()}
+
+    toks = {i: [w for w in t.lower().strip().split() if w] for i, t in enumerate(texts)}
+    n = float(len(texts))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    dfs = {w: float(sum(1 for v in toks.values() if w in v)) for w in terms}
+    for i, v in toks.items():
+        score = 0.0
+        for w in terms:
+            tf = float(v.count(w))
+            idf = round(math.log((n - dfs[w] + 0.5) / (dfs[w] + 0.5) + 1.0), 6)
+            ratio = (float(len(v)) / avgdl) if avgdl else 0.0
+            denom = tf + k1 * ((1.0 - b) + (b * ratio))
+            score += idf * ((tf * (k1 + 1.0)) / denom)
+        assert abs(got[i] - round(score, 6)) < 2e-6, (texts[i], got[i], score)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy ", min_size=0, max_size=25), min_size=1, max_size=8
+    ),
+)
+def test_bigram_cross_entropy_matches_python_reference(spark, texts):
+    """bigram_cross_entropy vs an independent pure-Python add-one bigram
+    LM on arbitrary corpora (docs with <2 tokens omitted)."""
+    import math
+    from collections import Counter
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.text import (
+        bigram_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.cross_entropy)
+           for r in bigram_cross_entropy(docs).collect()}
+
+    toks = {i: [w for w in t.lower().strip().split() if w] for i, t in enumerate(texts)}
+    uni = Counter(w for v in toks.values() for w in v)
+    bi = Counter(
+        (v[j], v[j + 1]) for v in toks.values() for j in range(len(v) - 1)
+    )
+    vocab = float(len(uni))
+    for i, v in toks.items():
+        pairs = [(v[j], v[j + 1]) for j in range(len(v) - 1)]
+        if not pairs:
+            assert i not in got
+            continue
+        lnps = [round(math.log((bi[p] + 1.0) / (uni[p[0]] + vocab)), 6) for p in pairs]
+        xent = round(-sum(lnps) / len(lnps), 6)
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - xent) < 2e-6, (texts[i], got[i], xent)
