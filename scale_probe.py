@@ -129,6 +129,50 @@ def main() -> None:
         rounds = getattr(dedup_clusters, "last_rounds", 0)
         if rounds:
             cc_rounds[name] = rounds
+    # Graph tier at scale: the registry's g1/g2 graph is bounded by the
+    # fixture lineitem, so scale it here by DISJOINT replication (each
+    # copy's node ids offset by 10M — component structure and rank
+    # distribution replicate exactly, edge volume grows linearly) and
+    # time label propagation + PageRank directly.
+    graph_copies = int(os.environ.get("SPARK_GRAFT_PROBE_GRAPH_COPIES", "10"))
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+
+    li = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(base_sf, "orders.parquet")).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    ab = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("a"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).cast("long").alias("b"),
+    )
+    off = F.col("_c").cast("long") * 10_000_000
+    scaled = ab.withColumn(
+        "_c", F.explode(F.array(*[F.lit(i) for i in range(graph_copies)]))
+    ).select((F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
+
+    t0 = time.time()
+    pairs = scaled.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    ids = (
+        scaled.select(F.col("a").alias("node_id"))
+        .union(scaled.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    dedup_clusters.last_rounds = 0  # type: ignore[attr-defined]
+    dedup_clusters(pairs, ids, "node_id", max_iter=8).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    cc_sec = round(time.time() - t0, 1)
+    cc_scaled_rounds = getattr(dedup_clusters, "last_rounds", 0)
+
+    t0 = time.time()
+    edges = scaled.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        scaled.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pagerank(edges, iterations=3).write.mode("overwrite").format("noop").save()
+    pr_sec = round(time.time() - t0, 1)
+
     print(
         json.dumps(
             {
@@ -137,6 +181,9 @@ def main() -> None:
                 "build_sec": build_sec,
                 "queries_sec": timings,
                 "cc_rounds": cc_rounds,
+                "graph_copies": graph_copies,
+                "graph_sec": {"connected_components": cc_sec, "pagerank3": pr_sec},
+                "graph_cc_rounds": cc_scaled_rounds,
             }
         )
     )
