@@ -66,6 +66,12 @@ HEADLINE = [
     # and the one-scan expectations suite stay visible round-over-round.
     "l2_bloom_dedup",
     "d7_data_quality",
+    # r6 additions: retrieval tier (BM25 + bigram-LM scoring), CDC
+    # replay, and the second iterative graph op.
+    "l3_bm25_topk",
+    "l4_bigram_perplexity",
+    "d9_cdc_apply",
+    "g2_pagerank",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
