@@ -612,3 +612,89 @@ def s7b_synthetic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(n_batches > 1)).alias("multi_batch"),
         "replay_equals_batch",
     )
+
+
+@query(
+    "s12_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def s12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: XML round-trip via the NATIVE Spark 4 XML source (built in
+    since 4.0 — no spark-xml package needed): write the nation table as
+    row-tagged XML, read it back with an EXPLICIT schema (inference
+    would widen ints and reorder fields), re-emit the original columns.
+    The re-read must equal the source rows exactly."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_xml_")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(wd, "nation_xml")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .schema(n.schema)
+        .option("rowTag", "nation")
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "s13_binary_file_source",
+    oracle="""
+    SELECT CAST(f.i AS BIGINT) AS file_id,
+           CAST(f.i % 50 + 10 AS BIGINT) AS length,
+           TRUE AS content_ok
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS i) f
+    """,
+)
+def s13_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: the ``binaryFile`` source — how raw image/audio/document
+    blobs enter a multimodal pipeline as (path, mtime, length, content)
+    rows (the L5 decode tier consumes exactly this shape). 100 files
+    are written EXECUTOR-SIDE (foreachPartition over a 100-row range —
+    no driver loop) with id-derived content: length = id%50+10, byte j
+    = (id + j) % 256. The re-scan extracts the id from the filename and
+    verifies length (exact, SQL-computable) and full content
+    (engine-side byte check folded to a boolean)."""
+    wd = tempfile.mkdtemp(prefix="etl_apache_kafka_python_doker_aws_spark_bin_")
+
+    def write_files(rows):
+        for r in rows:
+            i = r.id
+            payload = bytes((i + j) % 256 for j in range(i % 50 + 10))
+            with open(os.path.join(wd, f"blob_{i:04d}.bin"), "wb") as fh:
+                fh.write(payload)
+
+    spark.range(100).repartition(8).foreachPartition(write_files)
+    bf = spark.read.format("binaryFile").load(wd)
+    fid = F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin", 1).cast("long")
+    # Byte-exact content check without any Python row path: rebuild the
+    # expected payload's HEX rendering as a JVM expression (per-byte
+    # conv+lpad over a sequence) and compare against hex(content) —
+    # positional indexing into a BINARY column is not otherwise
+    # expressible in pure SQL functions.
+    hex_expr = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.col("length").cast("int") - 1),
+            lambda j: F.lpad(
+                F.conv(((fid + j) % 256).cast("string"), 10, 16), 2, "0"
+            ),
+        ),
+    )
+    content_matches = F.lower(F.hex(F.col("content"))) == F.lower(hex_expr)
+    return bf.select(
+        fid.alias("file_id"),
+        F.col("length"),
+        content_matches.alias("content_ok"),
+    )
