@@ -502,6 +502,22 @@ def l13_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def urgent_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer→supplier urgent-order bipartite edge list
+    (a = o_custkey, b = l_suppkey + 1e9) shared by g1, g2 and
+    scale_probe.py — ONE builder so the registry queries and the
+    round-over-round probe can never silently time different graphs
+    (review r6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").cast("long").alias("a"),
+        (F.col("l_suppkey") + F.lit(1_000_000_000)).cast("long").alias("b"),
+    )
+
+
 @query(
     "g1_graph_components",
     oracle="""
@@ -541,16 +557,9 @@ def g1_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-converged run would show up as a mismatch, not pass silently)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_clusters
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
     edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("id_a"),
-            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("id_b"),
-        )
+        urgent_order_edges(spark, sf_dir)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
     nodes = (
@@ -718,14 +727,7 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror unrolls the three iterations as CTEs."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    ab = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").cast("long").alias("a"),
-        (F.col("l_suppkey") + F.lit(1_000_000_000)).cast("long").alias("b"),
-    )
+    ab = urgent_order_edges(spark, sf_dir)
     edges = ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

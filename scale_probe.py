@@ -138,19 +138,39 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+    from etl_apache_kafka_python_doker_aws_spark.workloads.curation import (
+        urgent_order_edges,
+    )
 
-    li = spark.read.parquet(os.path.join(base_sf, "lineitem.parquet"))
-    o = spark.read.parquet(os.path.join(base_sf, "orders.parquet")).filter(
-        F.col("o_orderpriority") == "1-URGENT"
+    ab = urgent_order_edges(spark, base_sf)
+    # disjointness guard (review r6): each copy's ids shift by `offset`;
+    # a base id >= offset would fuse adjacent copies' components and the
+    # probe would silently time a different graph
+    offset = 10_000_000
+    r = ab.agg(
+        F.max("a").alias("ma"),
+        (F.max("b") - F.lit(1_000_000_000)).alias("ms"),
+    ).first()
+    max_cust, max_supp = r.ma or 0, r.ms or 0
+    if (
+        max(max_cust, max_supp) >= offset
+        or max_cust + graph_copies * offset >= 1_000_000_000
+    ):
+        raise ValueError(
+            f"graph probe: base ids (cust {max_cust}, supp {max_supp}) do not "
+            f"fit {graph_copies} disjoint copies at offset {offset} — copies "
+            "would overlap; raise the offset"
+        )
+    off = F.col("_c").cast("long") * offset
+    scaled = (
+        ab.withColumn(
+            "_c", F.explode(F.array(*[F.lit(i) for i in range(graph_copies)]))
+        )
+        .select((F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
+        # truncate lineage BEFORE the timers so cc_sec/pr_sec measure the
+        # graph algorithms, not 3-4 re-derivations of the join+explode
+        .localCheckpoint(eager=True)
     )
-    ab = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.col("o_custkey").cast("long").alias("a"),
-        (F.col("l_suppkey") + F.lit(1_000_000_000)).cast("long").alias("b"),
-    )
-    off = F.col("_c").cast("long") * 10_000_000
-    scaled = ab.withColumn(
-        "_c", F.explode(F.array(*[F.lit(i) for i in range(graph_copies)]))
-    ).select((F.col("a") + off).alias("a"), (F.col("b") + off).alias("b"))
 
     t0 = time.time()
     pairs = scaled.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
