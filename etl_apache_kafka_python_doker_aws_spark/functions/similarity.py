@@ -728,6 +728,7 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     seed: int = 42,
     train_fraction: float | None = None,
+    max_cell_size: int = 10_000,
 ) -> DataFrame:
     """L2 (SemDeDup-style semantic dedup): near-duplicate embedding
     pairs via KMEANS-CELL buckets + exact cosine verify within each
@@ -739,16 +740,30 @@ def semantic_dedup_pairs(
     Same bucket-then-verify scale shape: candidate generation is a
     self-equi-join on cell id (never a cross join), centroids are tiny
     literals broadcast everywhere, ``train_fraction`` samples KMeans
-    input at scale. Known-by-design miss: a pair straddling a cell
-    boundary is not compared (SemDeDup accepts this; raise n_cells
-    recall by unioning with the LSH pairs). IDENTICAL vectors always
-    share a cell (identical distance arrays ⇒ identical argmin), which
-    is what the planted-duplicate contract pins.
+    input at scale. ``max_cell_size`` is the quadratic-mass guard (the
+    minhash ``max_bucket_size`` pattern): members ranked past the cap
+    within their cell are excluded from pairing, bounding the verify
+    work at n_cells · max_cell_size² comparisons no matter how skewed
+    the clustering — size n_cells so cells stay well under it (SemDeDup
+    runs with thousands of clusters at corpus scale). Known-by-design
+    miss: a pair straddling a cell boundary is not compared (SemDeDup
+    accepts this; raise n_cells or union with the LSH pairs for
+    recall). IDENTICAL vectors always share a cell (identical distance
+    arrays ⇒ identical argmin), which is what the planted-duplicate
+    contract pins.
 
     Returns (id_a < id_b, cos_sim) with cosine >= threshold.
     """
+    from pyspark.sql.window import Window
+
     assigned, _ = _kmeans_cells(
         corpus, id_col, vec_col, n_cells, seed, train_fraction
+    )
+    w = Window.partitionBy("_cell").orderBy(F.col("_id").asc())
+    assigned = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_cell_size)
+        .drop("_rn")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (

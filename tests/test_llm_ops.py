@@ -598,3 +598,22 @@ def test_rrf_fuse_boosts_overlap(spark):
     assert abs(out[3][1] - (1 / 63 + 1 / 61)) < 1e-6  # scores round to 6 dp
     assert abs(out[1][1] - 1 / 61) < 1e-6
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_semdedup_cell_cap_bounds_pairs(spark):
+    """semantic_dedup_pairs' max_cell_size guard: with a cap of 3, a
+    corpus of 12 identical vectors (one giant cell) yields at most
+    C(3,2)=3 pairs instead of C(12,2)=66 — the quadratic mass is
+    bounded; with the default cap all 66 appear."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = semantic_dedup_pairs(
+        corpus, threshold=0.5, n_cells=2, max_cell_size=3
+    ).count()
+    assert capped == 3, capped
+    full = semantic_dedup_pairs(corpus, threshold=0.5, n_cells=2).count()
+    assert full == 66, full
