@@ -348,3 +348,77 @@ def test_bigram_cross_entropy_matches_python_reference(spark, texts):
         xent = round(-sum(lnps) / len(lnps), 6)
         assert got[i][0] == len(pairs)
         assert abs(got[i][1] - xent) < 2e-6, (texts[i], got[i], xent)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(st.integers(-500, 500), min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    bin_width=st.integers(1, 97),
+)
+def test_binned_range_join_matches_bruteforce(spark, points, intervals, bin_width):
+    """binned_range_join vs brute-force half-open containment for random
+    (possibly negative) points/intervals and arbitrary bin widths — the
+    candidate-bin explosion must never drop or invent a pair."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    prows = [(i, x) for i, x in enumerate(points)]
+    irows = [(j, lo, lo + span) for j, (lo, span) in enumerate(intervals)]
+    pts = spark.createDataFrame(prows, "pid long, x long")
+    ivs = spark.createDataFrame(irows, "iid long, lo long, hi long")
+    got = {
+        (r.pid, r.iid)
+        for r in binned_range_join(pts, ivs, None, "x", "lo", "hi", bin_width).collect()
+    }
+    want = {
+        (i, j)
+        for i, x in prows
+        for j, lo, hi in irows
+        if lo <= x < hi
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1, max_size=30, unique=True,
+    ),
+)
+def test_sessionize_matches_python_reference(spark, events):
+    """Batch sessionize (lag + cumsum) vs a sequential Python reference
+    on random per-user second offsets (30-min gap)."""
+    import datetime as dt
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s)) for u, s in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+    }
+    by_user: dict[int, list] = {}
+    for u, s in events:
+        by_user.setdefault(u, []).append(s)
+    for u, secs in by_user.items():
+        secs.sort()
+        sid = 1
+        prev = None
+        for s in secs:
+            if prev is not None and (s - prev) > 30 * 60:
+                sid += 1
+            prev = s
+            ts = base + dt.timedelta(seconds=s)
+            assert got[(u, ts)] == sid, (u, s, got[(u, ts)], sid)
