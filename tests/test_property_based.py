@@ -422,3 +422,52 @@ def test_sessionize_matches_python_reference(spark, events):
             prev = s
             ts = base + dt.timedelta(seconds=s)
             assert got[(u, ts)] == sid, (u, s, got[(u, ts)], sid)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),          # key
+                  st.integers(0, 20),         # day offset
+                  st.integers(0, 500)),       # value (cents avoid fp issues)
+        min_size=1, max_size=25,
+    ),
+)
+def test_gapfill_locf_matches_python_reference(spark, events):
+    """gapfill_locf vs a sequential Python reference: per key, a dense
+    daily grid from first to last event, exact per-day sums carried
+    forward across gaps, is_gap marking carried rows."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from etl_apache_kafka_python_doker_aws_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (k, base + dt.timedelta(days=d, hours=5), float(v)) for k, d, v in events
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {
+        (r.k, r.day.date()): (r.total_value, r.is_gap)
+        for r in gapfill_locf(df, "k", "ts", "v").collect()
+    }
+
+    per_day = defaultdict(float)
+    days = defaultdict(set)
+    for k, d, v in events:
+        per_day[(k, d)] += float(v)
+        days[k].add(d)
+    want = {}
+    for k, ds in days.items():
+        lo, hi = min(ds), max(ds)
+        carry = None
+        for d in range(lo, hi + 1):
+            if d in ds:
+                carry = round(per_day[(k, d)], 2)
+                want[(k, (base + dt.timedelta(days=d)).date())] = (carry, False)
+            else:
+                want[(k, (base + dt.timedelta(days=d)).date())] = (carry, True)
+    assert got == want
