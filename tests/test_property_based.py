@@ -471,3 +471,68 @@ def test_gapfill_locf_matches_python_reference(spark, events):
             else:
                 want[(k, (base + dt.timedelta(days=d)).date())] = (carry, True)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 300), st.integers(0, 60)),
+                    min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 80)),
+        min_size=1, max_size=8,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, events, intervals):
+    """interval_join (equi-key + half-open range) vs brute force on
+    random keyed events/intervals."""
+    from etl_apache_kafka_python_doker_aws_spark.operators.joins import interval_join
+
+    erows = [(i, i % 3, t) for i, (t, _) in enumerate(events)]
+    irows = [(j, j % 3, lo, lo + span) for j, (lo, span) in enumerate(intervals)]
+    ev = spark.createDataFrame(erows, "eid long, k long, t long")
+    iv = spark.createDataFrame(irows, "iid long, k long, lo long, hi long")
+    got = {
+        (r.eid, r.iid)
+        for r in interval_join(ev, iv, key="k", ts_col="t",
+                               lo_col="lo", hi_col="hi").collect()
+    }
+    want = {
+        (i, j)
+        for i, ke, t in erows
+        for j, ki, lo, hi in irows
+        if ke == ki and lo <= t < hi
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    budget=st.integers(5, 100),
+)
+def test_pack_bins_matches_python_reference(spark, lens, budget):
+    """pack_bins (contiguous-fill sequence packing) vs a sequential
+    Python reference: identical per-(shard, bin) doc counts and token
+    sums for random doc lengths and budgets."""
+    from collections import defaultdict
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.curation import pack_bins
+
+    shards = 3
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.shard, r.bin_id): (r.n_docs, r.bin_tokens)
+        for r in pack_bins(df, budget=budget, shards=shards).collect()
+    }
+    ref = defaultdict(lambda: [0, 0])
+    cum = defaultdict(int)
+    for i, n in enumerate(lens):
+        sh = i % shards
+        b = cum[sh] // budget
+        cum[sh] += n
+        ref[(sh, b)][0] += 1
+        ref[(sh, b)][1] += n
+    assert got == {k: tuple(v) for k, v in ref.items()}
