@@ -150,12 +150,21 @@ def compact_small_files(
     from etl_apache_kafka_python_doker_aws_spark.plans.merge import _recover, _swap_in
 
     _recover(path)  # heal a previous compact/merge killed mid-swap first
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    # ONE walk feeds both the flat total and the per-directory sizes the
+    # partitioned branch needs (review r6: the tree with thousands of
+    # small files — the whole reason this function exists — was walked
+    # twice).
+    dir_bytes: dict[str, int] = {}
+    total = 0
+    for root, _, files in os.walk(path):
+        b = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if b:
+            dir_bytes[root] = b
+            total += b
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".staging"
     # Preserve a hive-partitioned layout: partition discovery folds the
@@ -191,14 +200,7 @@ def compact_small_files(
         from urllib.parse import unquote
 
         per_part: dict[tuple[str, ...], int] = {}
-        for root, _, files in os.walk(path):
-            pbytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-            if not pbytes:
-                continue
+        for root, pbytes in dir_bytes.items():
             rel = os.path.relpath(root, path)
             vals = tuple(
                 unquote(seg.split("=", 1)[1])

@@ -372,7 +372,13 @@ def run_until_rows(
     finally:
         q.stop()
         q.awaitTermination()
+    # Count batches from the checkpoint COMMIT LOG, not recentProgress:
+    # the poll can observe the final batch's sink write before its
+    # progress event is appended, so stopping right then would
+    # undercount (review r6). Every committed micro-batch leaves one
+    # digit-named file in ckpt/commits.
+    commits_dir = os.path.join(workdir, f"ckpt_{name}", "commits")
     n_batches = sum(
-        1 for p in q.recentProgress if p["numInputRows"] and p["numInputRows"] > 0
-    )
+        1 for f in os.listdir(commits_dir) if f.isdigit()
+    ) if os.path.isdir(commits_dir) else 0
     return spark.sql(f"SELECT * FROM {name}"), n_batches

@@ -672,6 +672,9 @@ def l8c_sqrt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b AS src, a AS dst FROM raw
       )
     ),
+    -- src alone covers every node ONLY because edges are symmetrized
+    -- above; a directed-graph reuse of this template must derive
+    -- nodes from src UNION dst like the engine does
     nodes AS (SELECT DISTINCT src AS node_id FROM edges),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
     outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),

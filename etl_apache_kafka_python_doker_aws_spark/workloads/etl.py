@@ -490,7 +490,7 @@ def d8_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE c_acctbal END AS c_acctbal)
       FROM customer WHERE c_custkey % 10 <> 7
       UNION ALL
-      SELECT * REPLACE (c_custkey + 1000000 AS c_custkey)
+      SELECT * REPLACE (c_custkey + 1000000000 AS c_custkey)
       FROM customer WHERE c_custkey % 10 = 0
     )
     SELECT c_nationkey,
@@ -504,7 +504,10 @@ def d9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9: CDC op-log replay (plans/merge.cdc_apply) — a deterministic
     Debezium-shaped change log against the customer snapshot: updates
     (+100 acctbal on custkey%10==3, seq 2), deletes (custkey%10==7,
-    seq 3), inserts (shifted new keys for custkey%10==0, seq 1) — and
+    seq 3), inserts (keys shifted by 1e9 — far above any plausible TPC-H
+    custkey, so an insert can never collide with an existing key and
+    silently diverge from the closed-form oracle; review r6 — for
+    custkey%10==0, seq 1) — and
     the ENTIRE log is delivered TWICE (at-least-once redelivery, the
     reference consumer's crash case) to prove replay idempotence:
     max-seq-wins absorbs duplicates. The oracle computes the equivalent
@@ -527,7 +530,7 @@ def d9_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ins = (
         c.filter(F.col("c_custkey") % 10 == 0)
-        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_custkey", F.col("c_custkey") + 1_000_000_000)
         .withColumn("seq", F.lit(1).cast("long"))
         .withColumn("op", F.lit("I"))
     )
@@ -585,18 +588,19 @@ def s7b_synthetic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in payload:
         eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
         same_row = eq if same_row is None else (same_row & eq)
+    # ONE full-outer join yields both legs (review r6): pairing = no
+    # orphan on either side; equality applies only to paired rows
+    # (unpaired rows already fail the pairing leg).
+    paired = F.col("a.id").isNotNull() & F.col("b.id").isNotNull()
     replay = (
         out.alias("a")
         .join(batch.alias("b"), F.col("a.id") == F.col("b.id"), "full")
         .agg(
-            F.expr("bool_and(a.id IS NOT NULL AND b.id IS NOT NULL)").alias("_paired")
+            F.min(
+                (paired & F.coalesce(same_row, F.lit(False))).cast("int")
+            ).alias("_ok")
         )
-        .crossJoin(
-            out.alias("a")
-            .join(batch.alias("b"), F.col("a.id") == F.col("b.id"), "inner")
-            .agg(F.min(same_row.cast("int")).alias("_same"))
-        )
-        .select(((F.col("_paired")) & (F.col("_same") == 1)).alias("replay_equals_batch"))
+        .select((F.col("_ok") == 1).alias("replay_equals_batch"))
     )
     checks = out.agg(
         F.count("*").alias("n_rows"),
@@ -662,7 +666,10 @@ def s13_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs enter a multimodal pipeline as (path, mtime, length, content)
     rows (the L5 decode tier consumes exactly this shape). 100 files
     are written EXECUTOR-SIDE (foreachPartition over a 100-row range —
-    no driver loop) with id-derived content: length = id%50+10, byte j
+    no driver loop; NB the target dir must live on storage every
+    executor AND the driver can reach — true in local mode and for any
+    real deployment's shared object store/NFS, which is where blob
+    fixtures live anyway) with id-derived content: length = id%50+10, byte j
     = (id + j) % 256. The re-scan extracts the id from the filename and
     verifies length (exact, SQL-computable) and full content
     (engine-side byte check folded to a boolean)."""

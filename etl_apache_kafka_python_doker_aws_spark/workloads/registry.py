@@ -53,8 +53,8 @@ def query(
 
 
 def scale_form_table() -> str:
-    """Markdown table of every non-default scale_form tag plus its ship
-    counterpart hint — pasted into COVERAGE.md (drift-guarded by
+    """Markdown table of every non-default scale_form tag — pasted into
+    COVERAGE.md (drift-guarded by
     tests/test_queries_vs_oracle.py::test_coverage_scale_form_table)."""
     lines = [
         "| query | scale_form |",
