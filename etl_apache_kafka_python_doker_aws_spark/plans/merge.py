@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -182,6 +182,7 @@ def cdc_apply(
     key_cols: list[str],
     seq_col: str,
     op_col: str = "op",
+    validate: bool = True,
 ) -> DataFrame:
     """D9: apply a CDC op-log (I/U/D rows with a total per-key order
     ``seq_col``) to a base snapshot and return the FINAL STATE — the
@@ -205,38 +206,67 @@ def cdc_apply(
     ``changes`` must carry every ``base`` column plus ``op_col`` and
     ``seq_col``; NULL keys are rejected (never matchable, the
     merge_upsert rule).
+
+    This is a pure TRANSFORM — it runs zero Spark jobs (ADVICE r6: the
+    eager ``_reject_null_keys`` + ``limit(1).count()`` probes cost ~3
+    extra full scans of base+log per apply at scale). The guards are
+    folded into the one window pass as ``raise_error`` conditionals on
+    the ``_op``/``_is_change`` projections, so a NULL key or an op
+    outside {I,U,D} still fails loudly — at ACTION time, riding the
+    shuffle the apply pays anyway. ``validate=False`` drops the guard
+    expressions entirely for callers that already validated upstream.
     """
     from pyspark.sql.window import Window
 
     for c in [op_col, seq_col]:
         if c not in changes.columns:
             raise ValueError(f"cdc_apply: changes is missing column {c!r}")
-    _reject_null_keys(changes, key_cols, "cdc_apply")
-    # The BASE must obey the same rule (review r6): two NULL-key base
-    # rows would share the single NULL window partition and the
-    # row_number dedup would silently drop all but one.
-    _reject_null_keys(base, key_cols, "cdc_apply(base)")
+
+    def _key_ok() -> Column:
+        pred = None
+        for kc in key_cols:
+            p = F.col(kc).isNotNull()
+            pred = p if pred is None else (pred & p)
+        return pred
+
+    def _guarded(value: Column, ok: Column, msg: str) -> Column:
+        # NULL ok-predicate (e.g. NULL op under isin) falls to otherwise
+        # and raises — exactly the rows the guard exists for.
+        return F.when(ok, value).otherwise(F.raise_error(F.lit(msg)))
+
     # An op outside {I,U,D} (or NULL) would silently act as a delete:
-    # NULL != 'D' is NULL, so the filter drops the winning row.
-    bad_op = changes.filter(
-        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
-    )
-    if bad_op.limit(1).count() > 0:
-        raise ValueError(
-            f"cdc_apply: {op_col!r} values must be one of 'I'/'U'/'D' "
-            "(NULL or unknown ops would silently drop their key)"
+    # NULL != 'D' is NULL, so the filter drops the winning row. A NULL
+    # key can never match (merge_upsert rule) — and NULL-key BASE rows
+    # (review r6) would share the single NULL window partition and the
+    # row_number dedup would silently drop all but one.
+    change_op: Column = F.col(op_col)
+    base_tag: Column = F.lit(0)
+    if validate:
+        change_op = _guarded(
+            change_op,
+            _key_ok() & F.col(op_col).isin("I", "U", "D"),
+            f"cdc_apply: NULL key in {key_cols} or {op_col!r} outside "
+            "'I'/'U'/'D' (NULL/unknown ops would silently drop their key; "
+            "NULL keys can never match)",
         )
+        base_tag = _guarded(
+            base_tag,
+            _key_ok(),
+            f"cdc_apply(base): NULL values in key columns {key_cols} — "
+            "keyed replay cannot match NULL keys; filter or surrogate "
+            "them first",
+        ).cast("int")
     payload_cols = [c for c in base.columns]
     b = base.select(
         *payload_cols,
         F.lit(None).cast(dict(changes.dtypes)[seq_col]).alias("_seq"),
         F.lit("I").alias("_op"),
-        F.lit(0).alias("_is_change"),
+        base_tag.alias("_is_change"),
     )
     c = changes.select(
         *payload_cols,
         F.col(seq_col).alias("_seq"),
-        F.col(op_col).alias("_op"),
+        change_op.alias("_op"),
         F.lit(1).alias("_is_change"),
     )
     # NULLS LAST would float base rows above changes under desc order in

@@ -173,14 +173,17 @@ def test_cdc_apply_semantics(spark):
     assert got3 == want | {(2, "b9")}
 
     bad = spark.createDataFrame([(None, "x", 1, "U")], "k long, v string, seq long, op string")
-    with _pytest.raises(ValueError, match="NULL"):
-        cdc_apply(base, bad, ["k"], "seq")
+    with _pytest.raises(Exception, match="cdc_apply"):
+        cdc_apply(base, bad, ["k"], "seq").collect()
 
 
 def test_cdc_apply_rejects_bad_ops_and_null_base_keys(spark):
-    """Review r6: an op outside I/U/D (or NULL) would silently act as a
-    delete via NULL-propagating comparison, and NULL-key BASE rows would
-    silently collapse in the window dedup — both must raise."""
+    """Review r6 + ADVICE r6: an op outside I/U/D (or NULL) would
+    silently act as a delete via NULL-propagating comparison, and
+    NULL-key BASE rows would silently collapse in the window dedup —
+    both must raise. The guards are LAZY raise_error expressions inside
+    the one window pass (no eager validation scans), so the failure
+    surfaces at action time, not construction."""
     import pytest as _pytest
 
     from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
@@ -189,17 +192,43 @@ def test_cdc_apply_rejects_bad_ops_and_null_base_keys(spark):
     bad_op = spark.createDataFrame(
         [(1, "x", 1, None)], "k long, v string, seq long, op string"
     )
-    with _pytest.raises(ValueError, match="'I'/'U'/'D'"):
-        cdc_apply(base, bad_op, ["k"], "seq")
+    with _pytest.raises(Exception, match="I.+U.+D"):
+        cdc_apply(base, bad_op, ["k"], "seq").collect()
     unknown_op = spark.createDataFrame(
         [(1, "x", 1, "UPSERT")], "k long, v string, seq long, op string"
     )
-    with _pytest.raises(ValueError, match="'I'/'U'/'D'"):
-        cdc_apply(base, unknown_op, ["k"], "seq")
+    with _pytest.raises(Exception, match="I.+U.+D"):
+        cdc_apply(base, unknown_op, ["k"], "seq").collect()
 
     null_base = spark.createDataFrame([(None, "a"), (None, "b")], "k long, v string")
     ok_log = spark.createDataFrame(
         [(1, "x", 1, "I")], "k long, v string, seq long, op string"
     )
-    with _pytest.raises(ValueError, match="NULL"):
-        cdc_apply(null_base, ok_log, ["k"], "seq")
+    with _pytest.raises(Exception, match="NULL"):
+        cdc_apply(null_base, ok_log, ["k"], "seq").collect()
+    # validate=False drops the guards entirely: no raise, and the two
+    # NULL-key base rows silently collapse in the NULL window partition
+    # (the exact hazard validate=True exists to catch) → 1 survivor + 1
+    # inserted key
+    assert cdc_apply(null_base, ok_log, ["k"], "seq", validate=False).count() == 2
+
+
+def test_cdc_apply_is_pure_transform(spark):
+    """ADVICE r6 #1: cdc_apply must run ZERO Spark jobs at construction
+    — the validation rides the window pass instead of three eager
+    probe scans. Pinned by diffing the app-status job count across the
+    call."""
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import cdc_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    log = spark.createDataFrame(
+        [(1, "a2", 1, "U")], "k long, v string, seq long, op string"
+    )
+    store = spark._jsparkSession.sparkContext().statusStore()
+    before = store.jobsList(None).size()
+    out = cdc_apply(base, log, ["k"], "seq")
+    after = store.jobsList(None).size()
+    assert after == before, f"cdc_apply ran {after - before} eager job(s)"
+    # and the guard really is in the plan (not pruned away)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan
