@@ -172,6 +172,99 @@ def minhash_signatures_df(
     )
 
 
+def banded_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The shared signature→band stage of the LSH pipeline: filter to
+    shingle-eligible docs, compute MinHash signatures, and explode each
+    into ``bands`` (band_idx, band_hash) bucket keys. Zero shuffles —
+    pure projection + generate over the input partitioning.
+
+    Returns (_id, _sig array<long>, band_idx int, band_hash long), one
+    row per (doc, band). This is both the self-join input of
+    ``minhash_near_dup_pairs`` and the PERSISTED row format of the
+    incremental band index (``functions/dedup_index.py``) — one shape,
+    so a corpus indexed yesterday and a batch signed today can never
+    disagree on bucketing given equal (num_hashes, bands, shingle_n,
+    seed).
+    """
+    rows_per_band = num_hashes // bands
+    # docs shorter than shingle_n words have NO shingles; they must be
+    # excluded from pairing, not given a shared sentinel signature (which
+    # would pair every short doc with every other at est_jaccard 1.0 and
+    # silently delete them in dedup_corpus_near)
+    eligible = df.filter(F.size(tokenize(text_col)) >= shingle_n)
+    sig = minhash_signatures_df(eligible, id_col, text_col, num_hashes, shingle_n, seed).select(
+        F.col(id_col).alias("_id"), "_sig"
+    )
+    return sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("_band"),
+    ).select("_id", "_sig", F.col("_band.band_idx").cast("int").alias("band_idx"),
+             "_band.band_hash")
+
+
+def guard_band_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Skew guard shared by the self-join and incremental paths: drop
+    (band_idx, band_hash) buckets larger than ``max_bucket_size`` before
+    any quadratic work (a bucket of size m contributes m² pairs; hot
+    buckets are boilerplate/empty-shingle clusters, dropped the way
+    stop-words are). Window form — see the measurement note in
+    ``minhash_near_dup_pairs``."""
+    from pyspark.sql.window import Window
+
+    bucket_sz = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("_bsz", F.count("*").over(bucket_sz))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
+def estimate_jaccard_pairs(
+    cand: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Verify stage shared by the self-join and incremental paths: score
+    banded candidates (id_a, id_b, sig_a, sig_b) by signature-agreement
+    fraction, threshold, then dedup multi-band collisions. Score +
+    threshold run BEFORE the pair-dedup: a pair colliding in k bands is
+    scored k times (cheap zip_with, map-side) but the dedup shuffle then
+    carries (id_a, id_b, est) instead of two full signatures per row —
+    3 values wide vs 2+2x32 longs. Duplicate collisions score
+    identically, so dropDuplicates after is safe."""
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -198,34 +291,15 @@ def minhash_near_dup_pairs(
       * max_bucket_size: buckets larger than this are boilerplate/empty-
         shingle clusters; a bucket of size m contributes m² pairs, so hot
         buckets are dropped the same way stop-words are (skew guard).
+
+    For deduplicating a NEW batch against an already-indexed corpus
+    (the production crawl-snapshot shape) use
+    ``functions/dedup_index.py`` — same stages, but the corpus side
+    reads persisted band signatures instead of recomputing them.
     """
-    rows_per_band = num_hashes // bands
-    # docs shorter than shingle_n words have NO shingles; they must be
-    # excluded from pairing, not given a shared sentinel signature (which
-    # would pair every short doc with every other at est_jaccard 1.0 and
-    # silently delete them in dedup_corpus_near)
-    eligible = df.filter(F.size(tokenize(text_col)) >= shingle_n)
-    sig = minhash_signatures_df(eligible, id_col, text_col, num_hashes, shingle_n, seed).select(
-        F.col(id_col).alias("_id"), "_sig"
+    banded = banded_minhash_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
-    banded = sig.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ))
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("_band"),
-    ).select("_id", "_sig", "_band.band_idx", "_band.band_hash")
 
     # skew guard: drop pathological buckets before the quadratic self-join.
     # Window form, kept after measuring the alternatives at sf0.1 (fresh
@@ -236,14 +310,7 @@ def minhash_near_dup_pairs(
     # collect_list-per-bucket variant measured faster still (5.7s / 1.2s)
     # but buffers whole buckets in the aggregate — unbounded memory on a
     # degenerate mega-bucket — so it is not scale-safe.
-    from pyspark.sql.window import Window
-
-    bucket_sz = Window.partitionBy("band_idx", "band_hash")
-    banded = (
-        banded.withColumn("_bsz", F.count("*").over(bucket_sz))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
+    banded = guard_band_buckets(banded, max_bucket_size)
 
     # The self-join deliberately CARRIES both signatures (32 longs/side)
     # through the band shuffle. The "slimmer" alternative — ids-only band
@@ -268,22 +335,7 @@ def minhash_near_dup_pairs(
             F.col("b._sig").alias("sig_b"),
         )
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(num_hashes)
-    # score + threshold BEFORE the pair-dedup: a pair colliding in k
-    # bands is scored k times (cheap zip_with, map-side) but the dedup
-    # shuffle then carries (id_a, id_b, est) instead of two full
-    # signatures per row — 3 values wide vs 2+2x32 longs. Duplicate
-    # collisions score identically, so dropDuplicates after is safe.
-    return (
-        cand.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return estimate_jaccard_pairs(cand, num_hashes, threshold)
 
 
 @F.pandas_udf(T.LongType())
@@ -611,6 +663,8 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """G2: PageRank over a directed edge list — the second classic
     iterative graph primitive next to connected components
@@ -629,6 +683,23 @@ def pagerank(
     few-ulp variance so the next iteration starts from bit-identical
     inputs on any engine (the cross-engine-float discipline; a DuckDB
     oracle unrolls the same iterations as CTEs).
+
+    ``tol``: when set, iteration STOPS EARLY once
+    ``max |pr_t − pr_{t−1}| < tol`` — the dedup_clusters
+    iterate-until-stable pattern; at unknown graph scale
+    convergence-driven rounds beat a guessed fixed count (a web-scale
+    graph may need 20+, a dup-cluster graph 3). The check is one tiny
+    max-aggregate per round over the already-computed join of old/new
+    ranks; ``iterations`` stays the hard cap. The rounds the last call
+    executed are recorded on ``pagerank.last_rounds`` (scale_probe
+    tracks it, like ``dedup_clusters.last_rounds``).
+
+    ``redistribute_dangling``: the standard dangling-mass fix — each
+    round, the rank mass sitting on nodes with NO out-edges is summed
+    (one 1-row aggregate, broadcast back) and redistributed uniformly
+    to every node, so total rank stays ~1.0 instead of leaking. Kept
+    opt-in: the default drop-mass form is what the exact unrolled-CTE
+    oracle mirrors (g2_pagerank).
 
     Returns (node_id, pr) for every node appearing in the edge list.
     """
@@ -651,7 +722,15 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node_id", (F.lit(1.0) / F.col("_n")).alias("pr")
     )
+    if redistribute_dangling:
+        # dangling = nodes with no out-edge; loop-invariant, tiny join key set
+        dangling = nodes.join(
+            outdeg.select(F.col("src").alias("node_id")), "node_id", "left_anti"
+        ).localCheckpoint(eager=False)
+    rounds = 0
     for _ in range(iterations):
+        rounds += 1
+        pagerank.last_rounds = rounds  # type: ignore[attr-defined]
         contribs = (
             e.join(ranks, e.src == ranks.node_id)
             .join(outdeg, "src")
@@ -659,17 +738,46 @@ def pagerank(
             .groupBy("node_id")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .crossJoin(F.broadcast(n_total))
-            .select(
-                "node_id",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("_n")
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    9,
-                ).alias("pr"),
+        base_mass = F.lit(1.0 - damping) / F.col("_n")
+        in_mass = F.coalesce(F.col("_in"), F.lit(0.0))
+        if redistribute_dangling:
+            d_mass = dangling.join(ranks, "node_id").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint(eager=False)
-        )
+            new_ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .crossJoin(F.broadcast(n_total))
+                .crossJoin(F.broadcast(d_mass))
+                .select(
+                    "node_id",
+                    F.round(
+                        base_mass
+                        + F.lit(damping) * (in_mass + F.col("_dm") / F.col("_n")),
+                        9,
+                    ).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            new_ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .crossJoin(F.broadcast(n_total))
+                .select(
+                    "node_id",
+                    F.round(base_mass + F.lit(damping) * in_mass, 9).alias("pr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.select("node_id", F.col("pr").alias("_prev")), "node_id")
+                .agg(F.max(F.abs(F.col("pr") - F.col("_prev"))).alias("_d"))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

@@ -685,7 +685,7 @@ def l2_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l2_semdedup",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
-           TRUE AS found, TRUE AS cos_near_one
+           TRUE AS found, TRUE AS cos_near_one, TRUE AS no_truncation
     FROM embeddings WHERE vec_id % 25 = 0
     """,
 )
@@ -698,7 +698,10 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2_embedding_cosine_lsh: every 25th embedding replayed verbatim
     under id+100000 — identical vectors share identical centroid
     distances hence the same cell, and must pair at cosine ~1.0. The
-    oracle enumerates the planted pairs exactly."""
+    oracle enumerates the planted pairs exactly. ``no_truncation`` pins
+    the max_cell_size guard's observability (VERDICT r6 #5): on the
+    fixture no cell exceeds the cap, so the excluded-member count the
+    operator now reports must be exactly zero."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
         semantic_dedup_pairs,
     )
@@ -708,16 +711,26 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = e.select("vec_id", "embedding").unionByName(
         planted.select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding")
     )
-    pairs = semantic_dedup_pairs(aug, threshold=0.5, n_cells=16)
+    pairs, excluded = semantic_dedup_pairs(
+        aug, threshold=0.5, n_cells=16, return_excluded=True
+    )
+    n_excluded = excluded.agg(
+        F.coalesce(F.sum("n_excluded"), F.lit(0)).alias("_n_excl")
+    )
     expected = planted.select(
         F.col("vec_id").alias("id_a"),
         (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
     )
-    return expected.join(pairs, ["id_a", "id_b"], "left").select(
-        "id_a",
-        "id_b",
-        F.col("cos_sim").isNotNull().alias("found"),
-        (F.col("cos_sim") >= 0.999999).alias("cos_near_one"),
+    return (
+        expected.join(pairs, ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(n_excluded))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cos_sim").isNotNull().alias("found"),
+            (F.col("cos_sim") >= 0.999999).alias("cos_near_one"),
+            (F.col("_n_excl") == 0).alias("no_truncation"),
+        )
     )
 
 

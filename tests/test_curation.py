@@ -165,3 +165,50 @@ def test_pagerank_star_graph_hub_dominates(spark):
     assert pr[0] > max(pr[leaf] for leaf in leaves)
     assert len({pr[leaf] for leaf in leaves}) == 1
     assert sum(pr.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_tol_early_exit(spark):
+    """VERDICT r6 #8: tol= stops once max |Δpr| < tol (the
+    dedup_clusters iterate-until-stable pattern). On a symmetric cycle
+    the uniform start IS the fixed point — round 1's delta is 0, so the
+    loop must exit after a single round regardless of the cap — and the
+    converged ranks equal the fixed-iteration answer."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+
+    n = 6
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    pr = {r.node_id: r.pr for r in pagerank(cyc, iterations=50, tol=1e-9).collect()}
+    assert pagerank.last_rounds == 1
+    fixed = {r.node_id: r.pr for r in pagerank(cyc, iterations=3).collect()}
+    assert pr == fixed
+    # a star does NOT start at its fixed point: tol must take >1 round
+    leaves = list(range(1, 9))
+    edges = [(leaf, 0) for leaf in leaves] + [(0, leaf) for leaf in leaves]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    # the star's hub<->leaves oscillation decays ~0.85^t, so a loose tol
+    # converges in a couple dozen rounds (1e-7 would need ~95)
+    pr_star = {r.node_id: r.pr for r in pagerank(e, iterations=50, tol=1e-2).collect()}
+    assert 1 < pagerank.last_rounds < 50
+    assert pr_star[0] > max(pr_star[leaf] for leaf in leaves)
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """VERDICT r6 #8: redistribute_dangling=True re-injects the rank
+    mass of out-degree-0 nodes uniformly, so total rank stays ~1.0 on a
+    graph where the default form provably leaks (a chain ending in a
+    sink). Default form on the same graph sums < 1."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import pagerank
+
+    # 0 -> 1 -> 2 -> 3 (node 3 dangles)
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    leaky = sum(r.pr for r in pagerank(chain, iterations=5).collect())
+    conserved = sum(
+        r.pr
+        for r in pagerank(chain, iterations=5, redistribute_dangling=True).collect()
+    )
+    assert leaky < 0.95
+    assert abs(conserved - 1.0) < 1e-6

@@ -617,3 +617,26 @@ def test_semdedup_cell_cap_bounds_pairs(spark):
     assert capped == 3, capped
     full = semantic_dedup_pairs(corpus, threshold=0.5, n_cells=2).count()
     assert full == 66, full
+
+
+def test_semdedup_reports_excluded_members(spark):
+    """VERDICT r6 #5 (no silent caps): when max_cell_size binds,
+    return_excluded=True reports the per-cell excluded-member count —
+    12 identical vectors in one cell with cap 3 exclude exactly 9; with
+    a non-binding cap the stats frame is empty."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(12)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs, excluded = semantic_dedup_pairs(
+        corpus, threshold=0.5, n_cells=2, max_cell_size=3, return_excluded=True
+    )
+    stats = excluded.collect()
+    assert pairs.count() == 3
+    assert len(stats) == 1 and stats[0].n_excluded == 9
+    _, none_excluded = semantic_dedup_pairs(
+        corpus, threshold=0.5, n_cells=2, return_excluded=True
+    )
+    assert none_excluded.count() == 0
