@@ -1,0 +1,217 @@
+"""Persisted MinHash band index → INCREMENTAL corpus dedup (VERDICT r6
+#1): deduplicate each NEW batch (crawl snapshot) against the existing
+corpus WITHOUT recomputing the corpus — the one shape a 100 TB training
+pipeline actually runs. ``minhash_near_dup_pairs`` is corpus-vs-itself;
+this module persists the banded signatures it already computes
+(`banded_minhash_signatures`, one row per (doc, band)) as a partitioned
+parquet index, then answers "which docs in this batch near-duplicate
+anything already indexed (or each other)?" with one equi-join.
+
+Index layout at ``path``:
+  * data rows, ``partitionBy("band_idx")`` parquet:
+      (_id, _sig array<long>, band_hash long, _batch string, band_idx)
+    The full 32-long signature is stored per band row ON PURPOSE — the
+    verify stage needs both sides' signatures, and re-attaching them
+    after an ids-only join was measured 5.7x slower at 1M docs
+    (functions/dedup.py join note). Index size ≈ bands × (8B id +
+    num_hashes×8B sig + 8B hash) per doc ≈ 1.1 KB/doc at 4×32 — ~1.1 TB
+    per billion docs, a flat parquet table any executor count can scan.
+  * ``_graft_meta/`` — one JSON row pinning (num_hashes, bands,
+    shingle_n, seed). Appends with different params are REJECTED loudly:
+    signatures hashed under different seeds never collide, so a silent
+    mismatch wouldn't fail — it would just find nothing.
+  * ``_graft_batches/`` — one JSON row per appended batch_id. A
+    duplicate batch_id is REJECTED (the keyed-merge redelivery lesson:
+    anti-join-style "it'll dedup out" reasoning silently doubles every
+    bucket; re-delivery must be explicit).
+  Both subdirs start with ``_`` so Spark's parquet listing of ``path``
+  ignores them.
+
+Scale notes (SCALING.md "incremental dedup"):
+  * The batch-vs-index join shuffles index+batch rows on
+    (band_idx, band_hash). At cluster scale, write the index BUCKETED
+    by band_hash (``.bucketBy(n, "band_hash").saveAsTable``) and the
+    join is co-located — zero index shuffle per batch. The plain-path
+    form here keeps the API storage-agnostic.
+  * Skew guard semantics under append: bucket sizes are evaluated over
+    the CURRENT index, so a bucket that crosses ``max_bucket_size``
+    stops producing pairs for later batches but earlier batches' pairs
+    were already emitted — incremental recall is ≥ a from-scratch run's
+    (which would drop the whole bucket). Never worse, by construction.
+  * Maintenance: appends create one file-set per batch — run
+    ``sources/layout.compact_small_files`` on ``path`` periodically;
+    deletes are an anti-join rewrite of the affected band_idx
+    partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+    banded_minhash_signatures,
+    estimate_jaccard_pairs,
+    guard_band_buckets,
+)
+
+_META_DIR = "_graft_meta"
+_BATCH_DIR = "_graft_batches"
+_PARAMS = ("num_hashes", "bands", "shingle_n", "seed")
+
+
+def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """Read the index's pinned LSH parameters, or None if no index
+    exists at ``path`` yet."""
+    try:
+        row = spark.read.json(f"{path}/{_META_DIR}").first()
+    except Exception:
+        return None
+    if row is None:
+        return None
+    return {k: int(row[k]) for k in _PARAMS}
+
+
+def minhash_index_batches(spark: SparkSession, path: str) -> list[str]:
+    """Batch ids already appended, in append order (empty for a fresh
+    path). One tiny JSON row per batch — listing this is metadata-cheap
+    regardless of index size."""
+    try:
+        rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
+    except Exception:
+        return []
+    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+
+
+def minhash_index_append(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    batch_id: str,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Sign ``df`` and APPEND its band rows to the index at ``path``
+    (creating the index, and pinning the LSH params, on first use).
+
+    Sink helper — runs write jobs (three: meta/batch markers + data).
+    Raises ValueError on param drift or batch_id redelivery; callers
+    that legitimately retry a failed append must remove the batch's
+    files first (the marker row is written AFTER the data, so a crash
+    mid-append leaves an unmarked partial batch — re-append under a NEW
+    batch_id is safe only after cleanup; document over guess).
+    """
+    spark = df.sparkSession
+    meta = minhash_index_meta(spark, path)
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+    }
+    if meta is not None and meta != params:
+        raise ValueError(
+            f"minhash_index_append: index at {path} was built with {meta}, "
+            f"append requested {params} — signatures hashed under different "
+            "params never collide; rebuild the index or match its params"
+        )
+    existing = minhash_index_batches(spark, path)
+    if batch_id in existing:
+        raise ValueError(
+            f"minhash_index_append: batch_id {batch_id!r} already appended "
+            f"to {path} — duplicate appends double every bucket silently; "
+            "use a fresh batch_id per delivery"
+        )
+    if meta is None:
+        spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").json(
+            f"{path}/{_META_DIR}"
+        )
+    banded = banded_minhash_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    ).withColumn("_batch", F.lit(batch_id))
+    banded.write.mode("append").partitionBy("band_idx").parquet(path)
+    spark.createDataFrame(
+        [{"batch_id": batch_id, "seq": len(existing)}]
+    ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
+
+
+def minhash_index_pairs_vs_batch(
+    spark: SparkSession,
+    path: str,
+    batch_id: str,
+    *,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) where AT LEAST
+    ONE side belongs to ``batch_id`` — batch-vs-index candidates plus
+    within-batch candidates, in ONE band equi-join over the persisted
+    index (no signature recomputation for any previously indexed doc).
+
+    Across batches b0..bn this tiles the whole-corpus pair set exactly:
+    every pair (x ∈ bi, y ∈ bj, i ≤ j) is emitted by the bj query and
+    no other — so ⋃ pairs_vs_batch(bi) == minhash_near_dup_pairs(corpus)
+    whenever the skew cap doesn't bind (the registered
+    l2_incremental_dedup contract pins this union-losslessness on the
+    fixture; under a binding cap the incremental union is a superset —
+    see the module docstring).
+    """
+    meta = minhash_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"minhash_index_pairs_vs_batch: no index at {path}")
+    full = guard_band_buckets(spark.read.parquet(path), max_bucket_size)
+    a, b = full.alias("a"), full.alias("b")
+    in_batch = (F.col("a._batch") == batch_id) | (F.col("b._batch") == batch_id)
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a._id") < F.col("b._id"))
+        & in_batch,
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._sig").alias("sig_a"),
+        F.col("b._sig").alias("sig_b"),
+    )
+    return estimate_jaccard_pairs(cand, meta["num_hashes"], threshold)
+
+
+def minhash_index_dedup_batch(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    batch_id: str,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Convenience production step: append the new batch to the index,
+    then return its near-dup pairs vs everything indexed (itself
+    included). Equivalent to ``minhash_index_append`` +
+    ``minhash_index_pairs_vs_batch``; LSH params come from the index
+    meta (a fresh path gets the defaults via an explicit append first).
+    """
+    spark = new_df.sparkSession
+    meta = minhash_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"minhash_index_dedup_batch: no index at {path} — create it "
+            "with minhash_index_append (pinning the LSH params) first"
+        )
+    minhash_index_append(
+        new_df,
+        id_col,
+        text_col,
+        path,
+        batch_id=batch_id,
+        **meta,
+    )
+    return minhash_index_pairs_vs_batch(
+        spark, path, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
+    )

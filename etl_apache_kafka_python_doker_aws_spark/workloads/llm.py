@@ -119,6 +119,86 @@ def l2_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_incremental_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           TRUE AS found_cross_batch,
+           TRUE AS no_missing,
+           TRUE AS no_extra
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
+def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 INCREMENTAL dedup (VERDICT r6 #1): dedup a NEW batch against a
+    PERSISTED MinHash band index instead of recomputing the corpus —
+    the crawl-snapshot shape a 100 TB pipeline actually runs
+    (functions/dedup_index.py; index = the banded signatures parquet'd,
+    partitionBy band_idx, params pinned in meta).
+
+    Contract, two layers: (a) planted duplicates — every 25th eligible
+    document arrives in the NEW batch as a verbatim copy under
+    id+100000; the copy's signature equals the original's, so the
+    batch-vs-index equi-join must pair them (``found_cross_batch``; the
+    oracle enumerates the planted pairs exactly). (b) union
+    losslessness — pairs_vs_batch(b0) ∪ pairs_vs_batch(b1) must equal
+    the from-scratch whole-corpus ``minhash_near_dup_pairs`` on
+    base∪new, both directions (``no_missing``/``no_extra`` — the d6
+    losslessness pattern; exact here because the skew cap doesn't bind
+    on the fixture)."""
+    import tempfile
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_dedup_batch,
+        minhash_index_pairs_vs_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+        & (F.size(tx.tokenize("text")) >= 3)
+    )
+    new = eligible.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    path = tempfile.mkdtemp(prefix="mh_idx_")
+    minhash_index_append(d, "doc_id", "text", path, batch_id="b0")
+    p0 = minhash_index_pairs_vs_batch(spark, path, "b0")
+    p1 = minhash_index_dedup_batch(new, "doc_id", "text", path, batch_id="b1")
+    whole = minhash_near_dup_pairs(
+        _with_planted_copies(d, min_tokens=3), "doc_id", "text"
+    )
+    incr = p0.unionByName(p1)
+    n_missing = whole.join(incr, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("_nm")
+    )
+    n_extra = incr.join(whole, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("_ne")
+    )
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(p1, ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(n_missing))
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").isNotNull().alias("found_cross_batch"),
+            (F.col("_nm") == 0).alias("no_missing"),
+            (F.col("_ne") == 0).alias("no_extra"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (

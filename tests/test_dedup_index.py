@@ -1,0 +1,83 @@
+"""Persisted MinHash band index / incremental dedup (VERDICT r6 #1)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.functions.dedup import minhash_near_dup_pairs
+from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+    minhash_index_append,
+    minhash_index_batches,
+    minhash_index_dedup_batch,
+    minhash_index_meta,
+    minhash_index_pairs_vs_batch,
+)
+
+DOCS = [
+    # b0: the "existing corpus"
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "how vexingly quick daft zebras jump"),
+    # b1: the "new crawl" — 101 duplicates 1 (cross-batch), 102/103
+    # duplicate each other (within-batch), 104 is novel
+    (101, "the quick brown fox jumps over the lazy dog"),
+    (102, "bright vixens jump dozy fowl quack together loudly"),
+    (103, "bright vixens jump dozy fowl quack together loudly"),
+    (104, "two driven jocks help fax my big quiz"),
+]
+
+
+def _frames(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return df.filter("doc_id < 100"), df.filter("doc_id >= 100"), df
+
+
+def test_incremental_pairs_tile_the_whole_corpus(spark, tmp_path):
+    """batch-vs-index + within-batch pairs, unioned across batches,
+    equal the from-scratch whole-corpus run (the losslessness
+    contract); the cross-batch and within-batch planted dups are both
+    recovered by the b1 query specifically."""
+    base, new, both = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    p0 = minhash_index_pairs_vs_batch(spark, path, "b0")
+    p1 = minhash_index_dedup_batch(new, "doc_id", "text", path, batch_id="b1")
+    got1 = {(r.id_a, r.id_b) for r in p1.collect()}
+    assert (1, 101) in got1  # cross-batch dup via the persisted index
+    assert (102, 103) in got1  # within-batch dup
+    whole = minhash_near_dup_pairs(both, "doc_id", "text")
+    incr = {(r.id_a, r.id_b) for r in p0.collect()} | got1
+    assert incr == {(r.id_a, r.id_b) for r in whole.collect()}
+    assert minhash_index_batches(spark, path) == ["b0", "b1"]
+    assert minhash_index_meta(spark, path) == {
+        "num_hashes": 32, "bands": 4, "shingle_n": 3, "seed": 42,
+    }
+
+
+def test_index_rejects_param_drift_and_redelivery(spark, tmp_path):
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_append(new, "doc_id", "text", path, batch_id="b1", seed=7)
+    with pytest.raises(ValueError, match="already appended"):
+        minhash_index_append(new, "doc_id", "text", path, batch_id="b0")
+    with pytest.raises(ValueError, match="no index"):
+        minhash_index_pairs_vs_batch(spark, str(tmp_path / "nope"), "b0")
+    with pytest.raises(ValueError, match="no index"):
+        minhash_index_dedup_batch(new, "doc_id", "text", str(tmp_path / "nope"),
+                                  batch_id="b1")
+
+
+def test_index_meta_params_flow_into_dedup_batch(spark, tmp_path):
+    """minhash_index_dedup_batch signs the new batch with the INDEX'S
+    pinned params, not the defaults — a non-default index still joins."""
+    base, new, both = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(
+        base, "doc_id", "text", path, batch_id="b0", num_hashes=16, bands=8, seed=9
+    )
+    p1 = minhash_index_dedup_batch(new, "doc_id", "text", path, batch_id="b1")
+    got = {(r.id_a, r.id_b) for r in p1.collect()}
+    assert (1, 101) in got and (102, 103) in got
