@@ -1288,6 +1288,38 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_pq_search",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
+    """,
+)
+def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 deployable ANN shape (VERDICT r6 #2): IVF + PQ COMPOSED — the
+    coarse quantizer restricts each query to its 8 nearest of 16 cells
+    (≈half the corpus rows scanned) and the scan reads 8-byte PQ codes
+    instead of 512-byte raw vectors (ADC lookup tables), with the exact
+    re-rank touching only the 50-id shortlist
+    (functions/similarity.ivf_pq_topk — the FAISS-IVFPQ layout).
+    Contract (the l3_pq_search pattern): recall >= 0.6 vs the
+    ENGINE-COMPUTED exact squared-L2 top-5 (measured 0.78 at sf0.01 —
+    vs 0.86 full-scan PQ, the cost of probing half the cells), ≤ k rows
+    per query, no self-matches. Seeded KMeans (cells AND codebooks)
+    makes it deterministic for the fixture."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ivf_pq_topk,
+        l2_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    approx = ivf_pq_topk(
+        e, q, k=5, dim=64, n_cells=16, n_probe=8, n_subspaces=8,
+        n_centroids=32, shortlist=50,
+    )
+    return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
+
+
+@query(
     "l4_collapse_repeats",
     oracle=r"""
     WITH toks AS (

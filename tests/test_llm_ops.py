@@ -619,6 +619,36 @@ def test_semdedup_cell_cap_bounds_pairs(spark):
     assert full == 66, full
 
 
+def test_ivf_pq_topk_finds_planted_twin(spark):
+    """VERDICT r6 #2 (IVF+PQ composed): an exact duplicate vector lands
+    in the same cell (identical centroid distances) and re-ranks to
+    dist 0 at rk 1; ADC-only (shortlist=None) still returns ≤ k rows
+    per query; bad params raise."""
+    import numpy as np
+    import pytest
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(60)]
+    rows.append((1000, rows[0][1]))  # verbatim twin of vec 0
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter("vec_id = 0")
+    top = ivf_pq_topk(
+        corpus, q, k=3, dim=16, n_cells=4, n_probe=2, n_subspaces=4,
+        n_centroids=8, shortlist=10,
+    ).collect()
+    assert top[0].neighbor_id == 1000 and top[0].dist == 0.0 and top[0].rk == 1
+    adc_only = ivf_pq_topk(
+        corpus, q, k=3, dim=16, n_cells=4, n_probe=2, n_subspaces=4,
+        n_centroids=8, shortlist=None,
+    )
+    assert adc_only.count() <= 3
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(corpus, q, k=3, dim=16, n_subspaces=5)
+    with pytest.raises(ValueError, match="shortlist"):
+        ivf_pq_topk(corpus, q, k=5, dim=16, n_subspaces=4, shortlist=2)
+
+
 def test_semdedup_reports_excluded_members(spark):
     """VERDICT r6 #5 (no silent caps): when max_cell_size binds,
     return_excluded=True reports the per-cell excluded-member count —
