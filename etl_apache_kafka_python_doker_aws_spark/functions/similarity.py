@@ -462,6 +462,12 @@ def pq_topk(
     Returns (query_id, neighbor_id, dist, rk) — dist ASCENDING squared
     L2 (ADC-approximate without ``shortlist``, exact over the re-ranked
     shortlist with it), ties broken on neighbor_id.
+
+    Queries are assumed drawn from the CORPUS ID SPACE: a corpus row
+    whose id equals the query id is excluded as a self-match. For an
+    external query frame, make its ids disjoint from the corpus ids
+    (or re-key) — a coincidental id collision would silently drop a
+    legitimate neighbor (ADVICE r6).
     """
     from pyspark.sql.window import Window
 
@@ -562,7 +568,14 @@ def l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k (the correctness baseline for pq_topk —
     same metric, uncompressed). Broadcast(queries) ⋈ corpus, one window
-    shuffle; returns (query_id, neighbor_id, l2_dist, rk)."""
+    shuffle; returns (query_id, neighbor_id, l2_dist, rk).
+
+    Queries are assumed drawn from the CORPUS ID SPACE: a corpus row
+    whose id equals the query id is excluded as a self-match. For an
+    external query frame, make its ids disjoint from the corpus ids
+    (or re-key) — a coincidental id collision would silently drop a
+    legitimate neighbor (ADVICE r6).
+    """
     from pyspark.sql.window import Window
 
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism

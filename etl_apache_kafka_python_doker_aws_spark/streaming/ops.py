@@ -69,7 +69,7 @@ def stage_events_stream(spark: SparkSession, sf_dir: str, workdir: str) -> DataF
 
 
 def stage_ordered_batches(
-    dfs: list[DataFrame], staged: str, seconds_apart: float = 10.0
+    dfs: list[DataFrame], staged: str, seconds_apart: float = 1.0
 ) -> list[str]:
     """Stage DataFrames as single parquet files whose CONSUMPTION ORDER
     is pinned deterministically: the file stream source orders files by
@@ -84,6 +84,13 @@ def stage_ordered_batches(
     takes zero wall time. Calling again on a non-empty dir APPENDS: new
     files continue the numbering and sort after every existing file
     (tests that interleave writes with stream runs).
+
+    A fresh dir anchors its mtimes in the PAST (now − spacing·n), and
+    the 1 s spacing keeps repeated appends from running ahead of the
+    wall clock (ADVICE r6: 10 s-per-file appends future-dated files,
+    which confuses mtime-based retention tooling on the staging dir;
+    utime takes float seconds, so even sub-second spacing stays
+    strictly increasing on any filesystem).
 
     Returns the staged file paths in consumption order."""
     import glob as _glob

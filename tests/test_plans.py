@@ -281,6 +281,24 @@ def test_shuffle_budgets(spark):
         "l9_pack_sequences": 1,  # shard window feeds the bin agg in place
         "ts_gapfill_locf": 2,    # daily agg + spine join/window
         "l6_contamination": 3,   # corpus gram agg + hit agg + final join
+        # Expensive-family budgets (VERDICT r6 #4). Iterative queries
+        # (g1/g2) lazily localCheckpoint each round, so the returned
+        # frame's plan is the LAST round's shape — exactly the per-round
+        # budget that multiplies by rounds at scale. The r6 PageRank
+        # regression (un-checkpointed loop invariants re-embedding two
+        # shuffles per round) is precisely what these counts catch.
+        "g1_graph_components": 3,   # per-round: edge⋈label + min-agg + contract agg
+        "g2_pagerank": 0,           # contract row reads the checkpointed final
+                                    # ranks + broadcast 1-row aggs ONLY — any
+                                    # exchange here means checkpointing broke
+        "l11_curation_pipeline": 14,  # full funnel: exact dedup + minhash-LSH
+                                      # (band window + pair dedup) + CC rounds +
+                                      # 5-gram decontamination + summary rollup
+        "l3_bm25_topk": 0,          # TakeOrderedAndProject + broadcast stats —
+                                    # zero wide exchanges end to end
+        "l3_hybrid_rrf": 3,         # two ranked lists + outer-join fuse
+        "l4_bigram_perplexity": 4,  # bigram agg + unigram agg + 2 count joins
+        "l2_minhash_near_dup": 4,   # band window + pair dedup + contract join
     }
     for name, budget in budgets.items():
         got = _shuffle_count(spark, name)
