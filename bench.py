@@ -72,6 +72,12 @@ HEADLINE = [
     "l4_bigram_perplexity",
     "d9_cdc_apply",
     "g2_pagerank",
+    # r7 additions: the two VERDICT r6 headline capabilities —
+    # batch-vs-persisted-index dedup (the 100 TB crawl-ingest shape;
+    # includes the index build + append, as a real ingest run would)
+    # and the composed IVF+PQ ANN search path.
+    "l2_incremental_dedup",
+    "l3_ivf_pq_search",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))

@@ -460,6 +460,109 @@ def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t13_stream_incremental_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           TRUE AS found,
+           TRUE AS cross_batch
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
+def t13_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (round 7): STREAMING ingest dedup — each micro-batch of a
+    documents stream is deduplicated against the PERSISTED MinHash band
+    index via foreachBatch, then appended to it
+    (functions/dedup_index.py): the composition a 100 TB crawl pipeline
+    actually deploys, where snapshots arrive continuously and the corpus
+    index is the long-lived state. The index's duplicate-batch_id guard
+    doubles as the exactly-once story: a replayed micro-batch is
+    REJECTED loudly instead of silently double-indexed (foreachBatch is
+    at-least-once; the guard makes redelivery explicit).
+
+    Staging: two mtime-ordered files (maxFilesPerTrigger=1 → two
+    micro-batches in pinned order) — batch 0 the corpus, batch 1 a
+    verbatim copy of every 25th eligible doc under id+100000. Contract:
+    each planted pair is found by the BATCH-1 sink pass (`found`), and
+    the index's recorded provenance proves the pair really crossed
+    micro-batches — id_a indexed by b0, id_b by b1 (`cross_batch`)."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.functions import text as _tx
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_dedup_batch,
+        minhash_index_meta,
+        minhash_index_pairs_vs_batch,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+        run_to_parquet,
+        stage_ordered_batches,
+    )
+
+    wd = _workdir()
+    staged = os.path.join(wd, "docs_staged")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(25)) == 0)
+        & (F.size(_tx.tokenize("text")) >= 3)
+    )
+    copies = eligible.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    stage_ordered_batches([d, copies], staged)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    idx = os.path.join(wd, "band_index")
+    pairs_out = os.path.join(wd, "pairs_out")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"b{batch_id}"
+        sess = batch_df.sparkSession
+        if minhash_index_meta(sess, idx) is None:
+            minhash_index_append(batch_df, "doc_id", "text", idx, batch_id=bid)
+            pairs = minhash_index_pairs_vs_batch(sess, idx, bid)
+        else:
+            pairs = minhash_index_dedup_batch(
+                batch_df, "doc_id", "text", idx, batch_id=bid
+            )
+        pairs.write.mode("append").parquet(pairs_out)
+
+    run_to_parquet(stream, wd, _qname("t13"), batch_fn=_sink)
+    pairs = spark.read.parquet(pairs_out)
+    prov = spark.read.parquet(idx).select("_id", "_batch").distinct()
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    return (
+        expected.join(pairs, ["id_a", "id_b"], "left")
+        .join(
+            prov.select(F.col("_id").alias("id_a"), F.col("_batch").alias("_ba")),
+            "id_a",
+            "left",
+        )
+        .join(
+            prov.select(F.col("_id").alias("id_b"), F.col("_batch").alias("_bb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").isNotNull().alias("found"),
+            ((F.col("_ba") == "b0") & (F.col("_bb") == "b1")).alias("cross_batch"),
+        )
+    )
+
+
+@query(
     "t12_stream_curation",
     oracle="""
     WITH quality AS (
