@@ -1320,6 +1320,65 @@ def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_persisted_ann_search",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches,
+           TRUE AS twins_found
+    """,
+)
+def l3_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 SERVING shape (round 7): the persisted IVF-PQ index —
+    build once (models pinned in meta), APPEND a new batch encoded with
+    those pinned models (no retrain — stored codes stay comparable),
+    search from disk (functions/ann_index.py; codes = scan tier,
+    raw-vector refine tier read only for the broadcast shortlist
+    lookup). Contract: recall >= 0.6 vs engine-exact squared-L2 top-5
+    over corpus∪appended (the l3_pq_search pattern), ≤ k rows/query, no
+    self-matches, AND every appended verbatim twin of a query vector is
+    found at rank 1 / dist 0 (``twins_found`` — identical vector ⇒
+    identical cell + codes under pinned models ⇒ exact re-rank 0)."""
+    import tempfile
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import l2_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10)
+    twins = q.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="ann_idx_")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    ann_index_append(twins, "vec_id", "embedding", path, batch_id="b1")
+    approx = ann_index_search(q, path, k=5, n_probe=8, shortlist=50)
+    exact = l2_topk(e.unionByName(twins), q, k=5)
+    n_q = q.agg(F.count("*").alias("_nq"))
+    n_tw = approx.filter(
+        (F.col("neighbor_id") == F.col("query_id") + _PLANT_OFFSET)
+        & (F.col("rk") == 1)
+        & (F.col("dist") == 0.0)
+    ).agg(F.count("*").alias("_ntw"))
+    return (
+        _ann_contract(approx, exact, recall_bound=0.6, k=5)
+        .crossJoin(F.broadcast(n_q))
+        .crossJoin(F.broadcast(n_tw))
+        .select(
+            "recall_ok",
+            "k_bound_ok",
+            "no_self_matches",
+            (F.col("_ntw") == F.col("_nq")).alias("twins_found"),
+        )
+    )
+
+
+@query(
     "l4_collapse_repeats",
     oracle=r"""
     WITH toks AS (

@@ -1,0 +1,65 @@
+"""Persisted IVF-PQ ANN index (round 7): build/append/search without
+retraining."""
+
+import numpy as np
+import pytest
+
+from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+    ann_index_append,
+    ann_index_batches,
+    ann_index_build,
+    ann_index_meta,
+    ann_index_search,
+)
+
+
+def _corpus(spark, n=60, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = [(i, rng.randn(dim).astype(float).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_build_append_search_finds_appended_twin(spark, tmp_path):
+    """The core serving invariant: a vector APPENDED after build (encoded
+    with the pinned models, no retrain) is immediately searchable — a
+    verbatim twin of query 0 re-ranks to dist 0 at rk 1."""
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    q = corpus.filter("vec_id = 0")
+    top = ann_index_search(q, path, k=3, n_probe=2, shortlist=10).collect()
+    assert top[0].neighbor_id == 1000 and top[0].dist == 0.0 and top[0].rk == 1
+    assert ann_index_batches(spark, path) == ["base", "b1"]
+    meta = ann_index_meta(spark, path)
+    assert meta["n_cells"] == 4 and len(meta["centroids"]) == 4
+    assert len(meta["codebooks"]) == 4 and len(meta["codebooks"][0]) == 8
+
+
+def test_guards_and_probe_cells(spark, tmp_path):
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    with pytest.raises(ValueError, match="already exists"):
+        ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                        n_subspaces=4)
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    with pytest.raises(ValueError, match="already appended"):
+        ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    with pytest.raises(ValueError, match="no index"):
+        ann_index_search(corpus, str(tmp_path / "nope"))
+    # probe_cells whitelist restricts the scan: an empty whitelist
+    # yields no candidates at all
+    q = corpus.filter("vec_id = 0")
+    assert ann_index_search(q, path, k=3, probe_cells=[]).count() == 0
+    full = ann_index_search(q, path, k=3, n_probe=4,
+                            probe_cells=[0, 1, 2, 3]).collect()
+    assert [r.neighbor_id for r in full] == [
+        r.neighbor_id for r in ann_index_search(q, path, k=3, n_probe=4).collect()
+    ]
