@@ -205,12 +205,41 @@ def main() -> None:
     pr_tol_sec = round(time.time() - t0, 1)
     pr_tol_rounds = getattr(pagerank, "last_rounds", 0)
 
+    # Incremental dedup at probe scale (round 7): index the 90%
+    # "existing corpus" once, then dedup the 10% "new crawl" against it.
+    # The number that matters is batch10pct_sec vs the whole-corpus
+    # recompute (queries_sec.l2_minhash_near_dup): per-snapshot cost
+    # should track BATCH size + one index join, not corpus size.
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_dedup_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(probe_dir, "documents.parquet"))
+    split = int(n_docs * 0.9)
+    idx = os.path.join(probe_dir, "band_index_probe")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    minhash_index_append(
+        docs.filter(F.col("doc_id") < split), "doc_id", "text", idx, batch_id="base"
+    )
+    idx_build_sec = round(time.time() - t0, 1)
+    t0 = time.time()
+    minhash_index_dedup_batch(
+        docs.filter(F.col("doc_id") >= split), "doc_id", "text", idx, batch_id="b1"
+    ).write.mode("overwrite").format("noop").save()
+    incr_sec = round(time.time() - t0, 1)
+
     print(
         json.dumps(
             {
                 "probe": "iterative_tier",
                 "n_docs": n_docs,
                 "build_sec": build_sec,
+                "incremental_dedup": {
+                    "index_build_sec": idx_build_sec,
+                    "batch10pct_sec": incr_sec,
+                },
                 "queries_sec": timings,
                 "cc_rounds": cc_rounds,
                 "graph_copies": graph_copies,
