@@ -11,6 +11,7 @@ the fact tables on their join key removes the per-query shuffle entirely
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -248,5 +249,26 @@ def compact_small_files(
         )
     else:
         src.repartition(n_files).write.mode("overwrite").parquet(staging)
+    # Carry SIDECAR entries through the swap (round 7): Spark's parquet
+    # listing ignores `_`/`.`-prefixed paths, so the staging rewrite
+    # doesn't contain them — but the swap replaces the WHOLE directory,
+    # which would silently destroy index metadata living beside the data
+    # (the dedup/ANN indexes keep `_graft_meta`/`_graft_batches`/
+    # `_graft_vectors` there; same class as a `_spark_metadata` dir).
+    # COPY (not move) so a crash mid-copy leaves the live dir whole for
+    # _recover. `_SUCCESS` is skipped — staging has its own.
+    for entry in os.listdir(path):
+        if not (entry.startswith("_") or entry.startswith(".")):
+            continue
+        if entry == "_SUCCESS" or entry.endswith((".staging", ".old")):
+            continue
+        src_e = os.path.join(path, entry)
+        dst_e = os.path.join(staging, entry)
+        if os.path.exists(dst_e):
+            continue
+        if os.path.isdir(src_e):
+            shutil.copytree(src_e, dst_e)
+        else:
+            shutil.copy2(src_e, dst_e)
     _swap_in(staging, path)
     return n_files

@@ -70,6 +70,30 @@ def test_index_rejects_param_drift_and_redelivery(spark, tmp_path):
                                   batch_id="b1")
 
 
+def test_compaction_preserves_index_sidecars_and_pairs(spark, tmp_path):
+    """Index maintenance (SCALING.md): appends create one file-set per
+    batch; compact_small_files must keep the hive band_idx layout AND
+    carry the _graft_meta/_graft_batches sidecars through the staging
+    swap — before the round-7 sidecar fix, the swap silently destroyed
+    the index meta. Pairs before == pairs after."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    before = {(r.id_a, r.id_b) for r in
+              minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    compact_small_files(spark, path)
+    assert minhash_index_meta(spark, path) is not None
+    assert minhash_index_batches(spark, path) == ["b0", "b1"]
+    after = {(r.id_a, r.id_b) for r in
+             minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert after == before and (1, 101) in after
+
+
 def test_index_meta_params_flow_into_dedup_batch(spark, tmp_path):
     """minhash_index_dedup_batch signs the new batch with the INDEX'S
     pinned params, not the defaults — a non-default index still joins."""
