@@ -1267,13 +1267,17 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #3 (VERDICT r5 #3): PQ asymmetric-distance search —
     ADC lookup-table shortlist over the 8-byte PQ codes (32x less scan
     memory than the raw 64-float vectors), then exact re-rank of the
-    50-candidate shortlist only (functions/similarity.pq_topk — the
+    200-candidate shortlist only (functions/similarity.pq_topk — the
     standard ADC-then-refine tier). Contract (the l3_ann pattern):
     recall >= 0.6 vs the ENGINE-COMPUTED exact squared-L2 top-5 (same
-    metric, uncompressed — isolates quantization loss; measured 0.86 at
-    sf0.01, vs 0.24 ADC-only — the fixture's near-uniform embeddings
-    are PQ's worst case), at most k rows per query, no self-matches.
-    Seeded KMeans codebooks make it deterministic for the fixture."""
+    metric, uncompressed — isolates quantization loss; ADC-only is
+    0.24 — the fixture's near-uniform embeddings are PQ's worst case),
+    at most k rows per query, no self-matches. Shortlist sizing is the
+    round-7 sf0.1-sweep lesson: shortlist=50 measured 0.86 at sf0.01
+    (500 vectors) but 0.60-0.64 at sf0.1 (2000 — distance concentration
+    shrinks ADC's ranking signal as the corpus grows, and seeded KMeans
+    shifts slightly with session partitioning), a boundary contract;
+    shortlist=200 restores 0.86 at sf0.1 with margin on any session."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
         l2_topk,
         pq_topk,
@@ -1282,7 +1286,7 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     approx = pq_topk(
-        e, q, k=5, dim=64, n_subspaces=8, n_centroids=32, shortlist=50
+        e, q, k=5, dim=64, n_subspaces=8, n_centroids=32, shortlist=200
     )
     return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
 
@@ -1301,10 +1305,10 @@ def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank touching only the 50-id shortlist
     (functions/similarity.ivf_pq_topk — the FAISS-IVFPQ layout).
     Contract (the l3_pq_search pattern): recall >= 0.6 vs the
-    ENGINE-COMPUTED exact squared-L2 top-5 (measured 0.78 at sf0.01 —
-    vs 0.86 full-scan PQ, the cost of probing half the cells), ≤ k rows
-    per query, no self-matches. Seeded KMeans (cells AND codebooks)
-    makes it deterministic for the fixture."""
+    ENGINE-COMPUTED exact squared-L2 top-5 (measured 0.88 at sf0.1 with
+    shortlist 200 — shortlist 50 sat at the 0.6 boundary there, the
+    round-7 sweep lesson documented on l3_pq_search), ≤ k rows per
+    query, no self-matches."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
         ivf_pq_topk,
         l2_topk,
@@ -1314,7 +1318,7 @@ def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     approx = ivf_pq_topk(
         e, q, k=5, dim=64, n_cells=16, n_probe=8, n_subspaces=8,
-        n_centroids=32, shortlist=50,
+        n_centroids=32, shortlist=200,
     )
     return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
 
@@ -1357,7 +1361,7 @@ def l3_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=32,
     )
     ann_index_append(twins, "vec_id", "embedding", path, batch_id="b1")
-    approx = ann_index_search(q, path, k=5, n_probe=8, shortlist=50)
+    approx = ann_index_search(q, path, k=5, n_probe=8, shortlist=200)
     exact = l2_topk(e.unionByName(twins), q, k=5)
     n_q = q.agg(F.count("*").alias("_nq"))
     n_tw = approx.filter(
@@ -1809,13 +1813,22 @@ def l4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.4
     )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.4
+    SELECT CAST(id_a % 97 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(jaccard * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS jaccard_millionths,
+           CAST(SUM((id_a * 1000003 + id_b) % 2147483647) AS BIGINT)
+             AS id_checksum
+    FROM pairs GROUP BY 1
     """,
 )
 def l2_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1824,12 +1837,29 @@ def l2_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics as l2_ngram_jaccard but without that query's doc_id < 200
     cap: the candidate self-join touches only each document's rare-token
     prefix, so the quadratic verify that forced the cap disappears. The
-    oracle is the brute-force all-pairs SQL over the full table —
-    equality proves the prefix filter drops no true pair."""
+    oracle is the brute-force all-pairs SQL over the full table.
+
+    Contract shape (round-7 sf0.1-sweep lesson): the fixture corpus's
+    true near-dup mass is QUADRATIC at threshold 0.4 (10.4M pairs at
+    sf0.1 — tiny shared vocabulary), so emitting raw pairs made the
+    contract row set unbounded in fixture size and the compare's fetch
+    the bottleneck. The output is instead a per-bucket rollup that still
+    proves exact set equality: pair count, the integer sum of
+    jaccard·1e6 (exact BIGINT arithmetic — no float summation order),
+    and an id-pair checksum, grouped by id_a mod 97. Any dropped or
+    extra or mis-scored pair moves its bucket's row."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
         jaccard_pairs_prefix_filtered,
     )
 
     d = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs_prefix_filtered(d, "doc_id", "text", min_jaccard=0.4)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.groupBy(F.pmod("id_a", F.lit(97)).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("jaccard") * 1000000, 0).cast("long")).alias(
+            "jaccard_millionths"
+        ),
+        F.sum(
+            F.pmod(F.col("id_a") * 1000003 + F.col("id_b"), F.lit(2147483647))
+        ).alias("id_checksum"),
+    )
