@@ -451,3 +451,29 @@ def test_cdc_apply_single_window_shuffle(spark):
     plan = plan_of(spark, "d9_cdc_apply")
     assert plan.count("Window") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_batch_side_prefiltered(spark, tmp_path):
+    """VERDICT r7 #1: minhash_index_pairs_vs_batch must filter _batch
+    BEFORE the band equi-join — a `_batch == bid` predicate pushed into
+    its own parquet scan of the index — and must NOT run a count window
+    over the full index (the old guard_band_buckets form). Candidate
+    mass has to be batch-proportional: the old full×full self-join with
+    the batch membership as a non-pushable join-side disjunction
+    re-enumerated the whole corpus's per-bucket m² candidates per batch."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    path = str(tmp_path / "band_idx_plan")
+    minhash_index_append(docs, "doc_id", "text", path, batch_id="b0")
+    plan = plan_of_df(minhash_index_pairs_vs_batch(spark, path, "b0"))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(_batch,b0)" in p for p in pushed), (
+        "batch-side _batch filter not pushed to a parquet scan:\n" + plan
+    )
+    assert "Window" not in plan, "full-index count window back in the plan"
+    # the guard reads the tiny _graft_counts sidecar, never index rows
+    assert "_graft_counts" in plan
