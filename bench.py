@@ -72,15 +72,81 @@ HEADLINE = [
     "l4_bigram_perplexity",
     "d9_cdc_apply",
     "g2_pagerank",
-    # r7 additions: the two VERDICT r6 headline capabilities —
-    # batch-vs-persisted-index dedup (the 100 TB crawl-ingest shape;
-    # includes the index build + append, as a real ingest run would)
-    # and the composed IVF+PQ ANN search path.
-    "l2_incremental_dedup",
-    "l3_ivf_pq_search",
+    # r8 (VERDICT r7 #3/#4): bench the OPERATOR paths, not the proofs.
+    # r7's l2_incremental_dedup / l3_ivf_pq_search entries spent 53% of
+    # the headline on contract overhead (fresh index builds, from-scratch
+    # recompute, losslessness anti-joins, per-call KMeans retraining,
+    # engine-exact baselines) — self-verification a user never runs, and
+    # noise that hides regressions in the other 28 queries. The full
+    # contract queries stay in the correctness sweep; here we time what
+    # a user runs: dedup ONE pre-indexed batch / search a pre-built
+    # persisted index (setup outside the timer, see OPERATOR_OPS).
+    "l2_index_dedup_batch",
+    "l3_ann_index_search",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _op_index_dedup_batch(spark, sf_dir: str):
+    """Operator path: near-dup pairs for ONE already-appended crawl
+    batch vs the persisted band index (functions/dedup_index.py) —
+    the per-snapshot query a 100 TB ingest pipeline pays repeatedly.
+    Setup (untimed): index the corpus as `base`, append a planted-copy
+    batch `b1` (every 25th doc verbatim under id+100000, the
+    l2_incremental_dedup shape)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bench_mh_idx_")
+    minhash_index_append(docs, "doc_id", "text", path, batch_id="base")
+    new = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    return lambda: minhash_index_pairs_vs_batch(spark, path, "b1")
+
+
+def _op_ann_index_search(spark, sf_dir: str):
+    """Operator path: top-k search against a pre-built persisted IVF-PQ
+    index (functions/ann_index.py) — models pinned at build, so the
+    timed path is LUT projection + cell equi-join + shortlist re-rank,
+    zero training. Setup (untimed): one ann_index_build over the
+    embeddings corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="bench_ann_idx_")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    q = e.filter(F.col("vec_id") < 100)
+    return lambda: ann_index_search(q, path, k=5, n_probe=8, shortlist=200)
+
+
+# name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
+# to drain. Setup runs ONCE, before the warm pass, outside every timer.
+OPERATOR_OPS = {
+    "l2_index_dedup_batch": _op_index_dedup_batch,
+    "l3_ann_index_search": _op_ann_index_search,
+}
 
 
 def main() -> None:
@@ -92,10 +158,19 @@ def main() -> None:
 
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Operator-path entries build their fixture (persisted index) ONCE
+    # here, outside every timer (VERDICT r7 #3/#4).
+    thunks = {}
+    for name in HEADLINE:
+        if name in OPERATOR_OPS:
+            thunks[name] = OPERATOR_OPS[name](spark, sf_dir)
+        else:
+            thunks[name] = lambda n=name: QUERIES[n](spark, sf_dir)
+
     # Untimed warm pass (see module docstring): absorbs one-time session
     # machinery so the timed passes measure steady-state throughput.
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        thunks[name]().write.mode("overwrite").format("noop").save()
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # round-robin the repeats (pass 1 of every query, then pass 2, ...)
@@ -103,9 +178,8 @@ def main() -> None:
     # of all samples of one query
     for _ in range(REPEATS):
         for name in HEADLINE:
-            fn = QUERIES[name]
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
+            df = thunks[name]()
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
 
