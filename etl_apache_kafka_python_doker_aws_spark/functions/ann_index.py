@@ -23,8 +23,18 @@ Index layout at ``path``:
     Appends NEVER retrain: new vectors are encoded with the pinned
     models, so old codes stay comparable to new ones (retraining would
     silently invalidate every stored code; the drift guard makes that a
-    rebuild, not an append).
+    rebuild, not an append). Meta is written LAST in the build (VERDICT
+    r7 #5): a crash mid-build leaves data-without-meta, which search
+    rejects loudly ("no index") instead of serving silently-empty
+    results, and a retry build refuses the leftovers instead of
+    append-doubling them.
   * ``_graft_batches/`` — append markers; duplicate batch_id rejected.
+  * ``residual=True`` (VERDICT r7 #6) trains the PQ codebooks on
+    per-cell residuals (vec − centroid[cell]) — classic FAISS IVFPQ,
+    finer quantization when cells are tight. The flag is pinned in meta
+    like every other model parameter: appends and searches derive the
+    encode/LUT shape from it, so an index can never mix residual and
+    global codes.
 
 Scale notes: search is one cell equi-join (codes ⋈ exploded query
 probes) + one window + one broadcast refine join — no corpus crossJoin,
@@ -46,6 +56,7 @@ from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
     _kmeans_cells,
     _pq_assign,
     _pq_train,
+    _residual,
     _subspace_dists,
 )
 
@@ -68,11 +79,22 @@ def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
         "n_subspaces": int(row.n_subspaces),
         "n_centroids": int(row.n_centroids),
         "seed": int(row.seed),
+        # pre-r8 indexes lack the flag; they were built global-codebook
+        "residual": bool(row.residual) if "residual" in row.__fields__ else False,
         "centroids": [list(map(float, c)) for c in row.centroids],
         "codebooks": [
             [list(map(float, c)) for c in book] for book in row.codebooks
         ],
     }
+
+
+def _fs_nonempty(spark: SparkSession, path: str) -> bool:
+    """True if ``path`` exists and holds anything — Hadoop FS API, so it
+    works on whatever filesystem the index targets."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
 
 
 def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
@@ -83,15 +105,37 @@ def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
     return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
 
 
+def _dim_guarded(vec: "F.Column", dim: int, who: str) -> "F.Column":
+    """Lazy raise_error guard (ADVICE r7, the cdc_apply pattern — zero
+    extra jobs): a wrong-dimension vector would zip_with into NULL
+    distance sums and land unsearchable in the default partition —
+    silent data loss. Fail loudly at encode/search time instead."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{who}: vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != index dim {dim}"),
+            )
+        )
+    )
+
+
 def _encode_with_models(
     df: DataFrame, id_col: str, vec_col: str, meta: dict, batch_id: str
 ) -> DataFrame:
     """Assign cells + PQ codes using the index's PINNED models (pure
-    JVM expressions over broadcast literals — no training pass)."""
+    JVM expressions over broadcast literals — no training pass).
+    Honors ``meta['residual']``: codes are computed over
+    (vec − centroid[cell]) when the index was built residual."""
     sub = meta["dim"] // meta["n_subspaces"]
     dense = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        _dim_guarded(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            meta["dim"],
+            "ann_index encode",
+        ).alias("_v"),
     )
     assigned = dense.select(
         "_id",
@@ -104,6 +148,10 @@ def _encode_with_models(
         .cast("int")
         .alias("cell"),
     )
+    if meta.get("residual"):
+        assigned = assigned.withColumn(
+            "_v", _residual(F.col("_v"), F.col("cell"), meta["centroids"])
+        )
     coded = _pq_assign(assigned, meta["codebooks"], sub)
     return coded.select(
         "_id",
@@ -128,12 +176,18 @@ def ann_index_build(
     seed: int = 42,
     train_fraction: float | None = None,
     batch_id: str = "base",
+    residual: bool = False,
 ) -> None:
     """Train IVF centroids + PQ codebooks on ``corpus`` (seeded KMeans;
     ``train_fraction`` samples the training passes at scale), persist
     the models, and index the corpus as the first batch. Sink helper —
     runs training + write jobs. Raises if an index already exists
-    (rebuild = new path or explicit cleanup; never silent retrain)."""
+    (rebuild = new path or explicit cleanup; never silent retrain) or
+    if the path holds leftovers from a crashed build (meta is written
+    LAST, so leftovers read as "no index" to search — a retry build
+    onto them would append-double the corpus; VERDICT r7 #5).
+    ``residual=True`` trains PQ codebooks on (vec − centroid[cell])
+    residuals — the flag is pinned in meta with the models."""
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
     spark = corpus.sparkSession
@@ -143,26 +197,41 @@ def ann_index_build(
             "must use ann_index_append (models are pinned at build time); "
             "rebuild into a fresh path"
         )
+    if _fs_nonempty(spark, path):
+        raise ValueError(
+            f"ann_index_build: {path} holds leftover files without index "
+            "meta — a crashed build; remove the path and rebuild"
+        )
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
     assigned, centroids = _kmeans_cells(
         ensure_parallelism(corpus), id_col, vec_col, n_cells, seed, train_fraction
     )
-    codebooks = _pq_train(assigned, sub, n_subspaces, n_centroids, seed, train_fraction)
+    train_in = assigned
+    if residual:
+        train_in = assigned.select(
+            "_id",
+            _residual(F.col("_v"), F.col("_cell"), centroids).alias("_v"),
+            "_cell",
+        )
+    codebooks = _pq_train(train_in, sub, n_subspaces, n_centroids, seed, train_fraction)
     meta = {
         "dim": dim,
         "n_cells": n_cells,
         "n_subspaces": n_subspaces,
         "n_centroids": n_centroids,
         "seed": seed,
+        "residual": residual,
         "centroids": centroids,
         "codebooks": codebooks,
     }
+    _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0)
+    # meta LAST: its presence is the build's commit marker — search and
+    # retry-build treat meta-less leftovers as a failed build, loudly
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
         f"{path}/{_META_DIR}"
     )
-    _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0)
 
 
 def ann_index_append(
@@ -231,8 +300,11 @@ def ann_index_search(
     ``probe_cells``: optional driver-known cell whitelist; when given,
     the codes scan is FILTERED on the partition column first, so only
     those cell directories are read (partition pruning — the option to
-    use when the query workload's probes are precomputed). Queries
-    still probe their own n_probe nearest cells within the whitelist.
+    use when the query workload's probes are precomputed). The centroid
+    RANKING is restricted to the whitelist before taking the top
+    n_probe (ADVICE r7): a query whose globally-nearest cells fall
+    outside the whitelist still probes its nearest whitelisted cells
+    instead of silently getting fewer (or zero) candidates.
 
     Returns (query_id, neighbor_id, dist, rk); self-matches excluded by
     id (shared-id-space rule, see pq_topk)."""
@@ -250,12 +322,56 @@ def ann_index_search(
     if probe_cells is not None:
         coded = coded.filter(F.col("cell").isin([int(c) for c in probe_cells]))
     q_dists = _subspace_dists(F.col("_qvec"), centroids)
-    q_cells = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
+    ranked = F.array_sort(
+        F.zip_with(
+            q_dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
         )
-        .select(
+    )
+    if probe_cells is not None:
+        # -1 sentinel for an empty whitelist: F.array() of zero args has
+        # no element type, and no real cell is negative
+        allowed = (
+            F.array(*[F.lit(int(c)) for c in probe_cells])
+            if probe_cells
+            else F.array(F.lit(-1))
+        )
+        ranked = F.filter(
+            ranked, lambda s: F.array_contains(allowed, s.getField("i"))
+        )
+    probe = F.explode(
+        F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, n_probe)
+    ).alias("cell")
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dim_guarded(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            meta["dim"],
+            "ann_index_search",
+        ).alias("_qvec"),
+    )
+    if meta.get("residual"):
+        # residual index: the ADC LUT is per (query, probed cell) —
+        # tables over (qvec − centroid[cell]) slices, computed after the
+        # probe explode (n_probe small tables per query, still tiny)
+        q_cells = (
+            q_base.select("query_id", "_qvec", probe)
+            .withColumn("_qres", _residual(F.col("_qvec"), F.col("cell"), centroids))
+            .select(
+                "query_id",
+                "_qvec",
+                "cell",
+                F.array(
+                    *[
+                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
+                        for s, book in enumerate(codebooks)
+                    ]
+                ).alias("_lut"),
+            )
+        )
+    else:
+        q_cells = q_base.select(
             "query_id",
             "_qvec",
             F.array(
@@ -264,24 +380,8 @@ def ann_index_search(
                     for s, book in enumerate(codebooks)
                 ]
             ).alias("_lut"),
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.zip_with(
-                                q_dists,
-                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                            )
-                        ),
-                        lambda s: s.getField("i"),
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("cell"),
+            probe,
         )
-    )
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),

@@ -349,6 +349,18 @@ def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
     return out.select(*sel)
 
 
+def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -> Column:
+    """vec − centroid[cell], as a JVM expression over the literal
+    centroid table — the classic FAISS IVFPQ residual: PQ codebooks
+    trained on residuals see the (much tighter) within-cell spread
+    instead of the global spread, so the same code budget quantizes
+    finer when cells are tight."""
+    cent = F.array(*[F.array(*[F.lit(float(c)) for c in cc]) for cc in centroids])
+    return F.zip_with(
+        vec_col, F.element_at(cent, cell_col.cast("int") + 1), lambda x, c: x - c
+    )
+
+
 def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     """Squared L2 distance from an array slice to each centroid of one
     codebook, as an array<double> expression (centroids are literals)."""
@@ -700,6 +712,7 @@ def ivf_pq_topk(
     seed: int = 42,
     train_fraction: float | None = None,
     shortlist: int | None = 50,
+    residual: bool = False,
 ) -> DataFrame:
     """L3 deployable ANN shape (VERDICT r6 #2): IVF coarse quantizer +
     PQ asymmetric-distance scan + exact shortlist re-rank, COMPOSED —
@@ -720,11 +733,16 @@ def ivf_pq_topk(
 
     Approximation stack (documented, each measurable): IVF recall loss
     (true neighbor in an unprobed cell) × PQ ranking loss inside probed
-    cells (bounded by shortlist + exact re-rank). Raw vectors are PQ'd
-    as-is, with GLOBAL codebooks shared across cells (classic IVFPQ
-    encodes per-cell residuals, which wins when cells are tight; on the
-    near-uniform fixture cells are wide so the simpler composition is
-    registered — the residual variant is the documented upgrade path).
+    cells (bounded by shortlist + exact re-rank). By default raw
+    vectors are PQ'd as-is with GLOBAL codebooks shared across cells;
+    ``residual=True`` (VERDICT r7 #6) trains and encodes per-cell
+    RESIDUALS (vec − centroid[cell]) — classic FAISS IVFPQ, which wins
+    when cells are tight (the query-side ADC LUT is then computed per
+    probed cell, after the probe explode — n_probe tiny tables per
+    query). Measured on the near-uniform fixture (sf0.1, 8 probes of
+    16 cells, shortlist 200): recall-of-exact-top-5 parity with the
+    global-codebook form — see SCALING.md "residual IVFPQ"; cells are
+    wide there, so the residual win is reserved for clustered corpora.
     MEASURED recall-of-true-top-5, sf0.01 fixture (64-d, 8×32,
     shortlist=50): n_probe=4/16 cells 0.70, n_probe=8/16 **0.78** vs
     0.86 for full-scan pq_topk — the recall cost buys the 2-4×
@@ -750,8 +768,15 @@ def ivf_pq_topk(
     assigned, centroids = _kmeans_cells(
         corpus, id_col, vec_col, n_cells, seed, train_fraction
     )
-    codebooks = _pq_train(assigned, sub, n_subspaces, n_centroids, seed, train_fraction)
-    coded = _pq_assign(assigned, codebooks, sub).select(
+    enc_in = assigned
+    if residual:
+        enc_in = assigned.select(
+            "_id",
+            _residual(F.col("_v"), F.col("_cell"), centroids).alias("_v"),
+            "_cell",
+        )
+    codebooks = _pq_train(enc_in, sub, n_subspaces, n_centroids, seed, train_fraction)
+    coded = _pq_assign(enc_in, codebooks, sub).select(
         F.col("_id").alias("neighbor_id"),
         F.col("_cell").alias("cell"),
         F.array(*[F.col(f"_c{s}") for s in range(n_subspaces)]).alias("_codes"),
@@ -761,9 +786,43 @@ def ivf_pq_topk(
     # centroid distance (both from broadcast literal models).
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q_dists = _subspace_dists(F.col("_qvec"), centroids)
-    q_cells = (
-        queries.select(F.col(id_col).alias("query_id"), qv.alias("_qvec"))
-        .select(
+    probe = F.explode(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        q_dists,
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                    )
+                ),
+                lambda s: s.getField("i"),
+            ),
+            1,
+            n_probe,
+        )
+    ).alias("cell")
+    q_base = queries.select(F.col(id_col).alias("query_id"), qv.alias("_qvec"))
+    if residual:
+        # residual codes compare against LUTs over (qvec − centroid[cell])
+        # — per probed cell, so the LUT moves after the probe explode
+        q_cells = (
+            q_base.select("query_id", "_qvec", probe)
+            .withColumn("_qres", _residual(F.col("_qvec"), F.col("cell"), centroids))
+            .select(
+                "query_id",
+                "_qvec",
+                "cell",
+                F.array(
+                    *[
+                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
+                        for s, book in enumerate(codebooks)
+                    ]
+                ).alias("_lut"),
+            )
+        )
+    else:
+        q_cells = q_base.select(
             "query_id",
             "_qvec",
             F.array(
@@ -772,24 +831,8 @@ def ivf_pq_topk(
                     for s, book in enumerate(codebooks)
                 ]
             ).alias("_lut"),
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.zip_with(
-                                q_dists,
-                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                            )
-                        ),
-                        lambda s: s.getField("i"),
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("cell"),
+            probe,
         )
-    )
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),

@@ -1324,6 +1324,38 @@ def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ivf_pq_residual_search",
+    oracle="""
+    SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches
+    """,
+)
+def l3_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 residual-encoded IVFPQ (VERDICT r7 #6): identical plan to
+    l3_ivf_pq_search, but the PQ codebooks are trained on and the codes
+    encode per-cell RESIDUALS (vec − centroid[cell]) — the classic
+    FAISS layout, finer quantization when cells are tight. ADC lookup
+    tables move after the probe explode (per probed cell, n_probe tiny
+    tables per query); the cell equi-join / window shortlist / exact
+    broadcast re-rank are unchanged. Contract: same recall ≥ 0.6 vs the
+    engine-exact squared-L2 top-5 (measured ≈ parity with the
+    global-codebook form on the near-uniform fixture — cells are wide
+    there; SCALING.md "residual IVFPQ" records both numbers), ≤ k rows
+    per query, no self-matches."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ivf_pq_topk,
+        l2_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    approx = ivf_pq_topk(
+        e, q, k=5, dim=64, n_cells=16, n_probe=8, n_subspaces=8,
+        n_centroids=32, shortlist=200, residual=True,
+    )
+    return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
+
+
+@query(
     "l3_persisted_ann_search",
     oracle="""
     SELECT TRUE AS recall_ok, TRUE AS k_bound_ok, TRUE AS no_self_matches,
