@@ -371,6 +371,15 @@ def run_until_rows(
         # once.
         for p in q.recentProgress:
             gate.offer_progress(p)
+        # A query that died in the window between start() and
+        # addListener never fires onQueryTerminated at the gate, so the
+        # waiter would block the full timeout before the finally-block
+        # surfaced the real exception (ADVICE r7). One isActive check
+        # after seeding closes the race: any termination AFTER this
+        # point is seen by the attached listener.
+        if not q.isActive:
+            gate.terminated = True
+            gate.event.set()
         if not gate.event.wait(timeout=timeout_sec):
             raise TimeoutError(
                 f"run_until_rows: {name} did not reach {n_rows} rows "
