@@ -119,11 +119,14 @@ def minhash_index_append(
     batch-sized) across the data and counts writes so signatures are
     computed once. Raises ValueError on param drift or batch_id
     redelivery; callers that legitimately retry a failed append must
-    remove the batch's files first (the marker row is written LAST —
-    after data and counts — so a crash mid-append leaves an unmarked
-    partial batch whose data and guard counts are mutually consistent;
-    re-append under a NEW batch_id is safe only after cleanup; document
-    over guess).
+    remove the batch's files first. Crash windows (marker written
+    LAST): a crash between the DATA write and the COUNTS write leaves
+    band rows that join as candidates while contributing nothing to
+    the bucket totals — those buckets under-guard until the partial
+    batch is cleaned up; a crash after counts leaves data+counts
+    consistent but unmarked. Either way the batch is unmarked —
+    re-append under a NEW batch_id only after cleanup (document over
+    guess).
     """
     spark = df.sparkSession
     meta = minhash_index_meta(spark, path)
@@ -209,9 +212,20 @@ def minhash_index_pairs_vs_batch(
     if meta is None:
         raise ValueError(f"minhash_index_pairs_vs_batch: no index at {path}")
     full = spark.read.parquet(path)
+    per_batch = None
     try:
-        per_batch = spark.read.parquet(f"{path}/{_COUNTS_DIR}")
+        counts = spark.read.parquet(f"{path}/{_COUNTS_DIR}")
+        # tiny metadata read (one row per batch, the marker-read class):
+        # a sidecar that is missing counts for any MARKED batch (pre-r8
+        # index appended with current code) would silently UNDER-count
+        # bucket totals and re-open the m² blowup the guard exists to
+        # cap — fall back to the one-scan recompute instead
+        counted = {r._batch for r in counts.select("_batch").distinct().collect()}
+        if set(minhash_index_batches(spark, path)) <= counted:
+            per_batch = counts
     except Exception:
+        per_batch = None
+    if per_batch is None:
         per_batch = full.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
         )

@@ -105,3 +105,30 @@ def test_index_meta_params_flow_into_dedup_batch(spark, tmp_path):
     p1 = minhash_index_dedup_batch(new, "doc_id", "text", path, batch_id="b1")
     got = {(r.id_a, r.id_b) for r in p1.collect()}
     assert (1, 101) in got and (102, 103) in got
+
+
+def test_incomplete_counts_sidecar_falls_back(spark, tmp_path):
+    """Migration/crash guard (r8 review): a _graft_counts sidecar that
+    is missing counts for any MARKED batch (pre-r8 index appended with
+    current code) must NOT be trusted — summing it would under-count
+    bucket totals and re-open the m² blowup the skew cap exists to
+    bound. The query falls back to the one-scan recompute."""
+    import shutil
+
+    txt = "bright vixens jump dozy fowl quack together loudly"
+    b0 = spark.createDataFrame([(i, txt) for i in range(3)],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, txt)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    minhash_index_append(b0, "doc_id", "text", path, batch_id="b0")
+    shutil.rmtree(f"{path}/_graft_counts")  # simulate a pre-r8 append
+    minhash_index_append(b1, "doc_id", "text", path, batch_id="b1")
+    # bucket holds 4 identical docs > cap 3: with trusted-but-incomplete
+    # counts (b1 alone sums to 1) pairs would leak; the fallback sees 4
+    assert minhash_index_pairs_vs_batch(
+        spark, path, "b1", max_bucket_size=3
+    ).count() == 0
+    # and with the cap not binding the pairs are still produced
+    assert minhash_index_pairs_vs_batch(
+        spark, path, "b1", max_bucket_size=10
+    ).count() == 3
