@@ -56,6 +56,7 @@ from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
     _kmeans_cells,
     _pq_assign,
     _pq_train,
+    _query_probe_luts,
     _residual,
     _subspace_dists,
 )
@@ -321,28 +322,6 @@ def ann_index_search(
     )
     if probe_cells is not None:
         coded = coded.filter(F.col("cell").isin([int(c) for c in probe_cells]))
-    q_dists = _subspace_dists(F.col("_qvec"), centroids)
-    ranked = F.array_sort(
-        F.zip_with(
-            q_dists,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
-    if probe_cells is not None:
-        # -1 sentinel for an empty whitelist: F.array() of zero args has
-        # no element type, and no real cell is negative
-        allowed = (
-            F.array(*[F.lit(int(c)) for c in probe_cells])
-            if probe_cells
-            else F.array(F.lit(-1))
-        )
-        ranked = F.filter(
-            ranked, lambda s: F.array_contains(allowed, s.getField("i"))
-        )
-    probe = F.explode(
-        F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, n_probe)
-    ).alias("cell")
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         _dim_guarded(
@@ -351,37 +330,17 @@ def ann_index_search(
             "ann_index_search",
         ).alias("_qvec"),
     )
-    if meta.get("residual"):
-        # residual index: the ADC LUT is per (query, probed cell) —
-        # tables over (qvec − centroid[cell]) slices, computed after the
-        # probe explode (n_probe small tables per query, still tiny)
-        q_cells = (
-            q_base.select("query_id", "_qvec", probe)
-            .withColumn("_qres", _residual(F.col("_qvec"), F.col("cell"), centroids))
-            .select(
-                "query_id",
-                "_qvec",
-                "cell",
-                F.array(
-                    *[
-                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
-                        for s, book in enumerate(codebooks)
-                    ]
-                ).alias("_lut"),
-            )
-        )
-    else:
-        q_cells = q_base.select(
-            "query_id",
-            "_qvec",
-            F.array(
-                *[
-                    _subspace_dists(F.slice("_qvec", s * sub + 1, sub), book)
-                    for s, book in enumerate(codebooks)
-                ]
-            ).alias("_lut"),
-            probe,
-        )
+    # rank/probe/LUT shared verbatim with ivf_pq_topk (drift guard) —
+    # whitelist ranking and the residual per-cell LUTs live there
+    q_cells = _query_probe_luts(
+        q_base,
+        centroids,
+        codebooks,
+        sub,
+        n_probe,
+        meta.get("residual", False),
+        allowed_cells=probe_cells,
+    )
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),

@@ -355,28 +355,104 @@ def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -
     trained on residuals see the (much tighter) within-cell spread
     instead of the global spread, so the same code budget quantizes
     finer when cells are tight."""
-    cent = F.array(*[F.array(*[F.lit(float(c)) for c in cc]) for cc in centroids])
+    cent = F.lit([[float(c) for c in cc] for cc in centroids])
     return F.zip_with(
         vec_col, F.element_at(cent, cell_col.cast("int") + 1), lambda x, c: x - c
     )
 
 
+def _query_probe_luts(
+    q_base: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    sub: int,
+    n_probe: int,
+    residual: bool,
+    allowed_cells: list[int] | None = None,
+) -> DataFrame:
+    """The shared QUERY side of IVFPQ search (extracted r8 — the
+    _kmeans_cells/_pq_assign drift argument: ivf_pq_topk and the
+    persisted ann_index_search must rank/probe/LUT identically or the
+    serving path silently desynchronizes from the analytics path).
+    ``q_base`` is (query_id, _qvec array<double>); returns one row per
+    (query, probed cell): (query_id, _qvec, cell, _lut).
+
+    Ranks centroids by distance — restricted to ``allowed_cells`` when
+    given, BEFORE taking the top ``n_probe`` (ADVICE r7: a query whose
+    globally-nearest cells fall outside the whitelist probes its
+    nearest whitelisted cells, never silently fewer) — explodes the
+    probes, and builds the ADC lookup tables: per query for global
+    codebooks, per (query, probed cell) over (qvec − centroid[cell])
+    when ``residual``."""
+    q_dists = _subspace_dists(F.col("_qvec"), centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            q_dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    if allowed_cells is not None:
+        # -1 sentinel for an empty whitelist: F.array() of zero args has
+        # no element type, and no real cell is negative
+        allowed = (
+            F.array(*[F.lit(int(c)) for c in allowed_cells])
+            if allowed_cells
+            else F.array(F.lit(-1))
+        )
+        ranked = F.filter(
+            ranked, lambda s: F.array_contains(allowed, s.getField("i"))
+        )
+    probe = F.explode(
+        F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, n_probe)
+    ).alias("cell")
+    if residual:
+        return (
+            q_base.select("query_id", "_qvec", probe)
+            .withColumn("_qres", _residual(F.col("_qvec"), F.col("cell"), centroids))
+            .select(
+                "query_id",
+                "_qvec",
+                "cell",
+                F.array(
+                    *[
+                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
+                        for s, book in enumerate(codebooks)
+                    ]
+                ).alias("_lut"),
+            )
+        )
+    return q_base.select(
+        "query_id",
+        "_qvec",
+        F.array(
+            *[
+                _subspace_dists(F.slice("_qvec", s * sub + 1, sub), book)
+                for s, book in enumerate(codebooks)
+            ]
+        ).alias("_lut"),
+        probe,
+    )
+
+
 def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     """Squared L2 distance from an array slice to each centroid of one
-    codebook, as an array<double> expression (centroids are literals)."""
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    slice_col,
-                    F.array(*[F.lit(c) for c in centroid]),
-                    lambda x, cc: (x - cc) * (x - cc),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for centroid in book
-        ]
+    codebook, as an array<double> expression. The codebook enters as ONE
+    nested-array LITERAL + a transform HOF (r8): the previous unrolled
+    array-of-aggregates form created thousands of py4j Column objects
+    per model (books × centroids × dim literals), costing 7-9 s of
+    DRIVER-side plan construction per ann_index_search call — that was
+    the bulk of the measured wall, not execution. This form is one py4j
+    call per book with bit-identical results (measured equal), and the
+    inner zip_with/aggregate were interpreted HOFs either way, so
+    executor-side cost is unchanged."""
+    return F.transform(
+        F.lit([[float(c) for c in cen] for cen in book]),
+        lambda cen: F.aggregate(
+            F.zip_with(slice_col, cen, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
 
 
@@ -783,56 +859,11 @@ def ivf_pq_topk(
     )
 
     # Per-query: ADC lookup tables + the n_probe nearest cells by
-    # centroid distance (both from broadcast literal models).
+    # centroid distance (both from broadcast literal models) — the
+    # query side shared verbatim with ann_index_search.
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q_dists = _subspace_dists(F.col("_qvec"), centroids)
-    probe = F.explode(
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        q_dists,
-                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                    )
-                ),
-                lambda s: s.getField("i"),
-            ),
-            1,
-            n_probe,
-        )
-    ).alias("cell")
     q_base = queries.select(F.col(id_col).alias("query_id"), qv.alias("_qvec"))
-    if residual:
-        # residual codes compare against LUTs over (qvec − centroid[cell])
-        # — per probed cell, so the LUT moves after the probe explode
-        q_cells = (
-            q_base.select("query_id", "_qvec", probe)
-            .withColumn("_qres", _residual(F.col("_qvec"), F.col("cell"), centroids))
-            .select(
-                "query_id",
-                "_qvec",
-                "cell",
-                F.array(
-                    *[
-                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
-                        for s, book in enumerate(codebooks)
-                    ]
-                ).alias("_lut"),
-            )
-        )
-    else:
-        q_cells = q_base.select(
-            "query_id",
-            "_qvec",
-            F.array(
-                *[
-                    _subspace_dists(F.slice("_qvec", s * sub + 1, sub), book)
-                    for s, book in enumerate(codebooks)
-                ]
-            ).alias("_lut"),
-            probe,
-        )
+    q_cells = _query_probe_luts(q_base, centroids, codebooks, sub, n_probe, residual)
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),
