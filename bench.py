@@ -106,6 +106,7 @@ def _op_index_dedup_batch(spark, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="bench_mh_idx_")
+    _BENCH_TMP.append(path)
     minhash_index_append(docs, "doc_id", "text", path, batch_id="base")
     new = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -133,6 +134,7 @@ def _op_ann_index_search(spark, sf_dir: str):
         "vec_id", "embedding"
     )
     path = tempfile.mkdtemp(prefix="bench_ann_idx_")
+    _BENCH_TMP.append(path)
     ann_index_build(
         e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
         n_centroids=32,
@@ -147,6 +149,10 @@ OPERATOR_OPS = {
     "l2_index_dedup_batch": _op_index_dedup_batch,
     "l3_ann_index_search": _op_ann_index_search,
 }
+
+# persisted-index fixtures built by the setups — removed after the run
+# (hundreds of MB per bench invocation otherwise accumulate in /tmp)
+_BENCH_TMP: list[str] = []
 
 
 def main() -> None:
@@ -182,6 +188,11 @@ def main() -> None:
             df = thunks[name]()
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+
+    import shutil
+
+    for p in _BENCH_TMP:
+        shutil.rmtree(p, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

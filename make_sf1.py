@@ -57,7 +57,10 @@ KEY_COLS = {
 
 def _single_file(df, out_dir: str, name: str) -> None:
     tmp = os.path.join(out_dir, f"_stage_{name}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # repartition (shuffle barrier), NOT coalesce: coalesce(1) would
+    # collapse the whole generation pipeline into one task — the
+    # replicas' regexp/noise work must run wide, only the write narrows
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     shutil.move(part, os.path.join(out_dir, f"{name}.parquet"))
     shutil.rmtree(tmp)
