@@ -43,11 +43,12 @@ Scale notes (SCALING.md "incremental dedup"):
     previous form self-joined full×full with the batch membership as a
     non-pushable disjunction, re-enumerating the whole corpus's
     per-bucket m² candidates every batch.
-  * The batch-vs-index join shuffles index+batch rows on
-    (band_idx, band_hash). At cluster scale, write the index BUCKETED
-    by band_hash (``.bucketBy(n, "band_hash").saveAsTable``) and the
-    join is co-located — zero index shuffle per batch. The plain-path
-    form here keeps the API storage-agnostic.
+  * The path form's batch-vs-index join shuffles index+batch rows on
+    (band_idx, band_hash). The cluster-scale upgrade is the BUCKETED
+    TABLE tier below (``minhash_table_*``, r8): index + counts sidecar
+    bucketed on exactly the join keys → guard agg, semi-join and band
+    join all plan with ZERO Exchange (plan-pinned); the path form stays
+    for storage-agnostic use.
   * Skew guard semantics under append: bucket sizes are evaluated over
     the CURRENT index (the summed counts sidecar), so a bucket that
     crosses ``max_bucket_size`` stops producing pairs for later batches
@@ -225,6 +226,24 @@ def minhash_index_pairs_vs_batch(
             per_batch = counts
     except Exception:
         per_batch = None
+    return _pairs_for_batch(
+        full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
+    )
+
+
+def _pairs_for_batch(
+    full: DataFrame,
+    per_batch: DataFrame | None,
+    batch_id: str,
+    num_hashes: int,
+    threshold: float,
+    max_bucket_size: int,
+) -> DataFrame:
+    """The shared batch-vs-index pair plan (path-backed and
+    table-bucketed forms must never drift): guard whitelist from the
+    summed counts (or the one-scan recompute when ``per_batch`` is
+    None), batch-side filter, one band equi-join, (least, greatest)
+    normalization, signature verify."""
     if per_batch is None:
         per_batch = full.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
@@ -251,7 +270,7 @@ def minhash_index_pairs_vs_batch(
         F.col("a._sig").alias("sig_a"),
         F.col("b._sig").alias("sig_b"),
     )
-    return estimate_jaccard_pairs(cand, meta["num_hashes"], threshold)
+    return estimate_jaccard_pairs(cand, num_hashes, threshold)
 
 
 def minhash_index_dedup_batch(
@@ -288,3 +307,157 @@ def minhash_index_dedup_batch(
     return minhash_index_pairs_vs_batch(
         spark, path, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
     )
+
+
+# --- Bucketed-table tier (round 8): the SCALING.md upgrade, built ---
+#
+# The path-backed index above shuffles index+batch rows on
+# (band_idx, band_hash) for every per-batch join. Writing the index as
+# a BUCKETED TABLE on those keys makes the join co-located: both sides
+# are bucketed scans with matching specs, so SortMergeJoin plans with
+# ZERO Exchange — no index shuffle per crawl snapshot, the property
+# that matters when the index is 10⁹ docs and the batch is 10⁵
+# (plan-pinned in tests/test_plans.py). Sidecars become sibling tables
+# (`<name>_meta` / `<name>_batches` / `<name>_counts`) so the whole
+# index lives in the catalog.
+
+
+def _table_exists(spark: SparkSession, table: str) -> bool:
+    return spark.catalog.tableExists(table)
+
+
+def minhash_table_meta(spark: SparkSession, table: str) -> dict | None:
+    """Pinned LSH params (+ bucket count) of a bucketed band index, or
+    None if the index table doesn't exist yet."""
+    if not _table_exists(spark, f"{table}_meta"):
+        return None
+    row = spark.table(f"{table}_meta").first()
+    if row is None:
+        return None
+    return {k: int(row[k]) for k in _PARAMS + ("buckets",)}
+
+
+def minhash_table_batches(spark: SparkSession, table: str) -> list[str]:
+    if not _table_exists(spark, f"{table}_batches"):
+        return []
+    rows = spark.table(f"{table}_batches").collect()
+    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+
+
+def minhash_table_append(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    *,
+    batch_id: str,
+    buckets: int = 64,
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> None:
+    """Sign ``df`` and APPEND its band rows to the bucketed index table
+    (created, with params+buckets pinned in ``<table>_meta``, on first
+    use). Same guards and write order as the path form: param/bucket
+    drift and batch_id redelivery are rejected loudly; marker row
+    written LAST. ``buckets`` sizes the (band_idx, band_hash) bucketing
+    — at 10⁹ docs pick buckets so each holds a few hundred MB; it is
+    pinned at creation because appends into a different bucket count
+    would silently break join co-location."""
+    spark = df.sparkSession
+    meta = minhash_table_meta(spark, table)
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+        "buckets": buckets,
+    }
+    if meta is not None and meta != params:
+        raise ValueError(
+            f"minhash_table_append: index {table} was built with {meta}, "
+            f"append requested {params} — rebuild or match its params"
+        )
+    existing = minhash_table_batches(spark, table)
+    if batch_id in existing:
+        raise ValueError(
+            f"minhash_table_append: batch_id {batch_id!r} already appended "
+            f"to {table} — use a fresh batch_id per delivery"
+        )
+    if meta is None:
+        spark.createDataFrame([params]).coalesce(1).write.mode(
+            "overwrite"
+        ).saveAsTable(f"{table}_meta")
+    banded = banded_minhash_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    ).withColumn("_batch", F.lit(batch_id))
+    banded.persist()
+    try:
+        banded.write.mode("append").bucketBy(
+            buckets, "band_idx", "band_hash"
+        ).format("parquet").saveAsTable(table)
+        # counts bucketed on the SAME keys: the guard's sum-by-bucket
+        # and its semi-join against the (equally bucketed) batch side
+        # then also plan shuffle-free — the only Exchange left in the
+        # whole pairs query is the tiny pair-dedup
+        banded.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("cnt")
+        ).withColumn("_batch", F.lit(batch_id)).write.mode("append").bucketBy(
+            buckets, "band_idx", "band_hash"
+        ).format("parquet").saveAsTable(f"{table}_counts")
+    finally:
+        banded.unpersist()
+    spark.createDataFrame(
+        [{"batch_id": batch_id, "seq": len(existing)}]
+    ).write.mode("append").saveAsTable(f"{table}_batches")
+
+
+def minhash_table_pairs_vs_batch(
+    spark: SparkSession,
+    table: str,
+    batch_id: str,
+    *,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs for one batch vs the bucketed index — the
+    same plan as ``minhash_index_pairs_vs_batch`` (shared
+    ``_pairs_for_batch``) except the band equi-join is CO-LOCATED:
+    both sides are bucketed scans of ``table`` on exactly the join
+    keys, so SortMergeJoin plans with zero Exchange (pinned in
+    tests/test_plans.py::test_bucketed_index_join_has_no_exchange).
+    Per-batch cost = one bucketed scan + per-partition sorts; nothing
+    shuffles, at any index size."""
+    meta = minhash_table_meta(spark, table)
+    if meta is None:
+        raise ValueError(f"minhash_table_pairs_vs_batch: no index table {table}")
+    full = spark.table(table)
+    per_batch = None
+    if _table_exists(spark, f"{table}_counts"):
+        counts = spark.table(f"{table}_counts")
+        counted = {r._batch for r in counts.select("_batch").distinct().collect()}
+        if set(minhash_table_batches(spark, table)) <= counted:
+            per_batch = counts
+    return _pairs_for_batch(
+        full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
+    )
+
+
+def drop_minhash_table(spark: SparkSession, table: str) -> None:
+    """Drop a bucketed band index (data + meta/batches/counts sidecar
+    tables) INCLUDING their warehouse locations. ``DROP TABLE IF
+    EXISTS`` alone is not idempotent across sessions: a fresh session's
+    in-memory catalog has never heard of the table, so the DROP no-ops
+    while the warehouse directory persists, and the next ``saveAsTable``
+    fails with LOCATION_ALREADY_EXISTS. Deleting the location through
+    the Hadoop FS API makes rebuild-from-scratch runs (driver reruns,
+    tests) idempotent on any filesystem."""
+    sc = spark.sparkContext
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for t in (table, f"{table}_meta", f"{table}_batches", f"{table}_counts"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)

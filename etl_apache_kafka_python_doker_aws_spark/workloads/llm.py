@@ -199,6 +199,86 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_incremental_dedup_bucketed",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           TRUE AS found_cross_batch,
+           TRUE AS same_as_path_form
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
+def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 incremental dedup, BUCKETED-TABLE tier (round 8 — the
+    SCALING.md upgrade built): the band index is a table bucketed on
+    (band_idx, band_hash) with an equally-bucketed counts sidecar
+    table, so the per-batch pairs query plans with ZERO Exchange except
+    the tiny pair-dedup — no index shuffle per crawl snapshot at any
+    index size (functions/dedup_index.py minhash_table_*; plan pinned
+    in tests/test_plans.py::test_bucketed_index_join_has_no_exchange).
+
+    Contract: (a) planted cross-batch duplicates (every 25th eligible
+    doc arrives in the new batch verbatim under id+100000) are paired
+    by the bucketed query (``found_cross_batch``, oracle-enumerated
+    exactly); (b) the bucketed form emits EXACTLY the pair set of the
+    path-backed form on the same two batches
+    (``same_as_path_form`` — both directions empty anti-joins; the two
+    forms share ``_pairs_for_batch``, this pins the storage layer)."""
+    import tempfile
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+        & (F.size(tx.tokenize("text")) >= 3)
+    )
+    new = eligible.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    tbl = "l2_band_index_bucketed"
+    # drops locations too: a fresh session's catalog no-ops the DROP
+    # while the warehouse dir persists → LOCATION_ALREADY_EXISTS
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
+    minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1", buckets=8)
+    pb = minhash_table_pairs_vs_batch(spark, tbl, "b1")
+    path = tempfile.mkdtemp(prefix="mh_idx_eq_")
+    minhash_index_append(d, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    pp = minhash_index_pairs_vs_batch(spark, path, "b1")
+    n_diff = (
+        pb.join(pp, ["id_a", "id_b"], "left_anti")
+        .unionByName(pp.join(pb, ["id_a", "id_b"], "left_anti"))
+        .agg(F.count("*").alias("_nd"))
+    )
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(pb, ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").isNotNull().alias("found_cross_batch"),
+            (F.col("_nd") == 0).alias("same_as_path_form"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (

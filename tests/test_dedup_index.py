@@ -132,3 +132,42 @@ def test_incomplete_counts_sidecar_falls_back(spark, tmp_path):
     assert minhash_index_pairs_vs_batch(
         spark, path, "b1", max_bucket_size=10
     ).count() == 3
+
+
+def test_bucketed_table_form_matches_path_form(spark, tmp_path):
+    """The bucketed-table tier shares _pairs_for_batch with the path
+    form — this pins the STORAGE layer: same pair set, same guards
+    (param/bucket drift + redelivery rejected)."""
+    import pytest
+
+    base, new, _ = _frames(spark)
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_batches,
+        minhash_table_pairs_vs_batch,
+    )
+
+    tbl = "t_mh_bucketed_eq"
+    drop_minhash_table(spark, tbl)
+    try:
+
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1", buckets=4)
+        assert minhash_table_batches(spark, tbl) == ["b0", "b1"]
+        with pytest.raises(ValueError, match="already appended"):
+            minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                                 buckets=4)
+        with pytest.raises(ValueError, match="was built with"):
+            minhash_table_append(new, "doc_id", "text", tbl, batch_id="b2",
+                                 buckets=8)
+        got_b = {(r.id_a, r.id_b) for r in
+                 minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        path = str(tmp_path / "idx_eq")
+        minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+        minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+        got_p = {(r.id_a, r.id_b) for r in
+                 minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+        assert got_b == got_p and (1, 101) in got_b
+    finally:
+        drop_minhash_table(spark, tbl)

@@ -477,3 +477,34 @@ def test_incremental_dedup_batch_side_prefiltered(spark, tmp_path):
     assert "Window" not in plan, "full-index count window back in the plan"
     # the guard reads the tiny _graft_counts sidecar, never index rows
     assert "_graft_counts" in plan
+
+
+def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
+    """Round-8 bucketed-table tier: with the band index AND its counts
+    sidecar bucketed on (band_idx, band_hash), the per-batch pairs
+    query must plan its guard agg, semi-join and band join shuffle-free
+    — the ONLY Exchange allowed is the tiny (id_a, id_b) pair-dedup.
+    This is the zero-index-shuffle-per-snapshot property that matters
+    at 10⁹ indexed docs."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+    )
+
+    tbl = "t_mh_bucketed_plan"
+    drop_minhash_table(spark, tbl)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    minhash_table_append(docs, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+    plan = (
+        minhash_table_pairs_vs_batch(spark, tbl, "b0")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    drop_minhash_table(spark, tbl)
+    exchanges = re.findall(r"Exchange (?:hash|range)partitioning\(([^)]*)\)", plan)
+    band_ex = [e for e in exchanges if "band_" in e]
+    assert not band_ex, f"band-key shuffle crept back in: {band_ex}"
+    assert "SelectedBucketsCount" in plan, "bucketed scan not used"
