@@ -461,3 +461,41 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
         fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)
+
+
+def minhash_table_dedup_batch(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    *,
+    batch_id: str,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Bucketed-tier mirror of ``minhash_index_dedup_batch``: append the
+    new batch (signed with the table's pinned params/buckets), then
+    return its near-dup pairs vs everything indexed. Maintenance note:
+    unlike the path form, do NOT run ``compact_small_files`` on a
+    bucketed table's directory — bucket membership is encoded in the
+    file names, and rewriting files outside ``bucketBy`` writes would
+    silently break join co-location. Compact by rewriting through
+    ``INSERT OVERWRITE``/CTAS with the same bucket spec instead."""
+    spark = new_df.sparkSession
+    meta = minhash_table_meta(spark, table)
+    if meta is None:
+        raise ValueError(
+            f"minhash_table_dedup_batch: no index table {table} — create it "
+            "with minhash_table_append (pinning params + buckets) first"
+        )
+    minhash_table_append(
+        new_df,
+        id_col,
+        text_col,
+        table,
+        batch_id=batch_id,
+        **meta,
+    )
+    return minhash_table_pairs_vs_batch(
+        spark, table, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
+    )

@@ -171,3 +171,29 @@ def test_bucketed_table_form_matches_path_form(spark, tmp_path):
         assert got_b == got_p and (1, 101) in got_b
     finally:
         drop_minhash_table(spark, tbl)
+
+
+def test_bucketed_dedup_batch_convenience(spark, tmp_path):
+    """minhash_table_dedup_batch = append (pinned params) + pairs query,
+    params read from the table meta — and a fresh table name raises."""
+    import pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_dedup_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_bucketed_conv"
+    drop_minhash_table(spark, tbl)
+    try:
+        with pytest.raises(ValueError, match="no index table"):
+            minhash_table_dedup_batch(new, "doc_id", "text", tbl, batch_id="b1")
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_dedup_batch(new, "doc_id", "text", tbl,
+                                         batch_id="b1").collect()}
+        assert (1, 101) in got and (102, 103) in got
+    finally:
+        drop_minhash_table(spark, tbl)
