@@ -376,6 +376,17 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_shortlist(e) -> int:
+    """Corpus-scaled exact-re-rank shortlist: max(200, n/10). Fixed
+    shortlists are calibration-dependent — r7: 50 sat at the recall
+    boundary between sf0.01 and sf0.1 (200 restored margin); r8
+    synthetic-sf1 sweep: 200 on a 20k-vector decorrelated corpus
+    dropped IVF-PQ recall to 0.22, n/10 restores 0.86 (measured). A
+    serving system sizes the shortlist from its index size; the
+    contract queries do the same. Costs one cheap count() job."""
+    return max(200, e.count() // 10)
+
+
 def _ann_contract(
     approx: DataFrame, exact: DataFrame, recall_bound: float, k: int = 5
 ) -> DataFrame:
@@ -1125,8 +1136,13 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact count), codes within [0, 16), the exact 64x compression
     ratio (64 float32 -> 4 byte codes), average reconstruction MSE
     beats the predict-the-mean baseline (per-component variance — the
-    bar any quantizer must clear), and max MSE under an absolute bound
-    (0.02; measured 0.0139 on the seeded fixture)."""
+    bar any quantizer must clear), and max MSE within 1.5× that same
+    baseline (measured max/var 0.86-0.92 on the sf0.01/sf0.1 fixtures).
+    Both MSE bounds are RELATIVE to the data's variance on purpose: the
+    r8 synthetic-sf1 sweep caught the previous absolute bound (0.02,
+    calibrated to the fixture spread) failing on a wider-variance
+    corpus — an absolute bound tests the fixture, a variance-relative
+    bound tests the quantizer."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import pq_encode
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1141,14 +1157,14 @@ def l3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes_in_range"),
         F.lit(64.0).alias("compression_ratio"),
         F.avg("reconstruction_mse").alias("_avg_mse"),
-        (F.max("reconstruction_mse") <= 0.02).alias("max_mse_bounded"),
+        F.max("reconstruction_mse").alias("_max_mse"),
     )
     return stats.crossJoin(F.broadcast(comp_var)).select(
         "n_vectors",
         "codes_in_range",
         "compression_ratio",
         (F.col("_avg_mse") < F.col("_var")).alias("beats_mean_baseline"),
-        "max_mse_bounded",
+        (F.col("_max_mse") <= 1.5 * F.col("_var")).alias("max_mse_bounded"),
     )
 
 
@@ -1366,7 +1382,8 @@ def l3_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     approx = pq_topk(
-        e, q, k=5, dim=64, n_subspaces=8, n_centroids=32, shortlist=200
+        e, q, k=5, dim=64, n_subspaces=8, n_centroids=32,
+        shortlist=_ann_shortlist(e)
     )
     return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
 
@@ -1398,7 +1415,7 @@ def l3_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     approx = ivf_pq_topk(
         e, q, k=5, dim=64, n_cells=16, n_probe=8, n_subspaces=8,
-        n_centroids=32, shortlist=200,
+        n_centroids=32, shortlist=_ann_shortlist(e),
     )
     return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
 
@@ -1430,7 +1447,7 @@ def l3_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     approx = ivf_pq_topk(
         e, q, k=5, dim=64, n_cells=16, n_probe=8, n_subspaces=8,
-        n_centroids=32, shortlist=200, residual=True,
+        n_centroids=32, shortlist=_ann_shortlist(e), residual=True,
     )
     return _ann_contract(approx, l2_topk(e, q, k=5), recall_bound=0.6, k=5)
 
@@ -1473,7 +1490,8 @@ def l3_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=32,
     )
     ann_index_append(twins, "vec_id", "embedding", path, batch_id="b1")
-    approx = ann_index_search(q, path, k=5, n_probe=8, shortlist=200)
+    approx = ann_index_search(q, path, k=5, n_probe=8,
+                              shortlist=_ann_shortlist(e))
     exact = l2_topk(e.unionByName(twins), q, k=5)
     n_q = q.agg(F.count("*").alias("_nq"))
     n_tw = approx.filter(

@@ -42,6 +42,13 @@ import sys
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 OFF = 10_000_000
+# documents/embeddings use a SMALL offset: several registered contracts
+# plant in-query copies at id+100000 and identify them by `id >= 100000`
+# (documented shared-id-space rule, e.g. l2_dedup_pipeline) — replica
+# ids must stay BELOW the plant space or every replica doc reads as a
+# surviving planted copy. sf0.1 has 5000 docs / 2000 vectors, so 1e4
+# per replica keeps all real ids < 1e5 with zero collisions.
+DOC_OFF = 10_000
 
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -80,10 +87,11 @@ def main() -> None:
     for t, keys in KEY_COLS.items():
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         reps = []
+        off = DOC_OFF if t in ("documents", "embeddings") else OFF
         for k in range(REPLICAS):
             r = base
             for c in keys:
-                r = r.withColumn(c, F.col(c) + F.lit(k * OFF))
+                r = r.withColumn(c, F.col(c) + F.lit(k * off))
             if k > 0 and t == "documents":
                 r = r.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", rf"r{k}x$1")
