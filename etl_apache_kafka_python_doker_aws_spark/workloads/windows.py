@@ -5,6 +5,16 @@ with a unique tiebreaker (else row_number/ntile are nondeterministic across
 engines AND across Spark runs); running sums use integer-valued doubles
 (l_quantity) so segment-tree vs sequential summation order can't produce
 ulp drift.
+
+r8 refinement of the tiebreaker rule, found by the synthetic-sf1 sweep:
+"(l_orderkey, l_linenumber) is unique" is a TPC-H assumption the driver
+fixture does not honor — sf0.1 has 118k duplicate (orderkey, linenumber)
+pairs and exactly one fully-tied (suppkey, shipdate, orderkey,
+linenumber) group with quantities [16, 13], so w4/w5's mid-tie running
+values were order-ambiguous by ±3 (invisible at the driver's sf0.01
+gate, where the tie doesn't occur). The order now ends with l_quantity
+on both engines: two rows tied on ALL order keys then carry equal
+values, which makes any evaluation order produce identical frames.
 """
 
 from __future__ import annotations
@@ -107,7 +117,8 @@ def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                          l_quantity
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS running_qty
     FROM lineitem
@@ -120,7 +131,8 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_agg(
         li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
         group_cols=["l_suppkey"],
-        order_cols=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        order_cols=[F.col("l_shipdate"), F.col("l_orderkey"),
+                    F.col("l_linenumber"), F.col("l_quantity")],
         value_col="l_quantity",
         out_col="running_qty",
     ).select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
@@ -131,7 +143,8 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            AVG(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                          l_quantity
                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              AS mavg_qty
     FROM lineitem
@@ -144,7 +157,8 @@ def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_avg(
         li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
         group_cols=["l_suppkey"],
-        order_cols=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        order_cols=[F.col("l_shipdate"), F.col("l_orderkey"),
+                    F.col("l_linenumber"), F.col("l_quantity")],
         value_col="l_quantity",
         window_rows=3,
         out_col="mavg_qty",
