@@ -915,12 +915,22 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #2: IVF top-k (seeded KMeans cells + n_probe search) —
     data-adaptive alternative to the LSH variant. Same contract shape as
     l3_ann_lsh: recall >= 0.6 vs exact brute force (seeded KMeans is
-    deterministic for the fixed fixture), k-bound, no self-matches."""
+    deterministic for the fixed fixture), k-bound, no self-matches.
+
+    n_probe=8 of 16 (r8): on a NEAR-UNIFORM corpus raw-IVF recall is
+    bounded by the probed fraction — with no exact re-rank tier to
+    recover ranking error, n_probe=4 decayed with corpus scale and
+    decorrelation (measured recall-of-exact-top-5: 0.70 at sf0.01, 0.66
+    at sf0.1, 0.58 on the 20k-vector synthetic sf1 — under the 0.6
+    bound), while 8 probes hold 0.84-0.92 across all three. Cell-scan
+    reduction drops from 4× to 2×; probe count is THE recall/scan dial
+    on uniform data (clustered corpora probe fewer — same FAISS
+    playbook as the ivf_pq tier)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    approx = ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    approx = ivf_topk(e, q, k=5, n_cells=16, n_probe=8)
     return _ann_contract(approx, cosine_topk(e, q, k=5), recall_bound=0.6, k=5)
 
 
