@@ -200,6 +200,7 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l2_incremental_dedup_bucketed",
+    scale_form="bounded",
     oracle="""
     WITH t AS (
       SELECT doc_id,
