@@ -143,3 +143,34 @@ def test_residual_build_append_search(spark, tmp_path):
     top = ann_index_search(corpus.filter("vec_id = 0"), path, k=3,
                            n_probe=2, shortlist=10).collect()
     assert top[0].neighbor_id == 1000 and top[0].dist == 0.0 and top[0].rk == 1
+
+
+def test_index_survives_compaction(spark, tmp_path):
+    """Maintenance composition (r8): appends create one file-set per
+    batch, and the documented hygiene job is sources/layout.
+    compact_small_files — the persisted ANN index (cell-partitioned
+    codes + _graft_vectors/_graft_meta/_graft_batches sidecars) must
+    search identically after compaction, with batch provenance intact."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    before = ann_index_search(corpus.filter("vec_id = 0"), path, k=3,
+                              n_probe=2, shortlist=10).collect()
+    compact_small_files(spark, path)
+    compact_small_files(spark, f"{path}/_graft_vectors")
+    after = ann_index_search(corpus.filter("vec_id = 0"), path, k=3,
+                             n_probe=2, shortlist=10).collect()
+    assert [(r.neighbor_id, r.dist) for r in before] == [
+        (r.neighbor_id, r.dist) for r in after
+    ]
+    assert after[0].neighbor_id == 1000 and after[0].dist == 0.0
+    assert ann_index_batches(spark, path) == ["base", "b1"]
+    assert ann_index_meta(spark, path)["n_cells"] == 4
