@@ -230,6 +230,29 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     incr_sec = round(time.time() - t0, 1)
 
+    # Batch-proportionality check (round 8): a 1% batch's PAIRS QUERY
+    # should cost far less than the 10% batch's — the r7 full×full join
+    # barely moved between batch sizes because its candidate mass was
+    # corpus-bound (measured 7.9 s → 4.4 s pre/post fix at 1M docs).
+    # The 1% batch here is a re-crawl of the first 1% of the base docs
+    # under shifted ids, so the join has real work to do.
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_pairs_vs_batch,
+    )
+
+    small = docs.filter(F.col("doc_id") < int(n_docs * 0.01)).select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"), "text"
+    )
+    minhash_index_append(small, "doc_id", "text", idx, batch_id="b2")
+    minhash_index_pairs_vs_batch(spark, idx, "b2").write.mode("overwrite").format(
+        "noop"
+    ).save()  # warm
+    t0 = time.time()
+    minhash_index_pairs_vs_batch(spark, idx, "b2").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    batch1pct_query_sec = round(time.time() - t0, 1)
+
     print(
         json.dumps(
             {
@@ -239,6 +262,7 @@ def main() -> None:
                 "incremental_dedup": {
                     "index_build_sec": idx_build_sec,
                     "batch10pct_sec": incr_sec,
+                    "batch1pct_query_sec": batch1pct_query_sec,
                 },
                 "queries_sec": timings,
                 "cc_rounds": cc_rounds,

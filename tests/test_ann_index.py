@@ -174,3 +174,25 @@ def test_index_survives_compaction(spark, tmp_path):
     assert after[0].neighbor_id == 1000 and after[0].dist == 0.0
     assert ann_index_batches(spark, path) == ["base", "b1"]
     assert ann_index_meta(spark, path)["n_cells"] == 4
+
+
+def test_probe_cells_prunes_partitions(spark, tmp_path):
+    """probe_cells is the driver-known whitelist that turns the codes
+    scan into a partition-pruned read of just those cell directories —
+    pin that the filter reaches the scan as a PartitionFilter (not a
+    post-scan Filter), the property that skips 15/16 of the index IO."""
+    corpus, _ = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    df = ann_index_search(corpus.filter("vec_id = 0"), path, k=3,
+                          n_probe=1, shortlist=10, probe_cells=[1])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), (
+        "probe_cells whitelist did not reach the scan as a "
+        "PartitionFilter:\n" + plan
+    )
