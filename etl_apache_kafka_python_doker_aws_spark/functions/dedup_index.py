@@ -460,12 +460,24 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
     while the warehouse directory persists, and the next ``saveAsTable``
     fails with LOCATION_ALREADY_EXISTS. Deleting the location through
     the Hadoop FS API makes rebuild-from-scratch runs (driver reruns,
-    tests) idempotent on any filesystem."""
+    tests) idempotent on any filesystem.
+
+    Default-database bare names only (review r8): Spark lowercases
+    managed-table locations ({warehouse}/{lower(name)}) and nests
+    qualified names under {db}.db/ — a naive concat would delete the
+    wrong (or no) directory, leaving exactly the stale-location failure
+    this function exists to prevent."""
+    if "." in table:
+        raise ValueError(
+            f"drop_minhash_table: qualified name {table!r} not supported — "
+            "its location lives under <db>.db/; pass the bare table name "
+            "in the default database"
+        )
     sc = spark.sparkContext
     wh = spark.conf.get("spark.sql.warehouse.dir")
     for t in (table, f"{table}_meta", f"{table}_batches", f"{table}_counts"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t.lower()}")
         fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)

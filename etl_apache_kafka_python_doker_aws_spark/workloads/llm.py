@@ -152,8 +152,6 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base∪new, both directions (``no_missing``/``no_extra`` — the d6
     losslessness pattern; exact here because the skew cap doesn't bind
     on the fixture)."""
-    import tempfile
-
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
         minhash_index_append,
         minhash_index_dedup_batch,
@@ -166,7 +164,7 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(tx.tokenize("text")) >= 3)
     )
     new = eligible.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
-    path = tempfile.mkdtemp(prefix="mh_idx_")
+    path = _scratch_dir(spark, "mh_idx_l2incr")
     minhash_index_append(d, "doc_id", "text", path, batch_id="b0")
     p0 = minhash_index_pairs_vs_batch(spark, path, "b0")
     p1 = minhash_index_dedup_batch(new, "doc_id", "text", path, batch_id="b1")
@@ -231,8 +229,6 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     path-backed form on the same two batches
     (``same_as_path_form`` — both directions empty anti-joins; the two
     forms share ``_pairs_for_batch``, this pins the storage layer)."""
-    import tempfile
-
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
         drop_minhash_table,
         minhash_index_append,
@@ -254,7 +250,7 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     minhash_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
     minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1", buckets=8)
     pb = minhash_table_pairs_vs_batch(spark, tbl, "b1")
-    path = tempfile.mkdtemp(prefix="mh_idx_eq_")
+    path = _scratch_dir(spark, "mh_idx_eq")
     minhash_index_append(d, "doc_id", "text", path, batch_id="b0")
     minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
     pp = minhash_index_pairs_vs_batch(spark, path, "b1")
@@ -375,6 +371,27 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
     )
+
+
+def _scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Session-scoped scratch path, WIPED on entry (review r8): contract
+    queries that materialize corpus-sized index fixtures (band index,
+    persisted ANN index) previously mkdtemp'd a fresh dir per invocation
+    and never removed it — ten driver-sim sweeps in one round accumulate
+    GBs of dead index in /tmp. One fixed path per (session, tag) bounds
+    the garbage to a single live copy; queries within a session run
+    serially, and the applicationId suffix keeps concurrent SESSIONS
+    apart. The path is returned non-existent (index builds require
+    that)."""
+    import os
+    import shutil
+    import tempfile
+
+    p = os.path.join(
+        tempfile.gettempdir(), f"graft_{tag}_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(p, ignore_errors=True)
+    return p
 
 
 def _ann_shortlist(e) -> int:
@@ -1481,8 +1498,6 @@ def l3_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-matches, AND every appended verbatim twin of a query vector is
     found at rank 1 / dist 0 (``twins_found`` — identical vector ⇒
     identical cell + codes under pinned models ⇒ exact re-rank 0)."""
-    import tempfile
-
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
         ann_index_append,
         ann_index_build,
@@ -1495,7 +1510,7 @@ def l3_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = q.select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
     )
-    path = tempfile.mkdtemp(prefix="ann_idx_")
+    path = _scratch_dir(spark, "ann_idx_persist")
     ann_index_build(
         e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
         n_centroids=32,

@@ -17,11 +17,12 @@ Run:  python examples/incremental_index_serving.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

@@ -14,17 +14,19 @@ Construction (replica 0 is byte-identical to sf0.1; k = 1..9):
     collide; measures/dates/flags untouched, so per-replica aggregates
     equal the sf0.1 ones and the 10× totals stress shuffle width, not
     value ranges.
-  * documents: doc_id += 1e7·k, and every TOKEN of replica k>0 is
-    prefixed `r{k}x` — replicas share zero shingles, so the near-dup
-    pair structure per replica matches sf0.1 instead of exploding into
-    10-cliques of verbatim copies (which would break the enumerated
-    planted-pair oracles); n_chars recomputed from the tagged text.
-    1e7 step keeps the in-query plant space (id + 100000) collision-free.
-  * embeddings: vec_id += 1e7·k, and replica k>0 vectors get
-    deterministic per-component noise in [-0.5, 0.5) from
-    xxhash64(vec_id, k, i) — decorrelates replicas (near-uniform base ⇒
-    cross-replica cosine ≈ random) so planted-twin / SemDeDup contracts
-    keep their exact enumerations.
+  * documents: doc_id += 1e4·k (NOT the 1e7 used for business keys —
+    see DOC_OFF below: several contracts detect in-query planted copies
+    by `id >= 100000`, so every replica id must stay BELOW the plant
+    space), and every TOKEN of replica k>0 is prefixed `r{k}x` —
+    replicas share zero shingles, so the near-dup pair structure per
+    replica matches sf0.1 instead of exploding into 10-cliques of
+    verbatim copies (which would break the enumerated planted-pair
+    oracles); n_chars recomputed from the tagged text.
+  * embeddings: vec_id += 1e4·k (same plant-space rule), and replica
+    k>0 vectors get deterministic per-component noise in [-0.5, 0.5)
+    from xxhash64(vec_id, k, i) — decorrelates replicas (near-uniform
+    base ⇒ cross-replica cosine ≈ random) so planted-twin / SemDeDup
+    contracts keep their exact enumerations.
 
 Each table lands as ONE parquet FILE named <t>.parquet (the harness and
 DuckDB read single files, matching the driver fixtures).

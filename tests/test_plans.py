@@ -487,12 +487,9 @@ def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
     This is the zero-index-shuffle-per-snapshot property that matters
     at 10⁹ indexed docs."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
         minhash_table_append,
         minhash_table_pairs_vs_batch,
-    )
-
-    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
-        drop_minhash_table,
     )
 
     tbl = "t_mh_bucketed_plan"
