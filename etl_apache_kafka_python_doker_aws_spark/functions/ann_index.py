@@ -390,3 +390,58 @@ def ann_index_search(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dist", "rk")
     )
+
+
+def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
+    """Delete vectors from the persisted index — retraction /
+    right-to-be-forgotten for a serving ANN index (r8; the dedup
+    index's delete sibling). ``ids`` is a Python list or a DataFrame
+    whose FIRST column holds the ids.
+
+    Full rewrite of BOTH tiers via staging + atomic swap (plans/merge
+    machinery — a crash mid-delete leaves the original index readable):
+    surviving codes re-partitioned by cell, surviving raw vectors into
+    the refine sidecar, meta (pinned models — deletion never retrains)
+    and batch markers copied through, so a fully-deleted batch still
+    rejects redelivery under its batch_id. Returns the number of
+    vectors removed. Deleting every vector is refused (an empty parquet
+    dir cannot be read back — remove the path instead)."""
+    import glob
+    import os
+    import shutil
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
+        _recover,
+        _swap_in,
+    )
+
+    if ann_index_meta(spark, path) is None:
+        raise ValueError(f"ann_index_delete: no index at {path}")
+    _recover(path)
+    codes = spark.read.parquet(path)
+    vecs = spark.read.parquet(f"{path}/{_VEC_DIR}")
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        gone = ids.select(F.col(key).alias("_id")).distinct()
+        keep_codes = codes.join(gone, "_id", "left_anti")
+        keep_vecs = vecs.join(gone, "_id", "left_anti")
+    else:
+        ids = list(ids)
+        keep_codes = codes.filter(~F.col("_id").isin(ids))
+        keep_vecs = vecs.filter(~F.col("_id").isin(ids))
+    before = codes.count()
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    keep_codes.write.partitionBy("cell").parquet(staging)
+    if not glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"ann_index_delete: deleting these ids would EMPTY the index "
+            f"at {path} — remove the path instead (live index untouched)"
+        )
+    keep_vecs.write.parquet(f"{staging}/{_VEC_DIR}")
+    for side in (_META_DIR, _BATCH_DIR):
+        shutil.copytree(f"{path}/{side}", f"{staging}/{side}")
+    after = spark.read.parquet(staging).count()
+    _swap_in(staging, path)
+    return before - after

@@ -57,8 +57,9 @@ Scale notes (SCALING.md "incremental dedup"):
     bucket). Never worse, by construction.
   * Maintenance: appends create one file-set per batch — run
     ``sources/layout.compact_small_files`` on ``path`` periodically;
-    deletes are an anti-join rewrite of the affected band_idx
-    partitions.
+    ``minhash_index_delete`` (r8) retracts documents via anti-join
+    rewrite + atomic swap (guard counts recomputed from survivors,
+    batch markers preserved so redelivery stays rejected).
 """
 
 from __future__ import annotations
@@ -519,3 +520,80 @@ def minhash_table_dedup_batch(
     return minhash_table_pairs_vs_batch(
         spark, table, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
     )
+
+
+def minhash_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col_hint: str = "_id",
+) -> int:
+    """Delete documents from the path-backed band index — the
+    right-to-be-forgotten / retraction op a long-lived crawl index
+    needs (documented as "anti-join rewrite" since r7; built r8).
+    ``ids`` is a Python list (the GDPR shape: small, explicit) or a
+    DataFrame whose FIRST column holds the ids (bulk retractions).
+
+    Full rewrite via staging + atomic swap (plans/merge machinery — a
+    crash mid-delete leaves the original index readable): remaining
+    band rows re-partitioned by band_idx, guard counts RECOMPUTED from
+    the surviving rows per (band_idx, band_hash, _batch) so bucket
+    totals stay exact, and meta/batch markers copied through — markers
+    record APPEND history, so a batch whose rows are all deleted still
+    rejects a redelivery under its batch_id. Every marked batch also
+    gets a zero-count sentinel row (band_idx −1, matches no real
+    bucket) so the counts-completeness check keeps passing without a
+    full-index fallback scan. Returns the number of band rows removed.
+
+    Cost: one full index rewrite — batch deletes together. At cluster
+    scale, restrict the rewrite to affected band_idx partitions
+    (every doc lands in ALL band partitions 0..bands-1, so the flat
+    layout rewrites everything; a band_hash-range sub-partitioning
+    would localize it)."""
+    import shutil
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
+        _recover,
+        _swap_in,
+    )
+
+    meta = minhash_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"minhash_index_delete: no index at {path}")
+    _recover(path)
+    full = spark.read.parquet(path)
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        remaining = full.join(
+            ids.select(F.col(key).alias("_id")).distinct(), "_id", "left_anti"
+        )
+    else:
+        remaining = full.filter(~F.col("_id").isin(list(ids)))
+    before = full.count()
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    remaining.write.partitionBy("band_idx").parquet(staging)
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"minhash_index_delete: deleting these ids would EMPTY the "
+            f"index at {path} — an empty parquet dir cannot be read back; "
+            "remove the index path instead (live index left untouched)"
+        )
+    survivors = spark.read.parquet(staging)
+    counts = survivors.groupBy("band_idx", "band_hash", "_batch").agg(
+        F.count("*").alias("cnt")
+    ).select("band_idx", "band_hash", "cnt", "_batch")
+    sentinels = spark.createDataFrame(
+        [(-1, 0, 0, b) for b in minhash_index_batches(spark, path)],
+        "band_idx int, band_hash long, cnt long, _batch string",
+    )
+    counts.unionByName(sentinels).write.parquet(f"{staging}/{_COUNTS_DIR}")
+    for side in (_META_DIR, _BATCH_DIR):
+        shutil.copytree(f"{path}/{side}", f"{staging}/{side}")
+    after = survivors.count()
+    _swap_in(staging, path)
+    return before - after

@@ -196,3 +196,31 @@ def test_probe_cells_prunes_partitions(spark, tmp_path):
         "probe_cells whitelist did not reach the scan as a "
         "PartitionFilter:\n" + plan
     )
+
+
+def test_delete_removes_vectors_keeps_markers(spark, tmp_path):
+    """ann_index_delete (r8): a deleted vector disappears from search
+    (both tiers rewritten), the pinned models and batch markers survive,
+    and deleting everything is refused with the index intact."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_delete,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    q = corpus.filter("vec_id = 0")
+    assert ann_index_search(q, path, k=3, n_probe=2,
+                            shortlist=10).first().neighbor_id == 1000
+    assert ann_index_delete(spark, path, [1000]) == 1
+    hits = ann_index_search(q, path, k=3, n_probe=4, shortlist=20).collect()
+    assert all(r.neighbor_id != 1000 for r in hits) and len(hits) == 3
+    assert ann_index_batches(spark, path) == ["base", "b1"]
+    assert ann_index_meta(spark, path)["n_cells"] == 4
+    with pytest.raises(ValueError, match="EMPTY"):
+        ann_index_delete(spark, path, [i for i, _ in rows] + [1000])
+    assert ann_index_meta(spark, path) is not None

@@ -197,3 +197,38 @@ def test_bucketed_dedup_batch_convenience(spark, tmp_path):
         assert (1, 101) in got and (102, 103) in got
     finally:
         drop_minhash_table(spark, tbl)
+
+
+def test_delete_removes_pairs_and_keeps_guards(spark, tmp_path):
+    """minhash_index_delete (r8): deleted docs vanish from every
+    subsequent pairs query, guard counts stay exact (recomputed from
+    survivors), and batch markers survive — a fully-deleted batch still
+    rejects redelivery under its batch_id."""
+    import pytest
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    assert (1, 101) in {(r.id_a, r.id_b) for r in
+                        minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    removed = minhash_index_delete(spark, path, [101])
+    assert removed > 0
+    got = {(r.id_a, r.id_b) for r in
+           minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert all(101 not in p for p in got)
+    assert (102, 103) in got  # untouched within-batch pair survives
+    # markers retained: redelivery still rejected after full delete of b1
+    minhash_index_delete(spark, path, [r.doc_id for r in new.collect()])
+    with pytest.raises(ValueError, match="already appended"):
+        minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    # deleting everything is refused, loudly, with the index intact
+    with pytest.raises(ValueError, match="EMPTY"):
+        minhash_index_delete(
+            spark, path, [r.doc_id for r in base.collect()] + [101, 102, 103, 104]
+        )
+    assert minhash_index_meta(spark, path) is not None
