@@ -164,35 +164,41 @@ def main() -> None:
 
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Operator-path entries build their fixture (persisted index) ONCE
-    # here, outside every timer (VERDICT r7 #3/#4).
-    thunks = {}
-    for name in HEADLINE:
-        if name in OPERATOR_OPS:
-            thunks[name] = OPERATOR_OPS[name](spark, sf_dir)
-        else:
-            thunks[name] = lambda n=name: QUERIES[n](spark, sf_dir)
-
-    # Untimed warm pass (see module docstring): absorbs one-time session
-    # machinery so the timed passes measure steady-state throughput.
-    for name in HEADLINE:
-        thunks[name]().write.mode("overwrite").format("noop").save()
-
+    # try/finally (ADVICE r8): the hundreds-of-MB persisted index
+    # fixtures must be removed even when a warm/timed pass throws —
+    # a success-only cleanup is exactly the /tmp accumulation the
+    # cleanup exists to prevent
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    # round-robin the repeats (pass 1 of every query, then pass 2, ...)
-    # so a transient host spike dents one sample of many queries instead
-    # of all samples of one query
-    for _ in range(REPEATS):
+    try:
+        # Operator-path entries build their fixture (persisted index)
+        # ONCE here, outside every timer (VERDICT r7 #3/#4).
+        thunks = {}
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            df = thunks[name]()
-            df.write.mode("overwrite").format("noop").save()
-            samples[name].append(time.perf_counter() - t0)
+            if name in OPERATOR_OPS:
+                thunks[name] = OPERATOR_OPS[name](spark, sf_dir)
+            else:
+                thunks[name] = lambda n=name: QUERIES[n](spark, sf_dir)
 
-    import shutil
+        # Untimed warm pass (see module docstring): absorbs one-time
+        # session machinery so the timed passes measure steady-state
+        # throughput.
+        for name in HEADLINE:
+            thunks[name]().write.mode("overwrite").format("noop").save()
 
-    for p in _BENCH_TMP:
-        shutil.rmtree(p, ignore_errors=True)
+        # round-robin the repeats (pass 1 of every query, then pass 2,
+        # ...) so a transient host spike dents one sample of many
+        # queries instead of all samples of one query
+        for _ in range(REPEATS):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                df = thunks[name]()
+                df.write.mode("overwrite").format("noop").save()
+                samples[name].append(time.perf_counter() - t0)
+    finally:
+        import shutil
+
+        for p in _BENCH_TMP:
+            shutil.rmtree(p, ignore_errors=True)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

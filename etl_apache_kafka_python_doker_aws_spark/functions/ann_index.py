@@ -12,10 +12,21 @@ Index layout at ``path``:
     — the SCAN tier: n_subspaces small ints per vector (8 B at 8×32 vs
     512 B raw — the 64× RAM/IO reduction that lets a billion-vector
     index fit a cluster's memory).
-  * ``_graft_vectors/`` raw (id, vec) parquet — the REFINE tier, read
-    only by the shortlist re-rank's broadcast point-lookup join
-    (|queries|·shortlist ids per search), never scanned. This is the
-    standard two-tier layout: codes hot, raw vectors cold.
+  * ``_graft_vectors/`` raw (id, vec) parquet — the REFINE tier,
+    ``partitionBy("_vbucket")`` where _vbucket = pmod(xxhash64(_id),
+    vec_buckets) and rows are id-sorted within files (r9, VERDICT r8
+    #1). The shortlist re-rank collects its (bounded:
+    |queries|·shortlist) candidate ids driver-side and reads this tier
+    through a PRUNED scan — ``_vbucket IN (…)`` partition filter +
+    ``_id IN (…)`` pushed parquet filter — instead of streaming every
+    raw vector through a broadcast join (the pre-r9 shape: a broadcast
+    hash join probes the FULL tier, ~512 GB scanned per search batch at
+    10⁹ vectors). With few queries the bucket whitelist skips most
+    directories outright; with many, the pushed id predicate still
+    keeps the scan filter-local (id-sorted row groups give min/max
+    skipping) and nothing is shuffled. This is the standard two-tier
+    layout: codes hot, raw vectors cold — and the cold tier is now
+    point-readable, not scan-only.
   * ``_graft_meta/`` — one JSON row: dims/params AND the trained models
     (IVF centroids n_cells×dim + PQ codebooks
     n_subspaces×n_centroids×sub ≈ a few thousand doubles — broadcast as
@@ -29,6 +40,10 @@ Index layout at ``path``:
     results, and a retry build refuses the leftovers instead of
     append-doubling them.
   * ``_graft_batches/`` — append markers; duplicate batch_id rejected.
+    Markers record ``n_rows`` (r9) so the auto-sized shortlist can read
+    the corpus size as metadata (sum of markers) instead of counting
+    the codes tier; a delete shrinks the corpus below the marker sum,
+    which only OVERSIZES the shortlist — recall-safe.
   * ``residual=True`` (VERDICT r7 #6) trains the PQ codebooks on
     per-cell residuals (vec − centroid[cell]) — classic FAISS IVFPQ,
     finer quantization when cells are tight. The flag is pinned in meta
@@ -82,6 +97,11 @@ def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
         "seed": int(row.seed),
         # pre-r8 indexes lack the flag; they were built global-codebook
         "residual": bool(row.residual) if "residual" in row.__fields__ else False,
+        # pre-r9 indexes wrote the refine tier unpartitioned; None keeps
+        # their search on the (unpruned) broadcast-join fallback
+        "vec_buckets": (
+            int(row.vec_buckets) if "vec_buckets" in row.__fields__ else None
+        ),
         "centroids": [list(map(float, c)) for c in row.centroids],
         "codebooks": [
             [list(map(float, c)) for c in book] for book in row.codebooks
@@ -104,6 +124,21 @@ def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
     except Exception:
         return []
     return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+
+
+def _index_size_from_markers(spark: SparkSession, path: str) -> int | None:
+    """Corpus size as a METADATA read: sum of the per-batch ``n_rows``
+    marker field (r9). None when any marker predates the field (pre-r9
+    append) — the caller falls back to counting the codes tier."""
+    try:
+        rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
+    except Exception:
+        return None
+    if not rows or any(
+        "n_rows" not in r.__fields__ or r.n_rows is None for r in rows
+    ):
+        return None
+    return sum(int(r.n_rows) for r in rows)
 
 
 def _dim_guarded(vec: "F.Column", dim: int, who: str) -> "F.Column":
@@ -178,6 +213,7 @@ def ann_index_build(
     train_fraction: float | None = None,
     batch_id: str = "base",
     residual: bool = False,
+    vec_buckets: int = 64,
 ) -> None:
     """Train IVF centroids + PQ codebooks on ``corpus`` (seeded KMeans;
     ``train_fraction`` samples the training passes at scale), persist
@@ -188,7 +224,10 @@ def ann_index_build(
     LAST, so leftovers read as "no index" to search — a retry build
     onto them would append-double the corpus; VERDICT r7 #5).
     ``residual=True`` trains PQ codebooks on (vec − centroid[cell])
-    residuals — the flag is pinned in meta with the models."""
+    residuals — the flag is pinned in meta with the models.
+    ``vec_buckets`` sizes the refine tier's id-hash partitioning (r9):
+    at 10⁹ vectors pick it so each bucket directory holds a few GB —
+    pinned in meta because search derives the pruning hash from it."""
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
     spark = corpus.sparkSession
@@ -224,6 +263,7 @@ def ann_index_build(
         "n_centroids": n_centroids,
         "seed": seed,
         "residual": residual,
+        "vec_buckets": vec_buckets,
         "centroids": centroids,
         "codebooks": codebooks,
     }
@@ -259,6 +299,13 @@ def ann_index_append(
     _write_batch(new_df, id_col, vec_col, path, meta, batch_id, seq=len(existing))
 
 
+def _vbucket(id_col: "F.Column", vec_buckets: int) -> "F.Column":
+    """The refine tier's partition key: id-hash bucket. ONE definition —
+    the write path and the search-side pruning must hash identically or
+    point lookups silently miss."""
+    return F.pmod(F.xxhash64(id_col), F.lit(vec_buckets)).cast("int")
+
+
 def _write_batch(
     df: DataFrame,
     id_col: str,
@@ -272,13 +319,27 @@ def _write_batch(
     _encode_with_models(df, id_col, vec_col, meta, batch_id).write.mode(
         "append"
     ).partitionBy("cell").parquet(path)
-    df.select(
+    vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    ).write.mode("append").parquet(f"{path}/{_VEC_DIR}")
-    spark.createDataFrame([{"batch_id": batch_id, "seq": seq}]).coalesce(
-        1
-    ).write.mode("append").json(f"{path}/{_BATCH_DIR}")
+    )
+    if meta.get("vec_buckets"):
+        # id-hash partitioning + id-sorted files (r9): the search-side
+        # re-rank prunes this tier by (_vbucket IN, _id IN); the sort
+        # keeps row-group min/max ranges tight so the pushed id
+        # predicate skips row groups, not just directories
+        vecs.withColumn("_vbucket", _vbucket(F.col("_id"), meta["vec_buckets"])) \
+            .repartition(F.col("_vbucket")) \
+            .sortWithinPartitions("_vbucket", "_id") \
+            .write.mode("append").partitionBy("_vbucket").parquet(
+                f"{path}/{_VEC_DIR}"
+            )
+    else:  # pre-r9 index layout: keep appends readable by the fallback
+        vecs.write.mode("append").parquet(f"{path}/{_VEC_DIR}")
+    n_rows = df.count()
+    spark.createDataFrame(
+        [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
+    ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
 
 
 def ann_index_search(
@@ -288,15 +349,34 @@ def ann_index_search(
     vec_col: str = "embedding",
     k: int = 5,
     *,
-    n_probe: int = 4,
-    shortlist: int | None = 50,
+    n_probe: int = 8,
+    shortlist: int | str | None = "auto",
     probe_cells: list[int] | None = None,
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
     ivf_pq_topk plan over stored codes and pinned models: per-query ADC
     lookup tables + n_probe nearest cells (broadcast literal models),
     one cell equi-join against the codes scan, window shortlist, exact
-    re-rank via a broadcast point-lookup join on the refine tier.
+    re-rank reading the refine tier through a PRUNED scan.
+
+    Defaults are corpus-scaled, not fixture-tuned (VERDICT r8 #2 — the
+    sf1 sweep measured recall 0.22 with the old fixed n_probe=4 /
+    shortlist=50 on a 20k corpus): ``shortlist="auto"`` derives
+    max(200, n/10) from the index size (marker metadata when available,
+    else one codes count), ``n_probe=8``. ``shortlist=None`` keeps the
+    ADC-only form (no exact re-rank); an int pins it explicitly.
+
+    Refine-tier read (r9, VERDICT r8 #1): the shortlist is bounded at
+    |queries|·shortlist rows — the same bound that justified
+    broadcasting it — so its ids are collected driver-side and pushed
+    into the ``_graft_vectors`` scan as a ``_vbucket IN (…)`` partition
+    filter plus an ``_id IN (…)`` parquet predicate (plan-pinned in
+    tests/test_plans.py). The cold tier is never streamed end-to-end;
+    pre-r9 indexes (no ``vec_buckets`` in meta) fall back to the old
+    broadcast-join-over-full-scan shape. Note this makes the codes-tier
+    query execute ONCE at call time (the collect); the returned
+    DataFrame re-reads only the pruned refine scan and the (small)
+    queries input.
 
     ``probe_cells``: optional driver-known cell whitelist; when given,
     the codes scan is FILTERED on the partition column first, so only
@@ -315,6 +395,11 @@ def ann_index_search(
     meta = ann_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"ann_index_search: no index at {path}")
+    if shortlist == "auto":
+        n = _index_size_from_markers(spark, path)
+        if n is None:  # pre-r9 markers lack n_rows: one columnar count
+            n = spark.read.parquet(path).count()
+        shortlist = max(200, n // 10)
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     coded = spark.read.parquet(path).select(
@@ -369,17 +454,51 @@ def ann_index_search(
     cand = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= shortlist)
-        .select("query_id", "_qvec", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     exact_d = F.aggregate(
         F.zip_with(F.col("_qvec"), F.col("_v"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    vec_scan = spark.read.parquet(f"{path}/{_VEC_DIR}")
+    if meta["vec_buckets"]:
+        # the shortlist is driver-bounded (|queries|·shortlist — the
+        # broadcast-size argument) so collect it and PUSH the ids into
+        # the refine scan: partition filter on _vbucket + parquet
+        # predicate on _id, instead of streaming the whole cold tier
+        # through the join (VERDICT r8 #1)
+        pairs = cand.withColumn(
+            "_vb", _vbucket(F.col("neighbor_id"), meta["vec_buckets"])
+        ).collect()
+        if not pairs:
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            empty = StructType(
+                list(cand.schema.fields)
+                + [
+                    StructField("dist", DoubleType()),
+                    StructField("rk", IntegerType(), False),
+                ]
+            )
+            return spark.createDataFrame([], empty)
+        ids = sorted({r.neighbor_id for r in pairs})
+        buckets = sorted({r._vb for r in pairs})
+        vec_scan = vec_scan.filter(
+            F.col("_vbucket").isin(buckets) & F.col("_id").isin(ids)
+        )
+        cand = spark.createDataFrame(
+            [(r.query_id, r.neighbor_id) for r in pairs], cand.schema
+        )
     reranked = (
-        spark.read.parquet(f"{path}/{_VEC_DIR}")
-        .select(F.col("_id").alias("neighbor_id"), "_v")
+        vec_scan.select(F.col("_id").alias("neighbor_id"), "_v")
         .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_base), "query_id")
         .select("query_id", "neighbor_id", exact_d.alias("dist"))
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -394,54 +513,109 @@ def ann_index_search(
 
 def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
     """Delete vectors from the persisted index — retraction /
-    right-to-be-forgotten for a serving ANN index (r8; the dedup
-    index's delete sibling). ``ids`` is a Python list or a DataFrame
-    whose FIRST column holds the ids.
+    right-to-be-forgotten for a serving ANN index. ``ids`` is a Python
+    list (the GDPR shape) or a DataFrame whose FIRST column holds the
+    ids.
 
-    Full rewrite of BOTH tiers via staging + atomic swap (plans/merge
-    machinery — a crash mid-delete leaves the original index readable):
-    surviving codes re-partitioned by cell, surviving raw vectors into
-    the refine sidecar, meta (pinned models — deletion never retrains)
-    and batch markers copied through, so a fully-deleted batch still
-    rejects redelivery under its batch_id. Returns the number of
-    vectors removed. Deleting every vector is refused (an empty parquet
-    dir cannot be read back — remove the path instead)."""
-    import glob
+    LOCALIZED rewrite (r9, VERDICT r8 #7 — the r8 form rewrote the
+    whole index per delete, unusable at 10⁹ vectors for weekly GDPR
+    batches): one pushed-filter scan of the codes tier finds the
+    AFFECTED cells (and, through the shared id-hash, the affected
+    _vbucket dirs of the refine tier); only those partition directories
+    are rewritten and swapped — every untouched cell/bucket directory
+    keeps its files byte-identical (pinned by mtime in
+    tests/test_ann_index.py). Meta (pinned models — deletion never
+    retrains) and batch markers are NOT touched, so a fully-deleted
+    batch still rejects redelivery under its batch_id. Per-directory
+    swaps are sequential renames healed by ``_recover_partition_dirs``:
+    a crash mid-delete leaves a readable index with SOME ids already
+    retracted — re-run the same delete to finish (idempotent). Returns
+    the number of vectors removed. Deleting every vector is refused (an
+    empty parquet dir cannot be read back — remove the path instead).
+    Batch deletes together: cost scales with affected directories, and
+    one call per id still pays a scan each."""
     import os
     import shutil
 
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _dir_swap,
+        _recover_partition_dirs,
+        _require_local_path,
+    )
     from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
         _recover,
         _swap_in,
     )
 
-    if ann_index_meta(spark, path) is None:
+    _require_local_path(path, "ann_index_delete")
+    meta = ann_index_meta(spark, path)
+    if meta is None:
         raise ValueError(f"ann_index_delete: no index at {path}")
-    _recover(path)
+    _recover(path)  # heal a pre-r9 whole-dir delete killed mid-swap
+    _recover_partition_dirs(path)
+    _recover_partition_dirs(f"{path}/{_VEC_DIR}")
     codes = spark.read.parquet(path)
-    vecs = spark.read.parquet(f"{path}/{_VEC_DIR}")
     if isinstance(ids, DataFrame):
         key = ids.columns[0]
         gone = ids.select(F.col(key).alias("_id")).distinct()
-        keep_codes = codes.join(gone, "_id", "left_anti")
-        keep_vecs = vecs.join(gone, "_id", "left_anti")
+        hit = codes.join(gone, "_id", "left_semi")
+        drop = lambda df: df.join(gone, "_id", "left_anti")  # noqa: E731
     else:
         ids = list(ids)
-        keep_codes = codes.filter(~F.col("_id").isin(ids))
-        keep_vecs = vecs.filter(~F.col("_id").isin(ids))
-    before = codes.count()
-    staging = path.rstrip("/") + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    keep_codes.write.partitionBy("cell").parquet(staging)
-    if not glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
-        shutil.rmtree(staging, ignore_errors=True)
+        hit = codes.filter(F.col("_id").isin(ids))
+        drop = lambda df: df.filter(~F.col("_id").isin(ids))  # noqa: E731
+    per_cell = hit.groupBy("cell").agg(F.count("*").alias("_n")).collect()
+    removed = sum(r._n for r in per_cell)
+    if removed == 0:
+        return 0
+    cells = sorted(int(r.cell) for r in per_cell)
+    live_cells = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("cell=") and os.path.isdir(os.path.join(path, d))
+    }
+    keep_codes = drop(codes.filter(F.col("cell").isin(cells)))
+    if keep_codes.count() == 0 and not (live_cells - set(cells)):
         raise ValueError(
             f"ann_index_delete: deleting these ids would EMPTY the index "
             f"at {path} — remove the path instead (live index untouched)"
         )
-    keep_vecs.write.parquet(f"{staging}/{_VEC_DIR}")
-    for side in (_META_DIR, _BATCH_DIR):
-        shutil.copytree(f"{path}/{side}", f"{staging}/{side}")
-    after = spark.read.parquet(staging).count()
-    _swap_in(staging, path)
-    return before - after
+    # codes tier: rewrite ONLY the affected cell dirs
+    _dir_swap(
+        path,
+        "cell",
+        cells,
+        lambda staging: keep_codes.write.partitionBy("cell").parquet(staging),
+    )
+    # refine tier: post-r9 layout prunes to the affected _vbucket dirs;
+    # a legacy unpartitioned tier falls back to a full sidecar rewrite
+    vec_dir = f"{path}/{_VEC_DIR}"
+    vecs = spark.read.parquet(vec_dir)
+    if meta.get("vec_buckets") and "_vbucket" in vecs.columns:
+        if isinstance(ids, DataFrame):
+            id_df = gone
+        else:
+            id_df = spark.createDataFrame(
+                [(i,) for i in ids], vecs.select("_id").schema
+            )
+        vb = sorted(
+            r._vb
+            for r in id_df.select(
+                _vbucket(F.col("_id"), meta["vec_buckets"]).alias("_vb")
+            ).distinct().collect()
+        )
+        keep_vecs = drop(vecs.filter(F.col("_vbucket").isin(vb)))
+        _dir_swap(
+            vec_dir,
+            "_vbucket",
+            vb,
+            lambda staging: keep_vecs.sortWithinPartitions("_vbucket", "_id")
+            .write.partitionBy("_vbucket")
+            .parquet(staging),
+        )
+    else:
+        staging = vec_dir.rstrip("/") + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        drop(vecs).write.parquet(staging)
+        _swap_in(staging, vec_dir)
+    return removed

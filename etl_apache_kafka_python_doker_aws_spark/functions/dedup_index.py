@@ -78,6 +78,25 @@ _COUNTS_DIR = "_graft_counts"
 _PARAMS = ("num_hashes", "bands", "shingle_n", "seed")
 
 
+def _require_local_path(path: str, who: str) -> None:
+    """Index DELETES stage + swap through os.rename/shutil (local-FS
+    semantics); on an hdfs://... or s3a://... index the Spark staging
+    write would succeed REMOTELY while the local empty-check finds
+    nothing and falsely raises 'would EMPTY the index', stranding
+    remote staging garbage (ADVICE r8). Fail fast with the real reason
+    instead. Reads/appends/searches work on any Hadoop filesystem."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{who}: delete is local-filesystem-only (the staging swap "
+            f"uses os.rename); got scheme {scheme!r} for {path} — run the "
+            "delete where the index is locally mounted, or rebuild the "
+            "index minus the retracted ids"
+        )
+
+
 def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
     """Read the index's pinned LSH parameters, or None if no index
     exists at ``path`` yet."""
@@ -90,15 +109,94 @@ def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
     return {k: int(row[k]) for k in _PARAMS}
 
 
+def _recover_partition_dirs(root: str) -> None:
+    """Heal a localized delete killed mid-swap (r9): ``_dir_swap``
+    renames live partition dir → ``<dir>.old`` then staged → live; a
+    kill between the renames leaves only the .old copy — restore it
+    (the delete is then simply incomplete and re-runnable). A leftover
+    .old NEXT TO a live dir means the swap completed but cleanup
+    didn't — drop it."""
+    import glob
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return
+    for old in glob.glob(os.path.join(root, "**", "*=*.old"), recursive=True):
+        live = old[: -len(".old")]
+        if os.path.exists(live):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, live)
+
+
+def _dir_swap(root: str, part_col: str, values: list, write_staging) -> None:
+    """Localized partition-directory rewrite (r9, VERDICT r8 #7): write
+    the survivors of the AFFECTED partitions to a staging dir (hive
+    layout), then swap each affected ``<part_col>=<v>`` directory in
+    with paired renames — untouched partition directories are never
+    read or written (their files stay byte-identical; mtime-pinned in
+    tests). A partition whose survivors are empty simply has its live
+    dir removed (partition discovery skips missing dirs). Staging lives
+    NEXT TO root (``.delstage``), distinct from the whole-dir
+    ``.staging`` machinery so plans/merge._recover never mistakes it
+    for a complete table copy. ``values`` may include nested partition
+    paths (e.g. ``band_idx=0/_bgroup=3``) — pass them as rendered
+    RELATIVE dir strings; plain scalars are rendered ``col=value``."""
+    import os
+    import shutil
+
+    staging = root.rstrip("/") + ".delstage"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_staging(staging)
+    try:
+        for v in values:
+            rel = v if isinstance(v, str) and "=" in str(v) else f"{part_col}={v}"
+            live = os.path.join(root, rel)
+            new = os.path.join(staging, rel)
+            old = live + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(live):
+                os.rename(live, old)
+            if os.path.exists(new):
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _marker_rows(spark: SparkSession, source) -> list:
+    """Raw batch-marker rows in append order (empty for a fresh index).
+    ``source`` is a marker-dir path or a pre-read DataFrame. One tiny
+    JSON/table row per batch — metadata-cheap at any index size. Marker
+    fields: batch_id, seq, and (r9) ``counted`` — written True AFTER
+    the counts sidecar, so a marked batch with counted=True provably
+    has its guard counts on disk (markers are written LAST)."""
+    try:
+        rows = (
+            source if isinstance(source, DataFrame) else spark.read.json(source)
+        ).collect()
+    except Exception:
+        return []
+    return sorted(rows, key=lambda r: r.seq)
+
+
+def _counts_complete(rows: list) -> bool:
+    """True when every marked batch carries the r9 ``counted=True``
+    flag — the guard sidecar is then provably complete as a TRUE
+    metadata read (no distinct-scan of the sidecar needed). Pre-r9
+    markers lack the field → the caller falls back to the scan check."""
+    return bool(rows) and all(
+        "counted" in r.__fields__ and bool(r.counted) for r in rows
+    )
+
+
 def minhash_index_batches(spark: SparkSession, path: str) -> list[str]:
     """Batch ids already appended, in append order (empty for a fresh
     path). One tiny JSON row per batch — listing this is metadata-cheap
     regardless of index size."""
-    try:
-        rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
-    except Exception:
-        return []
-    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+    return [r.batch_id for r in _marker_rows(spark, f"{path}/{_BATCH_DIR}")]
 
 
 def minhash_index_append(
@@ -161,15 +259,25 @@ def minhash_index_append(
     banded.persist()
     try:
         banded.write.mode("append").partitionBy("band_idx").parquet(path)
+        # every batch writes at least the zero-count sentinel row
+        # (band_idx -1, matches no real bucket — ADVICE r8): a batch
+        # with zero shingle-eligible docs would otherwise leave no
+        # counts rows at all and permanently fail the completeness
+        # check, forcing the full-index guard recompute forever
         banded.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
-        ).withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(
-            f"{path}/{_COUNTS_DIR}"
-        )
+        ).withColumn("_batch", F.lit(batch_id)).unionByName(
+            spark.createDataFrame(
+                [(-1, 0, 0, batch_id)],
+                "band_idx int, band_hash long, cnt long, _batch string",
+            )
+        ).write.mode("append").parquet(f"{path}/{_COUNTS_DIR}")
     finally:
         banded.unpersist()
+    # counted=True is only ever written AFTER the counts write above —
+    # a marked batch with the flag provably has its guard counts
     spark.createDataFrame(
-        [{"batch_id": batch_id, "seq": len(existing)}]
+        [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
     ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
 
 
@@ -213,20 +321,45 @@ def minhash_index_pairs_vs_batch(
     meta = minhash_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"minhash_index_pairs_vs_batch: no index at {path}")
-    full = spark.read.parquet(path)
+    markers = _marker_rows(spark, f"{path}/{_BATCH_DIR}")
+    marked = [r.batch_id for r in markers]
+    if batch_id not in marked:
+        # an unmarked batch_id is either a typo or a crashed append
+        # (data written, marker absent) — returning empty would read as
+        # "no duplicates", silent data corruption downstream
+        raise ValueError(
+            f"minhash_index_pairs_vs_batch: batch_id {batch_id!r} is not a "
+            f"MARKED batch of {path} (marked: {marked}) — a crashed append "
+            "must be cleaned up and re-appended under a new batch_id"
+        )
+    # crash-window containment (VERDICT r8 #4): a crashed append leaves
+    # band rows without counts/marker, which would join as UNDER-GUARDED
+    # candidates — filter the index scan to marked batches (tiny pushed
+    # In predicate) so leftovers are invisible until cleanup
+    full = spark.read.parquet(path).filter(F.col("_batch").isin(marked))
     per_batch = None
-    try:
-        counts = spark.read.parquet(f"{path}/{_COUNTS_DIR}")
-        # tiny metadata read (one row per batch, the marker-read class):
-        # a sidecar that is missing counts for any MARKED batch (pre-r8
-        # index appended with current code) would silently UNDER-count
-        # bucket totals and re-open the m² blowup the guard exists to
-        # cap — fall back to the one-scan recompute instead
-        counted = {r._batch for r in counts.select("_batch").distinct().collect()}
-        if set(minhash_index_batches(spark, path)) <= counted:
-            per_batch = counts
-    except Exception:
-        per_batch = None
+    if _counts_complete(markers):
+        # r9 markers: counted=True per batch ⇒ sidecar provably complete
+        # — a TRUE metadata read (no distinct-scan of the sidecar)
+        per_batch = spark.read.parquet(f"{path}/{_COUNTS_DIR}")
+    else:
+        try:
+            counts = spark.read.parquet(f"{path}/{_COUNTS_DIR}")
+            # pre-r9 markers lack the counted flag: one distinct-scan of
+            # the (small) sidecar — missing counts for any MARKED batch
+            # would silently UNDER-count bucket totals and re-open the
+            # m² blowup; fall back to the one-scan recompute instead
+            counted = {
+                r._batch for r in counts.select("_batch").distinct().collect()
+            }
+            if set(marked) <= counted:
+                per_batch = counts
+        except Exception:
+            per_batch = None
+    if per_batch is not None:
+        # counts rows from a crashed append (counts written, marker not)
+        # would INFLATE bucket totals and spuriously drop buckets
+        per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
         full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
     )
@@ -338,11 +471,14 @@ def minhash_table_meta(spark: SparkSession, table: str) -> dict | None:
     return {k: int(row[k]) for k in _PARAMS + ("buckets",)}
 
 
-def minhash_table_batches(spark: SparkSession, table: str) -> list[str]:
+def _table_marker_rows(spark: SparkSession, table: str) -> list:
     if not _table_exists(spark, f"{table}_batches"):
         return []
-    rows = spark.table(f"{table}_batches").collect()
-    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+    return _marker_rows(spark, spark.table(f"{table}_batches"))
+
+
+def minhash_table_batches(spark: SparkSession, table: str) -> list[str]:
+    return [r.batch_id for r in _table_marker_rows(spark, table)]
 
 
 def minhash_table_append(
@@ -404,13 +540,19 @@ def minhash_table_append(
         # whole pairs query is the tiny pair-dedup
         banded.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
-        ).withColumn("_batch", F.lit(batch_id)).write.mode("append").bucketBy(
+        ).withColumn("_batch", F.lit(batch_id)).unionByName(
+            # zero-count sentinel (ADVICE r8) — see minhash_index_append
+            spark.createDataFrame(
+                [(-1, 0, 0, batch_id)],
+                "band_idx int, band_hash long, cnt long, _batch string",
+            )
+        ).write.mode("append").bucketBy(
             buckets, "band_idx", "band_hash"
         ).format("parquet").saveAsTable(f"{table}_counts")
     finally:
         banded.unpersist()
     spark.createDataFrame(
-        [{"batch_id": batch_id, "seq": len(existing)}]
+        [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
     ).write.mode("append").saveAsTable(f"{table}_batches")
 
 
@@ -441,13 +583,26 @@ def minhash_table_pairs_vs_batch(
     meta = minhash_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"minhash_table_pairs_vs_batch: no index table {table}")
-    full = spark.table(table)
+    markers = _table_marker_rows(spark, table)
+    marked = [r.batch_id for r in markers]
+    if batch_id not in marked:
+        raise ValueError(
+            f"minhash_table_pairs_vs_batch: batch_id {batch_id!r} is not a "
+            f"MARKED batch of {table} (marked: {marked}) — a crashed append "
+            "must be cleaned up and re-appended under a new batch_id"
+        )
+    # same crash-window containment as the path form (VERDICT r8 #4)
+    full = spark.table(table).filter(F.col("_batch").isin(marked))
     per_batch = None
-    if _table_exists(spark, f"{table}_counts"):
+    if _counts_complete(markers):
+        per_batch = spark.table(f"{table}_counts")
+    elif _table_exists(spark, f"{table}_counts"):
         counts = spark.table(f"{table}_counts")
         counted = {r._batch for r in counts.select("_batch").distinct().collect()}
-        if set(minhash_table_batches(spark, table)) <= counted:
+        if set(marked) <= counted:
             per_batch = counts
+    if per_batch is not None:
+        per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
         full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
     )
@@ -500,8 +655,9 @@ def minhash_table_dedup_batch(
     unlike the path form, do NOT run ``compact_small_files`` on a
     bucketed table's directory — bucket membership is encoded in the
     file names, and rewriting files outside ``bucketBy`` writes would
-    silently break join co-location. Compact by rewriting through
-    ``INSERT OVERWRITE``/CTAS with the same bucket spec instead."""
+    silently break join co-location. Use
+    ``sources/layout.compact_bucketed_table`` (r9), which rewrites
+    through a CTAS staging table with the pinned bucket spec."""
     spark = new_df.sparkSession
     meta = minhash_table_meta(spark, table)
     if meta is None:
@@ -557,6 +713,7 @@ def minhash_index_delete(
         _swap_in,
     )
 
+    _require_local_path(path, "minhash_index_delete")
     meta = minhash_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"minhash_index_delete: no index at {path}")

@@ -361,6 +361,19 @@ def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -
     )
 
 
+def ann_shortlist(n: int) -> int:
+    """Corpus-scaled exact-re-rank shortlist: max(200, n // 10).
+    Promoted from the workload layer (VERDICT r8 #2): fixed shortlists
+    are calibration-dependent — r7: 50 sat at the recall boundary
+    between sf0.01 and sf0.1 (200 restored margin); the r8 synthetic-sf1
+    sweep measured fixed-200 at recall 0.22 on a 20k-vector
+    decorrelated corpus while n/10 restores 0.86. A serving system
+    sizes the shortlist from its index size; the library defaults
+    (``shortlist="auto"`` in ivf_pq_topk / ann_index_search) do the
+    same so a direct caller never ships the fixture-tuned footgun."""
+    return max(200, n // 10)
+
+
 def _query_probe_luts(
     q_base: DataFrame,
     centroids: list[list[float]],
@@ -782,12 +795,12 @@ def ivf_pq_topk(
     *,
     dim: int,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     n_subspaces: int = 8,
     n_centroids: int = 32,
     seed: int = 42,
     train_fraction: float | None = None,
-    shortlist: int | None = 50,
+    shortlist: int | str | None = "auto",
     residual: bool = False,
 ) -> DataFrame:
     """L3 deployable ANN shape (VERDICT r6 #2): IVF coarse quantizer +
@@ -840,6 +853,11 @@ def ivf_pq_topk(
 
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if shortlist == "auto":
+        # corpus-scaled, not fixture-tuned (VERDICT r8 #2 — the sf1
+        # sweep measured recall 0.22 with fixed shortlist=50 on a 20k
+        # corpus); one cheap columnar count
+        shortlist = ann_shortlist(corpus.count())
     sub = dim // n_subspaces
     assigned, centroids = _kmeans_cells(
         corpus, id_col, vec_col, n_cells, seed, train_fraction

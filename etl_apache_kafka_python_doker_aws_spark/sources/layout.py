@@ -272,3 +272,71 @@ def compact_small_files(
             shutil.copy2(src_e, dst_e)
     _swap_in(staging, path)
     return n_files
+
+
+def compact_bucketed_table(spark: SparkSession, table: str) -> int:
+    """Compact a BUCKETED table to ~one file per bucket — the hygiene
+    job compact_small_files cannot do (VERDICT r8 #8): bucket
+    membership is encoded in file NAMES, so rewriting files outside a
+    ``bucketBy`` write silently breaks join co-location (the trap was
+    documented on minhash_table_dedup_batch; an API beats a warning).
+
+    Reads the bucket spec from the catalog, rewrites through a CTAS
+    staging table with the SAME spec, verifies the row count, then
+    swaps via DROP + RENAME. ``repartition(n, *bucket_cols)`` uses the
+    same Murmur3 hash as bucket assignment, so each task holds exactly
+    one bucket's rows → one file per bucket (appends create one
+    file-set per batch; k appends ⇒ k files per bucket before, 1
+    after). The swap window (DROP→RENAME) is catalog-atomic per
+    statement but not across the pair — run it in a maintenance window,
+    like any Hive-metastore compaction. Returns the bucket count.
+
+    Zero-Exchange joins still plan after compaction — pinned in
+    tests/test_dedup_index.py::test_compact_bucketed_table."""
+    desc = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+        if r.col_name
+    }
+    if "Num Buckets" not in desc or not desc.get("Bucket Columns"):
+        raise ValueError(
+            f"compact_bucketed_table: {table} is not a bucketed table — "
+            "use compact_small_files for path-backed parquet"
+        )
+    n_buckets = int(desc["Num Buckets"])
+    bucket_cols = [
+        c.strip().strip("`")
+        for c in desc["Bucket Columns"].strip("[]").split(",")
+    ]
+    tmp = f"{table}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    before = spark.table(table).count()
+    # force the BUCKETED scan for the rewrite: the planner elides the
+    # repartition because the bucketed scan already provides
+    # hashpartitioning(bucket_cols, n) — but autoBucketedScan then
+    # converts the scan to a plain file-split scan (measured: 30 task
+    # files instead of one per bucket, i.e. no compaction at all);
+    # pinning the bucketed scan keeps task == bucket, one file each
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        (
+            spark.table(table)
+            .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.bucketBy(n_buckets, *bucket_cols)
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set(auto_key, old_auto)
+    after = spark.table(tmp).count()
+    if after != before:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        raise RuntimeError(
+            f"compact_bucketed_table: staging row count {after} != "
+            f"{before} for {table} — original left untouched"
+        )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return n_buckets

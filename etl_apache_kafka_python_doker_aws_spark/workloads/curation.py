@@ -518,31 +518,54 @@ def urgent_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "g1_graph_components",
-    oracle="""
-    WITH RECURSIVE
-    edges AS (
-        SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000000 AS b
+def _g1_oracle(stages: int = 10) -> str:
+    """Bounded g1 mirror (VERDICT r8 #3): the old WITH RECURSIVE
+    transitive closure floods O(Σ comp²) (id, lbl) pairs — fine at
+    sf0.01, watchdog-killed at sf1 (one 160k-node component ⇒ 2.6e10
+    pairs). This builds the SAME min-label propagation the engine runs
+    (functions/dedup.dedup_clusters), unrolled to ``stages`` plain CTE
+    stages (each: one und join + group-min — linear in edges), with an
+    in-SQL FIXPOINT CHECK between the last two stages: fixpoint ⇒ the
+    label function is edge-constant ⇒ exactly the component minima, so
+    a converged run is provably exact, and a non-converged one poisons
+    component_size to -1 (loud hash mismatch, never a silent pass).
+    stages=10 > the engine's max_iter=8: if the engine converged, stage
+    9 == stage 10 and the check passes. MEASURED: sf0.01 0.4 s, sf0.1
+    1.0 s, synthetic sf1 3.4 s (was infeasible). AS MATERIALIZED is
+    required: DuckDB otherwise inlines und into every stage and
+    re-opens the parquet per reference (fd exhaustion at 10 stages)."""
+    parts = ["""
+    edges AS MATERIALIZED (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+               CAST(l_suppkey AS BIGINT) + 1000000000 AS b
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority = '1-URGENT'
     ),
-    und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-    nodes AS (SELECT DISTINCT a AS id FROM und),
-    -- transitive closure by label flooding: (id, lbl) means lbl's node
-    -- reaches id; recursive UNION dedups, so this is a fixpoint
-    walk(id, lbl) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT u.b, w.lbl FROM walk w JOIN und u ON u.a = w.id
-    ),
-    comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id),
-    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS component_size
-              FROM comp GROUP BY cluster_id)
-    SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
-    FROM sizes GROUP BY component_size
-    """,
-)
+    und AS MATERIALIZED (
+        SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+    r0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM und)"""]
+    for i in range(1, stages + 1):
+        parts.append(f"""
+    r{i} AS MATERIALIZED (
+        SELECT p.id, LEAST(p.lbl, COALESCE(nb.m, p.lbl)) AS lbl
+        FROM r{i - 1} p LEFT JOIN (
+            SELECT u.b AS id, MIN(q.lbl) AS m
+            FROM r{i - 1} q JOIN und u ON u.a = q.id GROUP BY u.b
+        ) nb ON nb.id = p.id
+    )""")
+    parts.append(f"""
+    chk AS (SELECT COUNT(*) AS n FROM r{stages} t
+            JOIN r{stages - 1} p ON t.id = p.id AND t.lbl <> p.lbl),
+    comp AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS component_size
+             FROM r{stages} GROUP BY lbl)""")
+    return ("WITH" + ",".join(parts) + """
+    SELECT CASE WHEN (SELECT n FROM chk) > 0 THEN CAST(-1 AS BIGINT)
+                ELSE component_size END AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM comp GROUP BY 1""")
+
+
+@query("g1_graph_components", oracle=_g1_oracle())
 def g1_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: connected components as a general graph primitive (the same
     iterative min-label propagation that powers near-dedup clustering,
@@ -553,8 +576,9 @@ def g1_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph's connectivity. Each round is one join + one aggregate with
     localCheckpoint lineage truncation — O(diameter) rounds (the dense
     bipartite fixture graph converges well inside max_iter=8; the DuckDB
-    oracle is an exact WITH RECURSIVE transitive closure, so a
-    non-converged run would show up as a mismatch, not pass silently)."""
+    oracle is the same propagation unrolled to 10 stages with an in-SQL
+    fixpoint check — see _g1_oracle — so a non-converged run on EITHER
+    side shows up as a mismatch, not a silent pass)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_clusters
 
     edges = (

@@ -243,7 +243,13 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.size(tx.tokenize("text")) >= 3)
     )
     new = eligible.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
-    tbl = "l2_band_index_bucketed"
+    # applicationId suffix (ADVICE r8, the _scratch_dir rule applied to
+    # the table tier): two concurrent sessions sharing a warehouse dir
+    # would otherwise drop each other's live table mid-query
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    tbl = f"l2_band_index_bucketed_{app}"
     # drops locations too: a fresh session's catalog no-ops the DROP
     # while the warehouse dir persists → LOCATION_ALREADY_EXISTS
     drop_minhash_table(spark, tbl)
@@ -395,14 +401,15 @@ def _scratch_dir(spark: SparkSession, tag: str) -> str:
 
 
 def _ann_shortlist(e) -> int:
-    """Corpus-scaled exact-re-rank shortlist: max(200, n/10). Fixed
-    shortlists are calibration-dependent — r7: 50 sat at the recall
-    boundary between sf0.01 and sf0.1 (200 restored margin); r8
-    synthetic-sf1 sweep: 200 on a 20k-vector decorrelated corpus
-    dropped IVF-PQ recall to 0.22, n/10 restores 0.86 (measured). A
-    serving system sizes the shortlist from its index size; the
-    contract queries do the same. Costs one cheap count() job."""
-    return max(200, e.count() // 10)
+    """Corpus-scaled exact-re-rank shortlist — delegates to the library
+    helper (promoted to functions/similarity.ann_shortlist in r9,
+    VERDICT r8 #2, where the rationale and measured numbers live).
+    Costs one cheap count() job."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_shortlist,
+    )
+
+    return ann_shortlist(e.count())
 
 
 def _ann_contract(

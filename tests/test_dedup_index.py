@@ -33,6 +33,32 @@ def _frames(spark):
     return df.filter("doc_id < 100"), df.filter("doc_id >= 100"), df
 
 
+def _strip_counted_flags(path):
+    """Rewrite batch markers WITHOUT the r9 ``counted`` field — what a
+    genuine pre-r9 index looks like (the flag is the metadata-read
+    proof that a batch's guard counts are on disk; tests simulating
+    older indexes must not leave it behind)."""
+    import glob
+    import json
+    import os
+
+    for f in glob.glob(f"{path}/_graft_batches/*.json"):
+        lines = []
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    row = json.loads(line)
+                    row.pop("counted", None)
+                    lines.append(json.dumps(row))
+        with open(f, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        # the local Hadoop FS keeps .crc sidecars — a rewritten file
+        # with a stale checksum fails the read with ChecksumException
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
 def test_incremental_pairs_tile_the_whole_corpus(spark, tmp_path):
     """batch-vs-index + within-batch pairs, unioned across batches,
     equal the from-scratch whole-corpus run (the losslessness
@@ -121,7 +147,8 @@ def test_incomplete_counts_sidecar_falls_back(spark, tmp_path):
     b1 = spark.createDataFrame([(10, txt)], "doc_id long, text string")
     path = str(tmp_path / "idx")
     minhash_index_append(b0, "doc_id", "text", path, batch_id="b0")
-    shutil.rmtree(f"{path}/_graft_counts")  # simulate a pre-r8 append
+    shutil.rmtree(f"{path}/_graft_counts")  # simulate a pre-r8 append:
+    _strip_counted_flags(path)  # ...whose markers predate the r9 flag
     minhash_index_append(b1, "doc_id", "text", path, batch_id="b1")
     # bucket holds 4 identical docs > cap 3: with trusted-but-incomplete
     # counts (b1 alone sums to 1) pairs would leak; the fallback sees 4
@@ -232,3 +259,122 @@ def test_delete_removes_pairs_and_keeps_guards(spark, tmp_path):
             spark, path, [r.doc_id for r in base.collect()] + [101, 102, 103, 104]
         )
     assert minhash_index_meta(spark, path) is not None
+
+
+def test_append_after_delete(spark, tmp_path):
+    """VERDICT r8 #5: the recomputed counts sidecar + zero-count
+    sentinel rows written by minhash_index_delete must compose with a
+    SUBSEQUENT append — pairs queries for both an old and the new batch
+    stay correct (the only index state transition that had zero test
+    coverage)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    assert minhash_index_delete(spark, path, [104]) > 0
+    b2 = spark.createDataFrame(
+        [(201, "the quick brown fox jumps over the lazy dog"),
+         (202, "two driven jocks help fax my big quiz")],
+        "doc_id long, text string",
+    )
+    minhash_index_append(b2, "doc_id", "text", path, batch_id="b2")
+    got_new = {(r.id_a, r.id_b) for r in
+               minhash_index_pairs_vs_batch(spark, path, "b2").collect()}
+    # 201 pairs with BOTH prior copies of the fox doc; 202's twin (104)
+    # was deleted, so no pair resurrects it
+    assert (1, 201) in got_new and (101, 201) in got_new
+    assert all(104 not in p for p in got_new)
+    # old-batch query still green after delete + append
+    got_old = {(r.id_a, r.id_b) for r in
+               minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert (102, 103) in got_old and all(104 not in p for p in got_old)
+    assert minhash_index_batches(spark, path) == ["b0", "b1", "b2"]
+
+
+def test_crashed_append_is_contained(spark, tmp_path):
+    """VERDICT r8 #4: a crashed append (band rows written, counts +
+    marker absent) must not leave UNDER-GUARDED candidates — its rows
+    are invisible to pairs queries for other batches, and a pairs query
+    for the unmarked batch_id raises instead of returning empty."""
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    meta = minhash_index_meta(spark, path)
+    # simulate the crash window: write b1's DATA rows directly (the
+    # same banded form the real append writes), no counts, no marker
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        banded_minhash_signatures,
+    )
+
+    banded_minhash_signatures(
+        new, "doc_id", "text", meta["num_hashes"], meta["bands"],
+        meta["shingle_n"], meta["seed"],
+    ).withColumn("_batch", F.lit("b1_crashed")).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(path)
+    # unmarked batch_id: loud, not silently-empty
+    with pytest.raises(ValueError, match="not a MARKED batch"):
+        minhash_index_pairs_vs_batch(spark, path, "b1_crashed")
+    # leftovers invisible: b0's pairs see nothing from the crashed batch
+    b0_pairs = minhash_index_pairs_vs_batch(spark, path, "b0").collect()
+    assert all(r.id_a < 100 and r.id_b < 100 for r in b0_pairs)
+    # re-append under a NEW id works and finds the dups (the leftover
+    # rows' _batch value never matches a marker, so they stay invisible)
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    got = {(r.id_a, r.id_b) for r in
+           minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert (1, 101) in got and (102, 103) in got
+
+
+def test_compact_bucketed_table(spark, tmp_path):
+    """VERDICT r8 #8: compact_bucketed_table rewrites a bucketed index
+    through a same-spec CTAS — fewer files, identical pair set, and the
+    zero-Exchange band join still plans (co-location survived)."""
+    import glob
+    import re
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_bucketed_table,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_compact"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        before_pairs = {(r.id_a, r.id_b) for r in
+                        minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        n_before = len(glob.glob(f"{wh}/{tbl}/*.parquet"))
+        assert compact_bucketed_table(spark, tbl) == 4
+        n_after = len(glob.glob(f"{wh}/{tbl}/*.parquet"))
+        assert n_after < n_before, (n_before, n_after)
+        after_pairs = {(r.id_a, r.id_b) for r in
+                       minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert after_pairs == before_pairs and (1, 101) in after_pairs
+        # co-location survived: no band-key Exchange in the pairs plan
+        plan = (
+            minhash_table_pairs_vs_batch(spark, tbl, "b1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        exchanges = re.findall(
+            r"Exchange (?:hash|range)partitioning\(([^)]*)\)", plan)
+        assert not [e for e in exchanges if "band_" in e], plan
+        # and a path-backed dir is refused
+        with pytest.raises(ValueError, match="not a bucketed table"):
+            compact_bucketed_table(spark, f"{tbl}_meta")
+    finally:
+        drop_minhash_table(spark, tbl)
+        spark.sql("DROP TABLE IF EXISTS t_mh_compact_compacting")
