@@ -49,7 +49,12 @@ Index layout at ``path``:
     finer quantization when cells are tight. The flag is pinned in meta
     like every other model parameter: appends and searches derive the
     encode/LUT shape from it, so an index can never mix residual and
-    global codes.
+    global codes. MEASURED guidance (probe_residual.py, r9): on a
+    CLUSTERED corpus (50 tight clusters, 20k×64) residual re-rank
+    recall is 0.624 vs 0.466 global (+34% relative) — use it when the
+    corpus has cluster structure; on a near-uniform corpus it is
+    parity-to-slightly-worse (0.780 vs 0.808 at sf0.1; 0.48 vs 0.494 on
+    the synthetic control), which is why the default stays False.
 
 Scale notes: search is one cell equi-join (codes ⋈ exploded query
 probes) + one window + one broadcast refine join — no corpus crossJoin,
@@ -79,6 +84,18 @@ from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
 _META_DIR = "_graft_meta"
 _BATCH_DIR = "_graft_batches"
 _VEC_DIR = "_graft_vectors"
+
+# Upper bound on the candidate ids ann_index_search will collect
+# driver-side to build the pruned refine scan (r9). The pruned path is
+# a POINT-LOOKUP optimization — its premise is that |queries|·shortlist
+# is driver-small; past this bound the collect itself becomes the O(n)
+# scale risk (an auto shortlist grows n/10, so a large-corpus search
+# with many queries could otherwise collect millions of ids and compile
+# a multi-MB IN predicate), so search falls back to the streaming
+# broadcast join over the full tier — correct, and at that candidate
+# mass the "full" scan is no longer disproportionate to the read the
+# pruned path would do anyway.
+_MAX_PUSHED_IDS = 100_000
 
 
 def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
@@ -158,13 +175,17 @@ def _dim_guarded(vec: "F.Column", dim: int, who: str) -> "F.Column":
 
 
 def _encode_with_models(
-    df: DataFrame, id_col: str, vec_col: str, meta: dict, batch_id: str
+    df: DataFrame, id_col: str, vec_col: str, meta: dict, batch_id: str | None
 ) -> DataFrame:
     """Assign cells + PQ codes using the index's PINNED models (pure
     JVM expressions over broadcast literals — no training pass).
     Honors ``meta['residual']``: codes are computed over
-    (vec − centroid[cell]) when the index was built residual."""
+    (vec − centroid[cell]) when the index was built residual.
+    ``batch_id=None`` preserves ``df``'s existing ``_batch`` column
+    row-by-row (the rebuild path); a string stamps every row (the
+    build/append path)."""
     sub = meta["dim"] // meta["n_subspaces"]
+    carry = ["_batch"] if batch_id is None else []
     dense = df.select(
         F.col(id_col).alias("_id"),
         _dim_guarded(
@@ -172,14 +193,17 @@ def _encode_with_models(
             meta["dim"],
             "ann_index encode",
         ).alias("_v"),
+        *[F.col(c) for c in carry],
     )
     assigned = dense.select(
         "_id",
         "_v",
+        *carry,
         _subspace_dists(F.col("_v"), meta["centroids"]).alias("_d"),
     ).select(
         "_id",
         "_v",
+        *carry,
         (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
         .cast("int")
         .alias("cell"),
@@ -194,7 +218,9 @@ def _encode_with_models(
         F.array(
             *[F.col(f"_c{s}") for s in range(meta["n_subspaces"])]
         ).alias("_codes"),
-        F.lit(batch_id).alias("_batch"),
+        (F.col("_batch") if batch_id is None else F.lit(batch_id)).alias(
+            "_batch"
+        ),
         "cell",
     )
 
@@ -299,11 +325,157 @@ def ann_index_append(
     _write_batch(new_df, id_col, vec_col, path, meta, batch_id, seq=len(existing))
 
 
+def ann_index_rebuild(
+    spark: SparkSession,
+    path: str,
+    new_path: str,
+    *,
+    n_cells: int | None = None,
+    n_subspaces: int | None = None,
+    n_centroids: int | None = None,
+    seed: int | None = None,
+    train_fraction: float | None = None,
+    residual: bool | None = None,
+    vec_buckets: int | None = None,
+) -> None:
+    """Retrain the index from its own stored vectors into ``new_path``
+    — the documented staleness cure as an API instead of a playbook
+    sentence: appends never retrain (old codes must stay comparable),
+    so centroids drift from the true distribution as the corpus grows;
+    when recall decays, rebuild and repoint the serving path (same
+    blue/green swap FAISS deployments use — the live index keeps
+    serving until the new one is complete, and ``new_path`` getting its
+    meta written LAST means a half-built rebuild reads as "no index",
+    never as a servable half-corpus).
+
+    The refine tier is the authoritative vector store (codes are
+    derived data), so the rebuild needs no access to the original
+    sources: raw vectors come from ``_graft_vectors``, per-row batch
+    lineage from the codes tier, and the result reflects every append
+    AND delete applied to the old index. Batch markers are CARRIED OVER
+    (same batch_ids/seq) so redelivery of an already-ingested batch is
+    still rejected after the swap — a rebuild that reset markers would
+    silently re-open every producer's dedup window; ``n_rows`` is
+    recomputed per batch (post-delete accurate, a fully-deleted batch
+    keeps its marker at 0 rows). Params default to the OLD meta —
+    override to re-tune (more cells as the corpus grows is the typical
+    move); ``dim`` is a property of the stored vectors and cannot
+    change. A pre-r9 index (unpartitioned refine tier) rebuilds into
+    the bucketed layout by default (vec_buckets 64) — rebuild IS the
+    legacy upgrade path.
+
+    Scale shape: two sampled training passes (``train_fraction``), one
+    full encode pass and one refine-tier rewrite — all linear scans,
+    nothing driver-side but the models and markers. Sink helper: runs
+    training + write jobs now."""
+    from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
+
+    old = ann_index_meta(spark, path)
+    if old is None:
+        raise ValueError(f"ann_index_rebuild: no index at {path}")
+    if ann_index_meta(spark, new_path) is not None or _fs_nonempty(
+        spark, new_path
+    ):
+        raise ValueError(
+            f"ann_index_rebuild: {new_path} is not empty — rebuild targets "
+            "a FRESH path (the live index keeps serving until the swap)"
+        )
+    meta = {
+        "dim": old["dim"],
+        "n_cells": n_cells if n_cells is not None else old["n_cells"],
+        "n_subspaces": (
+            n_subspaces if n_subspaces is not None else old["n_subspaces"]
+        ),
+        "n_centroids": (
+            n_centroids if n_centroids is not None else old["n_centroids"]
+        ),
+        "seed": seed if seed is not None else old["seed"],
+        "residual": residual if residual is not None else old["residual"],
+        "vec_buckets": (
+            vec_buckets if vec_buckets is not None
+            else (old["vec_buckets"] or 64)
+        ),
+    }
+    if meta["dim"] % meta["n_subspaces"] != 0:
+        raise ValueError(
+            f"dim {meta['dim']} not divisible by n_subspaces "
+            f"{meta['n_subspaces']}"
+        )
+    sub = meta["dim"] // meta["n_subspaces"]
+    vecs = spark.read.parquet(f"{path}/{_VEC_DIR}").select("_id", "_v")
+    corpus = vecs.join(
+        spark.read.parquet(path).select("_id", "_batch"), "_id"
+    )
+    assigned, centroids = _kmeans_cells(
+        ensure_parallelism(vecs), "_id", "_v", meta["n_cells"],
+        meta["seed"], train_fraction,
+    )
+    train_in = assigned
+    if meta["residual"]:
+        train_in = assigned.select(
+            "_id",
+            _residual(F.col("_v"), F.col("_cell"), centroids).alias("_v"),
+            "_cell",
+        )
+    codebooks = _pq_train(
+        train_in, sub, meta["n_subspaces"], meta["n_centroids"],
+        meta["seed"], train_fraction,
+    )
+    meta["centroids"] = centroids
+    meta["codebooks"] = codebooks
+    _encode_with_models(corpus, "_id", "_v", meta, batch_id=None).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(new_path)
+    _write_vec_tier(vecs, new_path, meta)
+    # markers carried over; n_rows recomputed from the surviving corpus
+    survivors = {
+        r._batch: r.n for r in
+        corpus.groupBy("_batch").agg(F.count("*").alias("n")).collect()
+    }
+    marks = [
+        {
+            "batch_id": r.batch_id,
+            "seq": int(r.seq),
+            "n_rows": int(survivors.get(r.batch_id, 0)),
+        }
+        for r in sorted(
+            spark.read.json(f"{path}/{_BATCH_DIR}").collect(),
+            key=lambda r: r.seq,
+        )
+    ]
+    spark.createDataFrame(marks).coalesce(1).write.mode("append").json(
+        f"{new_path}/{_BATCH_DIR}"
+    )
+    # meta LAST — the rebuild's commit marker, same rule as the build
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+        f"{new_path}/{_META_DIR}"
+    )
+
+
 def _vbucket(id_col: "F.Column", vec_buckets: int) -> "F.Column":
     """The refine tier's partition key: id-hash bucket. ONE definition —
     the write path and the search-side pruning must hash identically or
     point lookups silently miss."""
     return F.pmod(F.xxhash64(id_col), F.lit(vec_buckets)).cast("int")
+
+
+def _write_vec_tier(vecs: DataFrame, path: str, meta: dict) -> None:
+    """Append ``(_id, _v)`` rows to the refine tier. With
+    ``vec_buckets`` pinned in meta: id-hash partitioning + id-sorted
+    files (r9) — the search-side re-rank prunes this tier by
+    (``_vbucket IN``, ``_id IN``), and the sort keeps row-group min/max
+    ranges tight so the pushed id predicate skips row groups, not just
+    directories. Without it (pre-r9 index): flat parquet, readable by
+    the unpruned fallback."""
+    if meta.get("vec_buckets"):
+        vecs.withColumn("_vbucket", _vbucket(F.col("_id"), meta["vec_buckets"])) \
+            .repartition(F.col("_vbucket")) \
+            .sortWithinPartitions("_vbucket", "_id") \
+            .write.mode("append").partitionBy("_vbucket").parquet(
+                f"{path}/{_VEC_DIR}"
+            )
+    else:
+        vecs.write.mode("append").parquet(f"{path}/{_VEC_DIR}")
 
 
 def _write_batch(
@@ -323,19 +495,7 @@ def _write_batch(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    if meta.get("vec_buckets"):
-        # id-hash partitioning + id-sorted files (r9): the search-side
-        # re-rank prunes this tier by (_vbucket IN, _id IN); the sort
-        # keeps row-group min/max ranges tight so the pushed id
-        # predicate skips row groups, not just directories
-        vecs.withColumn("_vbucket", _vbucket(F.col("_id"), meta["vec_buckets"])) \
-            .repartition(F.col("_vbucket")) \
-            .sortWithinPartitions("_vbucket", "_id") \
-            .write.mode("append").partitionBy("_vbucket").parquet(
-                f"{path}/{_VEC_DIR}"
-            )
-    else:  # pre-r9 index layout: keep appends readable by the fallback
-        vecs.write.mode("append").parquet(f"{path}/{_VEC_DIR}")
+    _write_vec_tier(vecs, path, meta)
     n_rows = df.count()
     spark.createDataFrame(
         [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
@@ -371,9 +531,13 @@ def ann_index_search(
     broadcasting it — so its ids are collected driver-side and pushed
     into the ``_graft_vectors`` scan as a ``_vbucket IN (…)`` partition
     filter plus an ``_id IN (…)`` parquet predicate (plan-pinned in
-    tests/test_plans.py). The cold tier is never streamed end-to-end;
-    pre-r9 indexes (no ``vec_buckets`` in meta) fall back to the old
-    broadcast-join-over-full-scan shape. Note this makes the codes-tier
+    tests/test_plans.py). The cold tier is never streamed end-to-end
+    for a point lookup; pre-r9 indexes (no ``vec_buckets`` in meta)
+    fall back to the old broadcast-join-over-full-scan shape, and so
+    does any search whose candidate bound exceeds ``_MAX_PUSHED_IDS``
+    (100k — the pruned path's own premise is a driver-small candidate
+    set; without the gate an auto-shortlist search over a huge index
+    would collect O(n) ids). Note the pruned path makes the codes-tier
     query execute ONCE at call time (the collect); the returned
     DataFrame re-reads only the pruned refine scan and the (small)
     queries input.
@@ -396,10 +560,14 @@ def ann_index_search(
     if meta is None:
         raise ValueError(f"ann_index_search: no index at {path}")
     if shortlist == "auto":
+        from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+            ann_shortlist,
+        )
+
         n = _index_size_from_markers(spark, path)
         if n is None:  # pre-r9 markers lack n_rows: one columnar count
             n = spark.read.parquet(path).count()
-        shortlist = max(200, n // 10)
+        shortlist = ann_shortlist(n)
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     coded = spark.read.parquet(path).select(
@@ -462,12 +630,16 @@ def ann_index_search(
         lambda acc, v: acc + v,
     )
     vec_scan = spark.read.parquet(f"{path}/{_VEC_DIR}")
-    if meta["vec_buckets"]:
+    if meta["vec_buckets"] and queries.count() * shortlist <= _MAX_PUSHED_IDS:
         # the shortlist is driver-bounded (|queries|·shortlist — the
         # broadcast-size argument) so collect it and PUSH the ids into
         # the refine scan: partition filter on _vbucket + parquet
         # predicate on _id, instead of streaming the whole cold tier
-        # through the join (VERDICT r8 #1)
+        # through the join (VERDICT r8 #1). The _MAX_PUSHED_IDS gate
+        # keeps the collect itself from becoming the scale risk (one
+        # cheap count of the small queries input decides BEFORE any
+        # heavy work; past the bound the streaming join below is the
+        # right plan anyway)
         pairs = cand.withColumn(
             "_vb", _vbucket(F.col("neighbor_id"), meta["vec_buckets"])
         ).collect()

@@ -362,16 +362,27 @@ def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -
 
 
 def ann_shortlist(n: int) -> int:
-    """Corpus-scaled exact-re-rank shortlist: max(200, n // 10).
-    Promoted from the workload layer (VERDICT r8 #2): fixed shortlists
-    are calibration-dependent — r7: 50 sat at the recall boundary
-    between sf0.01 and sf0.1 (200 restored margin); the r8 synthetic-sf1
-    sweep measured fixed-200 at recall 0.22 on a 20k-vector
-    decorrelated corpus while n/10 restores 0.86. A serving system
-    sizes the shortlist from its index size; the library defaults
-    (``shortlist="auto"`` in ivf_pq_topk / ann_index_search) do the
-    same so a direct caller never ships the fixture-tuned footgun."""
-    return max(200, n // 10)
+    """Corpus-scaled exact-re-rank shortlist: min(max(200, n // 10),
+    100k). Promoted from the workload layer (VERDICT r8 #2): fixed
+    shortlists are calibration-dependent — r7: 50 sat at the recall
+    boundary between sf0.01 and sf0.1 (200 restored margin); the r8
+    synthetic-sf1 sweep measured fixed-200 at recall 0.22 on a
+    20k-vector decorrelated corpus while n/10 restores 0.86. A serving
+    system sizes the shortlist from its index size; the library
+    defaults (``shortlist="auto"`` in ivf_pq_topk / ann_index_search)
+    do the same so a direct caller never ships the fixture-tuned
+    footgun.
+
+    The n/10 growth is the SMALL-corpus recall fix (fixture-sized
+    models quantize coarsely relative to the corpus, so the re-rank
+    must see a real fraction of it) — it must not extrapolate
+    linearly: an uncapped auto shortlist at 10⁹ vectors would mean
+    10⁸-row windows per query and (in ann_index_search) an O(n)
+    driver-side candidate collect. Past the cap the recall lever is
+    the MODEL, not the shortlist: rebuild with more cells/centroids
+    (``ann_index_rebuild``) or pin an explicit FAISS-class shortlist
+    (1k-10k) sized to measured recall."""
+    return min(max(200, n // 10), 100_000)
 
 
 def _query_probe_luts(

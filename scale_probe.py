@@ -253,6 +253,52 @@ def main() -> None:
     ).save()
     batch1pct_query_sec = round(time.time() - t0, 1)
 
+    # ANN serving probe (round 9, VERDICT r8 #1): the persisted-index
+    # point lookup at probe scale, both refine-tier shapes — PRUNED
+    # (r9 _vbucket layout: shortlist ids collected and pushed as a
+    # partition-pruned scan) vs the r8 JOIN shape (flat tier streamed
+    # through a broadcast join; still the fallback for legacy indexes
+    # and beyond-_MAX_PUSHED_IDS candidate sets). The gap here is the
+    # per-search refine-tier read cost; at 10⁹ vectors the join shape
+    # reads the full 512 B/vec cold tier per search batch.
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+
+    n_vecs = n_docs // 5
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 1000.0
+            ).cast("double"),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    ann_q = emb.filter(F.col("vec_id") < 10)
+    ann_times: dict[str, float] = {}
+    for tag, vb in (("pruned", 64), ("join", None)):
+        apath = os.path.join(probe_dir, f"ann_probe_{tag}")
+        shutil.rmtree(apath, ignore_errors=True)
+        t0 = time.time()
+        ann_index_build(
+            emb, "vec_id", "embedding", apath, dim=64, n_cells=64,
+            n_subspaces=8, n_centroids=32, train_fraction=0.05,
+            vec_buckets=vb,
+        )
+        ann_times[f"{tag}_build_sec"] = round(time.time() - t0, 1)
+        search = lambda: ann_index_search(  # noqa: E731
+            ann_q, apath, k=5, n_probe=8, shortlist=1000
+        ).write.mode("overwrite").format("noop").save()
+        search()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            search()
+            runs.append(time.time() - t0)
+        ann_times[f"{tag}_search_sec"] = round(sorted(runs)[1], 2)
+
     print(
         json.dumps(
             {
@@ -264,6 +310,7 @@ def main() -> None:
                     "batch10pct_sec": incr_sec,
                     "batch1pct_query_sec": batch1pct_query_sec,
                 },
+                "ann_serving": {"n_vecs": n_vecs, **ann_times},
                 "queries_sec": timings,
                 "cc_rounds": cc_rounds,
                 "graph_copies": graph_copies,

@@ -336,3 +336,119 @@ def test_delete_rejects_remote_scheme(spark):
         ann_index_delete(spark, "s3a://bucket/ann_idx", [1])
     with pytest.raises(ValueError, match="local-filesystem-only"):
         minhash_index_delete(spark, "hdfs://nn/band_idx", [1])
+
+
+def test_rebuild_retrains_preserves_lineage(spark, tmp_path):
+    """ann_index_rebuild (r9): the staleness cure — retrain from the
+    index's OWN stored vectors into a fresh path. Must reflect every
+    append AND delete, carry the batch markers over (redelivery of an
+    already-ingested batch stays rejected), honor param overrides
+    (n_cells retune), recompute per-batch n_rows post-delete, and
+    refuse a non-empty target."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_delete,
+        ann_index_rebuild,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    twin = spark.createDataFrame([(1000, rows[0][1]), (1001, rows[1][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    ann_index_delete(spark, path, [1001])
+
+    new = str(tmp_path / "ann_v2")
+    ann_index_rebuild(spark, path, new, n_cells=8, seed=43)
+
+    meta = ann_index_meta(spark, new)
+    assert meta["n_cells"] == 8 and len(meta["centroids"]) == 8
+    assert meta["n_subspaces"] == 4  # inherited from the old meta
+    # lineage: markers carried over, n_rows post-delete accurate
+    assert ann_index_batches(spark, new) == ["base", "b1"]
+    marks = {r.batch_id: int(r.n_rows)
+             for r in spark.read.json(f"{new}/_graft_batches").collect()}
+    assert marks == {"base": 60, "b1": 1}
+    with pytest.raises(ValueError, match="already appended"):
+        ann_index_append(twin, "vec_id", "embedding", new, batch_id="b1")
+    # serving: the appended twin is still rank-1, the deleted id gone
+    q = corpus.filter("vec_id = 0")
+    top = ann_index_search(q, new, k=3, n_probe=4, shortlist=20).collect()
+    assert top[0].neighbor_id == 1000 and top[0].dist == 0.0
+    assert all(r.neighbor_id != 1001
+               for r in ann_index_search(corpus.filter("vec_id = 1"), new,
+                                          k=5, n_probe=8).collect())
+    # per-row batch lineage preserved in the codes tier
+    got = {r._batch for r in spark.read.parquet(new).select("_batch")
+           .distinct().collect()}
+    assert got == {"base", "b1"}
+    # a non-empty target is refused (the live index keeps serving)
+    with pytest.raises(ValueError, match="not empty"):
+        ann_index_rebuild(spark, path, new)
+
+
+def test_rebuild_upgrades_legacy_refine_tier(spark, tmp_path):
+    """A pre-r9 index (no vec_buckets in meta → flat refine tier, search
+    falls back to the unpruned broadcast join) rebuilds into the
+    bucketed layout by default — rebuild IS the upgrade path."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_rebuild,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann_legacy")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    # simulate the pre-r9 layout: strip vec_buckets from meta (rewrite
+    # through Spark — an in-place file edit breaks the .crc sidecar)
+    # and flatten the refine tier
+    import shutil
+
+    vecs = spark.read.parquet(f"{path}/_graft_vectors").select("_id", "_v")
+    vecs.write.mode("overwrite").parquet(str(tmp_path / "flat_vecs"))
+    shutil.rmtree(f"{path}/_graft_vectors")
+    spark.read.parquet(str(tmp_path / "flat_vecs")).write.parquet(
+        f"{path}/_graft_vectors")
+    m = ann_index_meta(spark, path)
+    m.pop("vec_buckets")
+    spark.createDataFrame([m]).coalesce(1).write.mode("overwrite").json(
+        f"{path}/_graft_meta")
+    assert ann_index_meta(spark, path)["vec_buckets"] is None
+
+    new = str(tmp_path / "ann_upgraded")
+    ann_index_rebuild(spark, path, new)
+    assert ann_index_meta(spark, new)["vec_buckets"] == 64
+    import os
+    assert any(d.startswith("_vbucket=")
+               for d in os.listdir(f"{new}/_graft_vectors"))
+    q = corpus.filter("vec_id = 0")
+    assert ann_index_search(q, new, k=3, n_probe=4, shortlist=20).count() == 3
+
+
+def test_pushed_ids_gate_falls_back_to_join(spark, tmp_path, monkeypatch):
+    """The pruned refine scan is a point-lookup optimization gated on
+    |queries|·shortlist ≤ _MAX_PUSHED_IDS (r9): past the bound the
+    driver-side candidate collect would itself be the O(n) scale risk,
+    so search must fall back to the streaming broadcast join — same
+    results, no pushed-id predicate in the plan."""
+    import re
+
+    from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
+
+    corpus, _ = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    q = corpus.filter("vec_id < 3")
+    pruned = ann_index_search(q, path, k=3, n_probe=4, shortlist=10).collect()
+    monkeypatch.setattr(ann_index, "_MAX_PUSHED_IDS", 5)  # 3·10 > 5
+    df = ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert not any("In(_id" in p for p in pushed), plan
+    key = lambda rows: [(r.query_id, r.neighbor_id, round(r.dist, 9), r.rk)  # noqa: E731
+                        for r in rows]
+    assert key(df.collect()) == key(pruned)
