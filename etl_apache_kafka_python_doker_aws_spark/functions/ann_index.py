@@ -683,6 +683,54 @@ def ann_index_search(
     )
 
 
+def ann_index_dedup_batch(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    batch_id: str,
+    threshold: float,
+    k: int = 5,
+    n_probe: int = 8,
+    shortlist: int | str | None = "auto",
+) -> DataFrame:
+    """Semantic near-duplicate detection for a NEW embedding batch
+    against a PERSISTED ANN index — the embedding analog of
+    ``dedup_index.minhash_index_dedup_batch`` and the crawl-snapshot
+    shape a 100 TB semantic-dedup pipeline runs: each snapshot pays
+    encode + search for ITS vectors only, never re-embedding or
+    re-scanning the corpus. Appends the batch (encoded with the pinned
+    models, so it becomes part of the index for the NEXT batch), then
+    returns its near-dup pairs vs everything indexed (itself included):
+    ``(query_id, neighbor_id, dist, rk)`` with squared-L2
+    ``dist <= threshold``.
+
+    Threshold is squared L2. For the SemDeDup-style cosine rule
+    "duplicate when cos(a,b) >= τ", L2-normalize embeddings before
+    indexing: ‖a−b‖² = 2(1−cos) ⇒ ``threshold = 2*(1-tau)``.
+
+    Approximate by construction (IVF probes + PQ shortlist — recall
+    follows ``ann_index_search``); VERBATIM duplicates are exact:
+    an identical vector lands in the same cell with the same codes
+    under the pinned models, always shortlists, and re-ranks to dist 0.
+    Cost shape per batch: one encode projection + one cell equi-join
+    against the codes tier + the pruned refine lookup — batch-
+    proportional, the property the minhash tier proved in r8."""
+    spark = new_df.sparkSession
+    if ann_index_meta(spark, path) is None:
+        raise ValueError(
+            f"ann_index_dedup_batch: no index at {path} — create it with "
+            "ann_index_build (pinning the models) first"
+        )
+    ann_index_append(new_df, id_col, vec_col, path, batch_id=batch_id)
+    hits = ann_index_search(
+        new_df, path, id_col, vec_col, k,
+        n_probe=n_probe, shortlist=shortlist,
+    )
+    return hits.filter(F.col("dist") <= F.lit(float(threshold)))
+
+
 def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
     """Delete vectors from the persisted index — retraction /
     right-to-be-forgotten for a serving ANN index. ``ids`` is a Python

@@ -282,6 +282,88 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "l2_incremental_semdedup",
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           TRUE AS found_cross_batch,
+           TRUE AS rank1_dist0,
+           TRUE AS no_extra
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l2_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 INCREMENTAL semantic dedup (r9): dedup a NEW embedding batch
+    against a PERSISTED ANN index — the embedding analog of
+    l2_incremental_dedup, and the second half of the crawl-snapshot
+    story: lexical near-dups go through the band index, semantic
+    near-dups through this (functions/ann_index.ann_index_dedup_batch —
+    append the batch encoded with the PINNED models, search it, keep
+    pairs with squared-L2 dist ≤ threshold; for a cosine rule τ,
+    normalize first and use 2(1−τ)). Per-snapshot cost is encode +
+    one cell equi-join + the pruned refine lookup for the BATCH only —
+    never re-embeds or re-scans the corpus.
+
+    Contract (the planted-duplicate pattern): every 25th corpus vector
+    arrives in the new batch as a VERBATIM copy under id+100000.
+    Identical vector ⇒ same cell + same codes under pinned models ⇒
+    always shortlisted ⇒ exact re-rank dist 0 at rank 1 — so the pairs
+    are enumerable exactly (``found_cross_batch``/``rank1_dist0``), and
+    with threshold 0.25 far below the fixture's natural minimum
+    distance (measured 1.08 at sf0.01, 0.80 at sf0.1; decorrelated
+    replicas keep it high at sf1) the planted pairs are ALSO the
+    complete result (``no_extra``). Planted-vs-random separation, not
+    a distribution-statistic bound (the r8 sweep rule)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_dedup_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    new = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    path = _scratch_dir(spark, "ann_idx_semincr")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    pairs = ann_index_dedup_batch(
+        new, "vec_id", "embedding", path, batch_id="b1", threshold=0.25,
+        k=5, n_probe=8, shortlist=_ann_shortlist(e),
+    )
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    n_extra = pairs.join(
+        expected,
+        (pairs["query_id"] == expected["id_b"])
+        & (pairs["neighbor_id"] == expected["id_a"]),
+        "left_anti",
+    ).agg(F.count("*").alias("_ne"))
+    return (
+        expected.join(
+            pairs,
+            (expected["id_b"] == pairs["query_id"])
+            & (expected["id_a"] == pairs["neighbor_id"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").isNotNull().alias("found_cross_batch"),
+            F.coalesce(
+                (F.col("rk") == 1) & (F.col("dist") == 0.0), F.lit(False)
+            ).alias("rank1_dist0"),
+            (F.col("_ne") == 0).alias("no_extra"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (

@@ -563,6 +563,117 @@ def t13_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t14_stream_semantic_dedup",
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           TRUE AS found,
+           TRUE AS cross_batch
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def t14_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (round 9): STREAMING semantic-dedup ingest — the embedding
+    twin of t13: micro-batches of an embeddings stream are deduplicated
+    against the PERSISTED ANN index via foreachBatch (batch 0 builds
+    the index and pins the models; every later batch is encoded with
+    those pinned models, searched, and appended —
+    functions/ann_index.ann_index_dedup_batch). Together with t13 this
+    is the full continuous-crawl dedup deployment: lexical near-dups
+    through the band index, semantic near-dups through the ANN index,
+    both with long-lived on-disk state and the duplicate-batch_id guard
+    making foreachBatch's at-least-once redelivery explicit.
+
+    Staging: two mtime-ordered files (maxFilesPerTrigger=1 → pinned
+    micro-batch order) — batch 0 the embeddings corpus, batch 1 a
+    VERBATIM copy of every 25th vector under id+100000. Contract: each
+    planted pair is caught by the batch-1 dedup pass at squared-L2
+    threshold 0.25 (identical vector ⇒ same cell/codes under pinned
+    models ⇒ exact re-rank dist 0; fixture's natural minimum distance
+    is 0.80+, see l2_incremental_semdedup), and the index's recorded
+    provenance proves the pair crossed micro-batches (id_a indexed by
+    b0, id_b by b1)."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_dedup_batch,
+        ann_index_meta,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+        run_to_parquet,
+        stage_ordered_batches,
+    )
+
+    wd = _workdir()
+    staged = os.path.join(wd, "vecs_staged")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+    copies = planted.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    stage_ordered_batches([e, copies], staged)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    idx = os.path.join(wd, "ann_index")
+    pairs_out = os.path.join(wd, "sem_pairs_out")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"b{batch_id}"
+        sess = batch_df.sparkSession
+        if ann_index_meta(sess, idx) is None:
+            # first batch IS the corpus: build + pin the models (no
+            # pairs — an index of one batch has nothing older to hit)
+            ann_index_build(
+                batch_df, "vec_id", "embedding", idx, dim=64, n_cells=16,
+                n_subspaces=8, n_centroids=32, batch_id=bid,
+            )
+            return
+        ann_index_dedup_batch(
+            batch_df, "vec_id", "embedding", idx, batch_id=bid,
+            threshold=0.25, k=5, n_probe=8,
+        ).write.mode("append").parquet(pairs_out)
+
+    run_to_parquet(stream, wd, _qname("t14"), batch_fn=_sink)
+    pairs = spark.read.parquet(pairs_out).select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        "dist",
+    )
+    prov = spark.read.parquet(idx).select("_id", "_batch").distinct()
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 100000).alias("id_b"),
+    )
+    return (
+        expected.join(pairs, ["id_a", "id_b"], "left")
+        .join(
+            prov.select(F.col("_id").alias("id_a"), F.col("_batch").alias("_ba")),
+            "id_a",
+            "left",
+        )
+        .join(
+            prov.select(F.col("_id").alias("id_b"), F.col("_batch").alias("_bb")),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").isNotNull().alias("found"),
+            ((F.col("_ba") == "b0") & (F.col("_bb") == "b1")).alias("cross_batch"),
+        )
+    )
+
+
+@query(
     "t12_stream_curation",
     oracle="""
     WITH quality AS (
