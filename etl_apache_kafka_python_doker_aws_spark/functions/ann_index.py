@@ -86,16 +86,19 @@ _BATCH_DIR = "_graft_batches"
 _VEC_DIR = "_graft_vectors"
 
 # Upper bound on the candidate ids ann_index_search will collect
-# driver-side to build the pruned refine scan (r9). The pruned path is
-# a POINT-LOOKUP optimization — its premise is that |queries|·shortlist
-# is driver-small; past this bound the collect itself becomes the O(n)
-# scale risk (an auto shortlist grows n/10, so a large-corpus search
-# with many queries could otherwise collect millions of ids and compile
-# a multi-MB IN predicate), so search falls back to the streaming
-# broadcast join over the full tier — correct, and at that candidate
-# mass the "full" scan is no longer disproportionate to the read the
-# pruned path would do anyway.
-_MAX_PUSHED_IDS = 100_000
+# driver-side and push into the refine scan as an ``_id IN (…)``
+# parquet predicate (r10, VERDICT r9 #1). The id push is a POINT-LOOKUP
+# optimization: row-group min/max skipping on the id-sorted files only
+# pays when the predicate itself is cheap — the r9 gate (100k) was
+# tuned to when the COLLECT becomes a scale risk, not to when the
+# mechanics stop paying, and at 20k ids the py4j round trip plus the
+# In-predicate expression tree made the pruned path 2.2× slower than
+# its own fallback at sf0.1. Past this bound, search prunes the scan
+# with the DISTINCT ``_vbucket`` whitelist only (bounded by
+# ``vec_buckets``, ≤64 values, one tiny agg over the materialized
+# shortlist) and lets the broadcast id-join do the row matching —
+# directory-level pruning with zero driver-side id traffic.
+_MAX_PUSHED_IDS = 4_096
 
 
 def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
@@ -289,10 +292,15 @@ def ann_index_build(
         "n_centroids": n_centroids,
         "seed": seed,
         "residual": residual,
-        "vec_buckets": vec_buckets,
         "centroids": centroids,
         "codebooks": codebooks,
     }
+    if vec_buckets:
+        # omitted when falsy (ADVICE r9): a None value would make
+        # createDataFrame fail on an untyped NULL, and ann_index_meta
+        # already reads an ABSENT field as None (the legacy-layout
+        # signal) — vec_buckets=None builds the flat refine tier
+        meta["vec_buckets"] = vec_buckets
     _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0)
     # meta LAST: its presence is the build's commit marker — search and
     # retry-build treat meta-less leftovers as a failed build, loudly
@@ -311,7 +319,15 @@ def ann_index_append(
 ) -> None:
     """Encode ``new_df`` with the index's PINNED models and append —
     no retraining, so existing codes stay comparable. Duplicate
-    batch_id rejected loudly (the dedup_index redelivery rule)."""
+    batch_id rejected loudly (the dedup_index redelivery rule).
+
+    Vector ids are CALLER-OWNED UNIQUE across the whole index — the
+    batch_id guard catches a redelivered batch, not a re-ingested id
+    under a fresh batch_id. A duplicated id is served twice by search
+    (two rows at different ranks) and collapsed to one row (earliest
+    batch's lineage) by ``ann_index_rebuild``; enforcing uniqueness
+    here would cost a full-index anti-join per append, which is the
+    wrong trade for an append that is otherwise batch-proportional."""
     spark = new_df.sparkSession
     meta = ann_index_meta(spark, path)
     if meta is None:
@@ -402,9 +418,26 @@ def ann_index_rebuild(
             f"{meta['n_subspaces']}"
         )
     sub = meta["dim"] // meta["n_subspaces"]
-    vecs = spark.read.parquet(f"{path}/{_VEC_DIR}").select("_id", "_v")
+    # Ids are caller-owned UNIQUE (appends reject duplicate batch_ids,
+    # not duplicate vector ids — an at-least-once redelivery under a
+    # fresh batch_id re-ingests the same ids). Rebuild is the one op
+    # where that slip COMPOUNDS: the vecs ⋈ codes join on _id would
+    # cross-product m×n rows per duplicated id into the new index
+    # (ADVICE r9). Collapse both sides to one row per id instead —
+    # one surviving vector (duplicates are the same id, so re-indexing
+    # any one of them is the defined repair) and the EARLIEST batch's
+    # lineage (min _batch: deterministic, and keeps the marker counts
+    # stable across re-runs).
+    vecs = (
+        spark.read.parquet(f"{path}/{_VEC_DIR}")
+        .select("_id", "_v")
+        .dropDuplicates(["_id"])
+    )
     corpus = vecs.join(
-        spark.read.parquet(path).select("_id", "_batch"), "_id"
+        spark.read.parquet(path)
+        .groupBy("_id")
+        .agg(F.min("_batch").alias("_batch")),
+        "_id",
     )
     assigned, centroids = _kmeans_cells(
         ensure_parallelism(vecs), "_id", "_v", meta["n_cells"],
@@ -512,6 +545,7 @@ def ann_index_search(
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
     probe_cells: list[int] | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
     ivf_pq_topk plan over stored codes and pinned models: per-query ADC
@@ -526,21 +560,32 @@ def ann_index_search(
     else one codes count), ``n_probe=8``. ``shortlist=None`` keeps the
     ADC-only form (no exact re-rank); an int pins it explicitly.
 
-    Refine-tier read (r9, VERDICT r8 #1): the shortlist is bounded at
-    |queries|·shortlist rows — the same bound that justified
-    broadcasting it — so its ids are collected driver-side and pushed
-    into the ``_graft_vectors`` scan as a ``_vbucket IN (…)`` partition
-    filter plus an ``_id IN (…)`` parquet predicate (plan-pinned in
-    tests/test_plans.py). The cold tier is never streamed end-to-end
-    for a point lookup; pre-r9 indexes (no ``vec_buckets`` in meta)
-    fall back to the old broadcast-join-over-full-scan shape, and so
-    does any search whose candidate bound exceeds ``_MAX_PUSHED_IDS``
-    (100k — the pruned path's own premise is a driver-small candidate
-    set; without the gate an auto-shortlist search over a huge index
-    would collect O(n) ids). Note the pruned path makes the codes-tier
-    query execute ONCE at call time (the collect); the returned
-    DataFrame re-reads only the pruned refine scan and the (small)
-    queries input.
+    Refine-tier read (r10, VERDICT r9 #1 — the r9 form collected every
+    candidate id through py4j and compiled two 20k-element In
+    predicates, a per-call driver constant that made the pruned path
+    2.2× SLOWER than its own fallback at sf0.1): the shortlist is
+    bounded at |queries|·shortlist rows — the same bound that justified
+    broadcasting it — so it is materialized ONCE executor-side
+    (``localCheckpoint``; the codes-tier scoring query runs exactly
+    once, at call time) and the ``_graft_vectors`` scan is pruned from
+    the checkpoint:
+
+    * candidate count ≤ ``_MAX_PUSHED_IDS`` (the true point-lookup
+      case — few queries): collect the ids and push ``_vbucket IN``
+      (partition filter) + ``_id IN`` (parquet predicate, row-group
+      min/max skipping on the id-sorted files) — plan-pinned in
+      tests/test_ann_index.py.
+    * larger shortlists: collect only the DISTINCT ``_vbucket``
+      whitelist (≤ ``vec_buckets`` values, one tiny agg) for
+      directory-level pruning and keep the broadcast id-join for row
+      matching — zero per-id driver traffic at any candidate mass.
+
+    Either way the cold tier is never streamed end-to-end for a point
+    lookup. Pre-r9 indexes (no ``vec_buckets`` in meta) keep the old
+    broadcast-join-over-full-scan shape, which is also the fully-LAZY
+    form: pass ``prune=False`` to get it on a bucketed index when the
+    caller composes the result lazily (e.g. a union of searches) and
+    must not pay a synchronous job at construction time.
 
     ``probe_cells``: optional driver-known cell whitelist; when given,
     the codes scan is FILTERED on the partition column first, so only
@@ -630,20 +675,25 @@ def ann_index_search(
         lambda acc, v: acc + v,
     )
     vec_scan = spark.read.parquet(f"{path}/{_VEC_DIR}")
-    if meta["vec_buckets"] and queries.count() * shortlist <= _MAX_PUSHED_IDS:
-        # the shortlist is driver-bounded (|queries|·shortlist — the
-        # broadcast-size argument) so collect it and PUSH the ids into
-        # the refine scan: partition filter on _vbucket + parquet
-        # predicate on _id, instead of streaming the whole cold tier
-        # through the join (VERDICT r8 #1). The _MAX_PUSHED_IDS gate
-        # keeps the collect itself from becoming the scale risk (one
-        # cheap count of the small queries input decides BEFORE any
-        # heavy work; past the bound the streaming join below is the
-        # right plan anyway)
-        pairs = cand.withColumn(
+    if meta["vec_buckets"] and prune:
+        # materialize the (bounded) shortlist ONCE: localCheckpoint
+        # executes the codes-tier scoring query here and pins its rows
+        # executor-side, so the prune decision, the bucket whitelist
+        # and the re-rank join all read the checkpoint instead of
+        # re-running the scan+join+window — and nothing row-sized moves
+        # through py4j (r10, VERDICT r9 #1). Deciding on the
+        # MATERIALIZED candidate count (not queries.count() × shortlist)
+        # also makes the gate agree with the rows the join will see
+        # even under a nondeterministic queries lineage (ADVICE r9).
+        cand = cand.withColumn(
             "_vb", _vbucket(F.col("neighbor_id"), meta["vec_buckets"])
-        ).collect()
-        if not pairs:
+        ).localCheckpoint(eager=False)
+        # ONE stats job: materializes the checkpoint AND returns the
+        # bucket histogram (≤ vec_buckets rows) — the prune decision,
+        # the whitelist and the candidate count all come out of it
+        hist = cand.groupBy("_vb").count().collect()
+        n_cand = sum(r["count"] for r in hist)
+        if n_cand == 0:
             from pyspark.sql.types import (
                 DoubleType,
                 IntegerType,
@@ -652,21 +702,28 @@ def ann_index_search(
             )
 
             empty = StructType(
-                list(cand.schema.fields)
+                [f for f in cand.schema.fields if f.name != "_vb"]
                 + [
                     StructField("dist", DoubleType()),
                     StructField("rk", IntegerType(), False),
                 ]
             )
             return spark.createDataFrame([], empty)
-        ids = sorted({r.neighbor_id for r in pairs})
-        buckets = sorted({r._vb for r in pairs})
-        vec_scan = vec_scan.filter(
-            F.col("_vbucket").isin(buckets) & F.col("_id").isin(ids)
-        )
-        cand = spark.createDataFrame(
-            [(r.query_id, r.neighbor_id) for r in pairs], cand.schema
-        )
+        buckets = sorted(r._vb for r in hist)
+        if n_cand <= _MAX_PUSHED_IDS:
+            # true point lookup (few queries): also push the ids — the
+            # id-sorted files make the In predicate a row-group skip
+            ids = sorted(
+                r.neighbor_id
+                for r in cand.select("neighbor_id").distinct().collect()
+            )
+            vec_scan = vec_scan.filter(
+                F.col("_vbucket").isin(buckets) & F.col("_id").isin(ids)
+            )
+        else:
+            # larger shortlists: directory-level pruning only
+            vec_scan = vec_scan.filter(F.col("_vbucket").isin(buckets))
+        cand = cand.drop("_vb")
     reranked = (
         vec_scan.select(F.col("_id").alias("neighbor_id"), "_v")
         .join(F.broadcast(cand), "neighbor_id")

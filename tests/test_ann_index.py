@@ -3,6 +3,7 @@ retraining."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
     ann_index_append,
@@ -426,12 +427,14 @@ def test_rebuild_upgrades_legacy_refine_tier(spark, tmp_path):
     assert ann_index_search(q, new, k=3, n_probe=4, shortlist=20).count() == 3
 
 
-def test_pushed_ids_gate_falls_back_to_join(spark, tmp_path, monkeypatch):
-    """The pruned refine scan is a point-lookup optimization gated on
-    |queries|·shortlist ≤ _MAX_PUSHED_IDS (r9): past the bound the
-    driver-side candidate collect would itself be the O(n) scale risk,
-    so search must fall back to the streaming broadcast join — same
-    results, no pushed-id predicate in the plan."""
+def test_pushed_ids_gate_switches_to_bucket_whitelist(spark, tmp_path,
+                                                      monkeypatch):
+    """The full id push is gated on the MATERIALIZED candidate count ≤
+    _MAX_PUSHED_IDS (r10, VERDICT r9 #1): past the bound the per-id
+    driver traffic (collect + In-predicate compile) costs more than it
+    saves, so search prunes with the distinct-_vbucket whitelist only
+    and keeps the broadcast id-join — same results, a _vbucket
+    PartitionFilter still in the plan, but no pushed-id predicate."""
     import re
 
     from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
@@ -442,13 +445,155 @@ def test_pushed_ids_gate_falls_back_to_join(spark, tmp_path, monkeypatch):
                     n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
     q = corpus.filter("vec_id < 3")
     pruned = ann_index_search(q, path, k=3, n_probe=4, shortlist=10).collect()
-    monkeypatch.setattr(ann_index, "_MAX_PUSHED_IDS", 5)  # 3·10 > 5
+    monkeypatch.setattr(ann_index, "_MAX_PUSHED_IDS", 5)  # candidates > 5
     df = ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert not any("In(_id" in p for p in pushed), plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("_vbucket" in p and "IN" in p.upper() for p in pfs), (
+        "bucket-whitelist path lost the _vbucket PartitionFilter:\n" + plan
+    )
     key = lambda rows: [(r.query_id, r.neighbor_id, round(r.dist, 9), r.rk)  # noqa: E731
                         for r in rows]
     assert key(df.collect()) == key(pruned)
+
+
+def test_prune_false_is_lazy_streaming_join(spark, tmp_path):
+    """``prune=False`` (r10): the composition-friendly escape hatch —
+    no synchronous job at construction time (the pruned path
+    localCheckpoints the shortlist eagerly), same results through the
+    streaming broadcast join, no partition pruning in the plan."""
+    import re
+
+    corpus, _ = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    q = corpus.filter("vec_id < 3")
+    pruned = ann_index_search(q, path, k=3, n_probe=4, shortlist=10).collect()
+
+    def jobs_during(fn):
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(set(tracker.getJobIdsForGroup(None)) - before)
+
+    # both constructions pay the meta read; only prune=True additionally
+    # materializes the shortlist (checkpoint + count [+ collect]) —
+    # prune=False must run strictly fewer jobs at construction time
+    _, eager_jobs = jobs_during(
+        lambda: ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    )
+    df, lazy_jobs = jobs_during(
+        lambda: ann_index_search(
+            q, path, k=3, n_probe=4, shortlist=10, prune=False
+        )
+    )
+    assert lazy_jobs < eager_jobs, (lazy_jobs, eager_jobs)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert not any("_vbucket" in p and "IN" in p.upper() for p in pfs), plan
+    key = lambda rows: [(r.query_id, r.neighbor_id, round(r.dist, 9), r.rk)  # noqa: E731
+                        for r in rows]
+    assert key(df.collect()) == key(pruned)
+
+
+def test_rebuild_collapses_duplicate_ids(spark, tmp_path):
+    """Ids are caller-owned unique, but an at-least-once redelivery
+    under a FRESH batch_id re-ingests the same ids (the batch_id guard
+    cannot catch it). Rebuild must not cross-product the vecs ⋈ codes
+    join on the duplicated id (ADVICE r9) — it collapses to ONE row per
+    id with the EARLIEST batch's lineage."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_rebuild,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    dup = spark.createDataFrame([(7, rows[7][1]), (2000, rows[3][1])],
+                                "vec_id long, embedding array<double>")
+    # id 7 already in "base" — redelivered under a fresh batch_id
+    ann_index_append(dup, "vec_id", "embedding", path, batch_id="redeliver")
+
+    new = str(tmp_path / "ann_v2")
+    ann_index_rebuild(spark, path, new)
+    codes = spark.read.parquet(new)
+    per_id = {r._id: r.n for r in
+              codes.groupBy("_id").agg(F.count("*").alias("n")).collect()}
+    assert per_id[7] == 1 and per_id[2000] == 1
+    # earliest batch wins the lineage
+    assert codes.filter("_id = 7").first()._batch == "base"
+    vecs = spark.read.parquet(f"{new}/_graft_vectors")
+    assert vecs.filter("_id = 7").count() == 1
+    # marker n_rows reflect the collapsed corpus (61 unique ids)
+    marks = {r.batch_id: int(r.n_rows)
+             for r in spark.read.json(f"{new}/_graft_batches").collect()}
+    assert marks == {"base": 60, "redeliver": 1}
+    assert ann_index_search(corpus.filter("vec_id = 0"), new, k=3,
+                            n_probe=4, shortlist=20).count() == 3
+
+
+def test_ann_delete_is_localized_untouched_dirs_byte_identical(spark, tmp_path):
+    """VERDICT r9 #3: the docstring claim made true — after an
+    ann_index_delete, every cell=/ _vbucket= directory the deleted ids
+    do NOT live in keeps its exact files (size + mtime pinned); the
+    affected directories are rewritten."""
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _vbucket,
+        ann_index_delete,
+    )
+
+    def snapshot(root):
+        snap = {}
+        for r, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return snap
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    victim = 5
+    hit_cell = int(spark.read.parquet(path)
+                   .filter(F.col("_id") == victim).first().cell)
+    hit_vb = int(spark.range(1).select(
+        _vbucket(F.lit(victim).cast("long"), 8).alias("vb")).first().vb)
+    pre = snapshot(path)
+    assert ann_index_delete(spark, path, [victim]) == 1
+    post = snapshot(path)
+
+    def owner(rel):
+        top = rel.split(os.sep)[0]
+        if top.startswith("cell="):
+            return ("cell", int(top.split("=", 1)[1]))
+        if top == "_graft_vectors":
+            parts = rel.split(os.sep)
+            if len(parts) > 1 and parts[1].startswith("_vbucket="):
+                return ("vb", int(parts[1].split("=", 1)[1]))
+        return None
+
+    touched = {("cell", hit_cell), ("vb", hit_vb)}
+    for rel, stat in pre.items():
+        o = owner(rel)
+        if o is not None and o not in touched:
+            assert post.get(rel) == stat, f"untouched file rewritten: {rel}"
+    # the affected dirs were really rewritten
+    for o in touched:
+        old_files = {r for r in pre if owner(r) == o}
+        assert old_files and all(post.get(r) != pre[r] for r in old_files), o
+    # and the victim is gone from search
+    got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
+                           n_probe=4, shortlist=30).collect()
+    assert all(r.neighbor_id != victim for r in got)

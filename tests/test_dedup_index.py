@@ -78,6 +78,7 @@ def test_incremental_pairs_tile_the_whole_corpus(spark, tmp_path):
     assert minhash_index_batches(spark, path) == ["b0", "b1"]
     assert minhash_index_meta(spark, path) == {
         "num_hashes": 32, "bands": 4, "shingle_n": 3, "seed": 42,
+        "bgroups": 16,
     }
 
 
@@ -313,9 +314,10 @@ def test_crashed_append_is_contained(spark, tmp_path):
     banded_minhash_signatures(
         new, "doc_id", "text", meta["num_hashes"], meta["bands"],
         meta["shingle_n"], meta["seed"],
-    ).withColumn("_batch", F.lit("b1_crashed")).write.mode(
-        "append"
-    ).partitionBy("band_idx").parquet(path)
+    ).withColumn("_batch", F.lit("b1_crashed")).withColumn(
+        "_bgroup",
+        F.pmod(F.col("band_hash"), F.lit(meta["bgroups"])).cast("int"),
+    ).write.mode("append").partitionBy("band_idx", "_bgroup").parquet(path)
     # unmarked batch_id: loud, not silently-empty
     with pytest.raises(ValueError, match="not a MARKED batch"):
         minhash_index_pairs_vs_batch(spark, path, "b1_crashed")
@@ -378,3 +380,150 @@ def test_compact_bucketed_table(spark, tmp_path):
     finally:
         drop_minhash_table(spark, tbl)
         spark.sql("DROP TABLE IF EXISTS t_mh_compact_compacting")
+
+
+def _dir_snapshot(root):
+    """(relpath -> (size, mtime_ns)) for every file under root."""
+    import os
+
+    snap = {}
+    for r, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_delete_is_localized_untouched_dirs_byte_identical(spark, tmp_path):
+    """VERDICT r9 #2/#3: the r10 _bgroup layout makes minhash deletes
+    LOCALIZED — only the band_idx=*/_bgroup=* directories the deleted
+    ids hash into are rewritten; every other partition directory keeps
+    its exact files (size + mtime pinned), and pair results match a
+    from-scratch index built without the deleted docs."""
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        banded_minhash_signatures,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    meta = minhash_index_meta(spark, path)
+    # which dirs SHOULD the delete touch? the deleted id's band rows
+    hit = {
+        (int(r.band_idx), int(r.band_hash) % meta["bgroups"])
+        for r in banded_minhash_signatures(
+            new.filter("doc_id = 104"), "doc_id", "text",
+            meta["num_hashes"], meta["bands"], meta["shingle_n"],
+            meta["seed"],
+        ).collect()
+    }
+    pre = _dir_snapshot(path)
+    assert minhash_index_delete(spark, path, [104]) > 0
+    post = _dir_snapshot(path)
+    touched_rels = {f"band_idx={bi}/_bgroup={bg}" for bi, bg in hit}
+
+    def owner(rel):
+        parts = rel.split(os.sep)
+        return "/".join(parts[:2]) if parts[0].startswith("band_idx=") else None
+
+    for rel, stat in pre.items():
+        o = owner(rel)
+        if o is not None and o not in touched_rels:
+            assert post.get(rel) == stat, f"untouched file rewritten: {rel}"
+    # every touched dir was actually rewritten (or emptied)
+    for rel in touched_rels:
+        old_files = {r for r in pre if owner(r) == rel}
+        assert all(post.get(r) != pre[r] for r in old_files), rel
+    # counts sidecar rewritten but consistent: pairs for b1 still exact
+    got = {(r.id_a, r.id_b) for r in
+           minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert (102, 103) in got and all(104 not in p for p in got)
+
+
+def test_legacy_flat_index_delete_falls_back_to_full_rewrite(spark, tmp_path):
+    """A pre-r10 index (bgroups=None → flat band_idx layout) still
+    deletes correctly through the full staging rewrite, and its meta
+    keeps reading bgroups=None (appends never secretly migrate the
+    layout)."""
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0",
+                         bgroups=None)
+    assert minhash_index_meta(spark, path)["bgroups"] is None
+    # flat layout on disk: band_idx dirs with files directly inside
+    band_dirs = [d for d in os.listdir(path) if d.startswith("band_idx=")]
+    assert band_dirs
+    assert not any(
+        sub.startswith("_bgroup=")
+        for d in band_dirs
+        for sub in os.listdir(os.path.join(path, d))
+    )
+    # appends follow the pinned flat layout
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    assert minhash_index_meta(spark, path)["bgroups"] is None
+    assert minhash_index_delete(spark, path, [104]) > 0
+    got = {(r.id_a, r.id_b) for r in
+           minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+    assert (1, 101) in got and all(104 not in p for p in got)
+
+
+def test_relayout_migrates_flat_index_to_localized_deletes(spark, tmp_path):
+    """minhash_index_relayout (r10): the pre-r10 migration path — a flat
+    index re-partitions into band_idx/_bgroup at a fresh path with NO
+    retraining (stored signatures move verbatim), markers + counts
+    carried (redelivery rejected, guard still metadata-complete), pair
+    results identical, and the migrated index deletes LOCALIZED."""
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+        minhash_index_relayout,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "flat")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0",
+                         bgroups=None)
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    before = {(r.id_a, r.id_b) for r in
+              minhash_index_pairs_vs_batch(spark, path, "b1").collect()}
+
+    migrated = str(tmp_path / "grouped")
+    minhash_index_relayout(spark, path, migrated, bgroups=8)
+    assert minhash_index_meta(spark, migrated)["bgroups"] == 8
+    assert any(
+        sub.startswith("_bgroup=")
+        for d in os.listdir(migrated) if d.startswith("band_idx=")
+        for sub in os.listdir(os.path.join(migrated, d))
+    )
+    after = {(r.id_a, r.id_b) for r in
+             minhash_index_pairs_vs_batch(spark, migrated, "b1").collect()}
+    assert after == before and (1, 101) in after
+    assert minhash_index_batches(spark, migrated) == ["b0", "b1"]
+    with pytest.raises(ValueError, match="already appended"):
+        minhash_index_append(new, "doc_id", "text", migrated, batch_id="b1")
+    # localized delete works on the migrated layout
+    pre = _dir_snapshot(migrated)
+    assert minhash_index_delete(spark, migrated, [104]) > 0
+    post = _dir_snapshot(migrated)
+    assert any(post.get(r) == s for r, s in pre.items()
+               if r.startswith("band_idx="))  # some dirs untouched
+    got = {(r.id_a, r.id_b) for r in
+           minhash_index_pairs_vs_batch(spark, migrated, "b1").collect()}
+    assert (102, 103) in got and all(104 not in p for p in got)
+    # a non-empty target is refused
+    with pytest.raises(ValueError, match="FRESH path"):
+        minhash_index_relayout(spark, path, migrated)
