@@ -100,6 +100,20 @@ _VEC_DIR = "_graft_vectors"
 # directory-level pruning with zero driver-side id traffic.
 _MAX_PUSHED_IDS = 4_096
 
+# Corpus size below which prune="auto" skips the pruned refine read and
+# keeps the single-job streaming broadcast join (r10). Pruning is a
+# COST-BASED plan choice, decided from marker metadata like a CBO
+# statistic: the pruned path pays ~2 fixed jobs (checkpoint + stats)
+# to avoid streaming the cold tier, so it only wins once the tier is
+# big — measured (quiet host, median of 3): 20k vectors join 2.3 s vs
+# pruned 3.2 s; 200k join 2.96 s vs pruned 5.18 s (probe); 2M join
+# 9.64 s vs pruned 10.09 s — PARITY, which is why the bound sits here:
+# the pruned path's cost is fixed while the join streams the ~512 B/
+# vector tier linearly, so past 2M rows pruning only gains. Explicit
+# prune=True/False overrides (the plan-pin tests and the scale probe
+# force the shapes).
+_PRUNE_MIN_ROWS = 2_000_000
+
 
 def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
     """Read params + trained models, or None if no index at ``path``."""
@@ -456,9 +470,9 @@ def ann_index_rebuild(
     )
     meta["centroids"] = centroids
     meta["codebooks"] = codebooks
-    _encode_with_models(corpus, "_id", "_v", meta, batch_id=None).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(new_path)
+    _encode_with_models(corpus, "_id", "_v", meta, batch_id=None).repartition(
+        F.col("cell")
+    ).write.mode("append").partitionBy("cell").parquet(new_path)
     _write_vec_tier(vecs, new_path, meta)
     # markers carried over; n_rows recomputed from the surviving corpus
     survivors = {
@@ -521,9 +535,13 @@ def _write_batch(
     seq: int,
 ) -> None:
     spark = df.sparkSession
-    _encode_with_models(df, id_col, vec_col, meta, batch_id).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(path)
+    # repartition ON the partition column: one file per cell dir per
+    # append (the dedup_index r10 file-hygiene rule — a naive
+    # partitionBy write opens tasks × n_cells writers; encode keeps the
+    # input's parallelism map-side, only the write is cell-grouped)
+    _encode_with_models(df, id_col, vec_col, meta, batch_id).repartition(
+        F.col("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path)
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -545,7 +563,7 @@ def ann_index_search(
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
     probe_cells: list[int] | None = None,
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
     ivf_pq_topk plan over stored codes and pinned models: per-query ADC
@@ -581,11 +599,18 @@ def ann_index_search(
       matching — zero per-id driver traffic at any candidate mass.
 
     Either way the cold tier is never streamed end-to-end for a point
-    lookup. Pre-r9 indexes (no ``vec_buckets`` in meta) keep the old
-    broadcast-join-over-full-scan shape, which is also the fully-LAZY
-    form: pass ``prune=False`` to get it on a bucketed index when the
-    caller composes the result lazily (e.g. a union of searches) and
-    must not pay a synchronous job at construction time.
+    lookup — on a BIG index. ``prune`` is a COST-BASED plan choice
+    (default "auto"): the pruned path pays ~2 fixed jobs (checkpoint +
+    stats) to avoid streaming the tier, so below ``_PRUNE_MIN_ROWS``
+    (marker metadata — no counting job) the single-job streaming
+    broadcast join is simply faster and "auto" keeps it (measured:
+    2.96 s vs 5.18 s at 200k vectors). ``prune=True`` forces the
+    pruned scan (the plan-pin tests and the scale probe);
+    ``prune=False`` forces the streaming join, which is also the
+    fully-LAZY form — no synchronous job at construction time, for
+    callers composing the result lazily (e.g. a union of searches).
+    Pre-r9 indexes (no ``vec_buckets`` in meta) always use the
+    streaming join.
 
     ``probe_cells``: optional driver-known cell whitelist; when given,
     the codes scan is FILTERED on the partition column first, so only
@@ -604,15 +629,31 @@ def ann_index_search(
     meta = ann_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"ann_index_search: no index at {path}")
+    n_idx = (
+        _index_size_from_markers(spark, path)
+        if (
+            shortlist == "auto"
+            or (prune == "auto" and meta["vec_buckets"] and shortlist is not None)
+        )
+        else None
+    )
     if shortlist == "auto":
         from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
             ann_shortlist,
         )
 
-        n = _index_size_from_markers(spark, path)
+        n = n_idx
         if n is None:  # pre-r9 markers lack n_rows: one columnar count
             n = spark.read.parquet(path).count()
         shortlist = ann_shortlist(n)
+    if prune == "auto":
+        # cost-based, from marker metadata (the CBO-statistic move): the
+        # pruned read pays ~2 fixed jobs, so only prune once the cold
+        # tier is big enough that streaming it costs more (a delete can
+        # shrink the corpus below the marker sum — that only delays the
+        # crossover, never breaks correctness). Unknown size (pre-r9
+        # markers) → prune: the unknown case is the big-index case.
+        prune = n_idx is None or n_idx >= _PRUNE_MIN_ROWS
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     coded = spark.read.parquet(path).select(
@@ -862,7 +903,9 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
         path,
         "cell",
         cells,
-        lambda staging: keep_codes.write.partitionBy("cell").parquet(staging),
+        lambda staging: keep_codes.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(staging),
     )
     # refine tier: post-r9 layout prunes to the affected _vbucket dirs;
     # a legacy unpartitioned tier falls back to a full sidecar rewrite
@@ -886,7 +929,8 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
             vec_dir,
             "_vbucket",
             vb,
-            lambda staging: keep_vecs.sortWithinPartitions("_vbucket", "_id")
+            lambda staging: keep_vecs.repartition(F.col("_vbucket"))
+            .sortWithinPartitions("_vbucket", "_id")
             .write.partitionBy("_vbucket")
             .parquet(staging),
         )

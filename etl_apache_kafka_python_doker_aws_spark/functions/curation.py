@@ -130,9 +130,13 @@ def cluster_stats(
     # row's OWN centroid: 1×dim work per row. The earlier form built an
     # array of k per-centroid distance aggregates and element_at-picked
     # one — k×dim multiply-adds per row to keep a single value.
-    centroid_matrix = F.array(
-        *[F.array(*[F.lit(float(c)) for c in center]) for center in centers]
+    # one-py4j-call nested literal (r10, similarity._model_lit): the
+    # per-scalar F.lit form built k × dim Columns of driver time per call
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        _model_lit,
     )
+
+    centroid_matrix = _model_lit([list(map(float, c)) for c in centers])
     own_center = F.element_at(centroid_matrix, F.col("cluster_id") + 1)
     sq_dist = F.aggregate(
         F.zip_with(

@@ -303,6 +303,16 @@ def minhash_index_append(
             "_bgroup", F.pmod(F.col("band_hash"), F.lit(int(g))).cast("int")
         )
         part_cols.append("_bgroup")
+        # repartition ON the partition columns so each directory is
+        # written by exactly one task → ONE file per dir per append
+        # (r10): a naive partitionBy write opens tasks × bands × bgroups
+        # writers — measured 6,185 files after three appends at the
+        # 1M-doc probe, and the per-batch pairs query paid it in listing
+        # + footer reads (12.7 s vs 2.0 s on the flat layout). Hash
+        # distribution keeps parallelism = min(shuffle.partitions,
+        # bands × bgroups), which also holds on a cluster (size bgroups
+        # so bands × bgroups ≳ shuffle parallelism there).
+        banded = banded.repartition(F.col("band_idx"), F.col("_bgroup"))
     banded.persist()
     try:
         banded.write.mode("append").partitionBy(*part_cols).parquet(path)
@@ -756,8 +766,9 @@ def minhash_index_delete(
     cap already allows), never re-open the m² blowup.
 
     A pre-r10 index (no ``bgroups`` in meta) falls back to the full
-    staging rewrite + atomic swap of the whole index — migrate by
-    rebuilding into a fresh path with ``bgroups`` set. Returns the
+    staging rewrite + atomic swap of the whole index — migrate with
+    ``minhash_index_relayout`` (a pure re-layout: signatures are
+    stored, nothing retrains). Returns the
     number of band rows removed. Batch deletes together: cost scales
     with affected directories, and one call per id still pays a scan
     each."""
@@ -838,9 +849,9 @@ def _minhash_delete_localized(
         path,
         "band_idx",
         rels,
-        lambda staging: keep.write.partitionBy("band_idx", "_bgroup").parquet(
-            staging
-        ),
+        lambda staging: keep.repartition(F.col("band_idx"), F.col("_bgroup"))
+        .write.partitionBy("band_idx", "_bgroup")
+        .parquet(staging),
     )
     # counts sidecar: sidecar-proportional rewrite (70× smaller than the
     # index) — drop the affected buckets' rows, append recomputed
@@ -911,7 +922,9 @@ def minhash_index_relayout(
     rows = spark.read.parquet(path).drop("_bgroup")
     rows.withColumn(
         "_bgroup", F.pmod(F.col("band_hash"), F.lit(g)).cast("int")
-    ).write.mode("append").partitionBy("band_idx", "_bgroup").parquet(new_path)
+    ).repartition(F.col("band_idx"), F.col("_bgroup")).write.mode(
+        "append"
+    ).partitionBy("band_idx", "_bgroup").parquet(new_path)
     spark.read.parquet(f"{path}/{_COUNTS_DIR}").write.mode("append").parquet(
         f"{new_path}/{_COUNTS_DIR}"
     )

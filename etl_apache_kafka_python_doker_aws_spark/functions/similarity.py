@@ -106,12 +106,15 @@ def lsh_signature(vec: Column, planes: list[list[float]], band_bits: int = 4) ->
         # hash (131071) would alias into the next band's range and join
         # unrelated vectors as candidates
         raise ValueError(f"band_bits must be in [1, 16], got {band_bits}")
+    # one _model_lit per plane (r10): the per-scalar F.lit form built
+    # n_planes × dim py4j Columns per call — seconds of driver time at
+    # 128 planes × 64 dims
     bits = [
         (
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
+                    _model_lit(plane),
                     lambda x, wgt: x.cast("double") * wgt,
                 ),
                 F.lit(0.0),

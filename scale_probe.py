@@ -288,8 +288,12 @@ def main() -> None:
             vec_buckets=vb,
         )
         ann_times[f"{tag}_build_sec"] = round(time.time() - t0, 1)
+        # prune forced per leg (r10): prune="auto" would pick the join
+        # for BOTH at probe scale (200k < _PRUNE_MIN_ROWS) and the A/B
+        # would silently time the same plan twice
         search = lambda: ann_index_search(  # noqa: E731
-            ann_q, apath, k=5, n_probe=8, shortlist=1000
+            ann_q, apath, k=5, n_probe=8, shortlist=1000,
+            prune=(tag == "pruned"),
         ).write.mode("overwrite").format("noop").save()
         search()  # warm
         runs = []

@@ -218,7 +218,7 @@ def test_refine_scan_is_pruned(spark, tmp_path):
     ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
                     n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
     df = ann_index_search(corpus.filter("vec_id = 0"), path, k=3,
-                          n_probe=2, shortlist=10)
+                          n_probe=2, shortlist=10, prune=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = df._jdf.queryExecution().explainString(mode)
@@ -444,9 +444,10 @@ def test_pushed_ids_gate_switches_to_bucket_whitelist(spark, tmp_path,
     ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
                     n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
     q = corpus.filter("vec_id < 3")
-    pruned = ann_index_search(q, path, k=3, n_probe=4, shortlist=10).collect()
+    pruned = ann_index_search(q, path, k=3, n_probe=4, shortlist=10,
+                              prune=True).collect()
     monkeypatch.setattr(ann_index, "_MAX_PUSHED_IDS", 5)  # candidates > 5
-    df = ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    df = ann_index_search(q, path, k=3, n_probe=4, shortlist=10, prune=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = df._jdf.queryExecution().explainString(mode)
@@ -485,7 +486,8 @@ def test_prune_false_is_lazy_streaming_join(spark, tmp_path):
     # materializes the shortlist (checkpoint + count [+ collect]) —
     # prune=False must run strictly fewer jobs at construction time
     _, eager_jobs = jobs_during(
-        lambda: ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+        lambda: ann_index_search(q, path, k=3, n_probe=4, shortlist=10,
+                                 prune=True)
     )
     df, lazy_jobs = jobs_during(
         lambda: ann_index_search(
@@ -597,3 +599,36 @@ def test_ann_delete_is_localized_untouched_dirs_byte_identical(spark, tmp_path):
     got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
                            n_probe=4, shortlist=30).collect()
     assert all(r.neighbor_id != victim for r in got)
+
+
+def test_prune_auto_is_size_gated(spark, tmp_path, monkeypatch):
+    """prune="auto" (r10) is a cost-based plan choice from marker
+    metadata: below _PRUNE_MIN_ROWS the single-job streaming join is
+    faster than the 2-extra-jobs pruned read, so a small index gets NO
+    _vbucket PartitionFilter; shrink the threshold and the same call
+    prunes. Results identical either way."""
+    import re
+
+    from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
+
+    corpus, _ = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    q = corpus.filter("vec_id < 3")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+
+    def has_vb_filter(df):
+        plan = df._jdf.queryExecution().explainString(mode)
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return any("_vbucket" in p and "IN" in p.upper() for p in pfs)
+
+    small = ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    assert not has_vb_filter(small), "60-row index should stream, not prune"
+    monkeypatch.setattr(ann_index, "_PRUNE_MIN_ROWS", 1)
+    big = ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    assert has_vb_filter(big), "past the size gate the scan must prune"
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, round(r.dist, 9), r.rk) for r in rows)
+    assert key(small.collect()) == key(big.collect())
