@@ -735,6 +735,81 @@ def minhash_table_dedup_batch(
     )
 
 
+def minhash_table_delete(spark: SparkSession, table: str, ids) -> int:
+    """Delete documents from the BUCKETED band index table — retraction
+    for the zero-Exchange tier (r10: the path tier got localized
+    deletes; the table tier had none at all). ``ids`` is a Python list
+    or a DataFrame whose FIRST column holds the ids.
+
+    Full CTAS rewrite with the PINNED bucket spec (the
+    compact_bucketed_table machinery: repartition on the bucket
+    columns so co-location — the tier's whole point — survives), then
+    a counts-table rewrite recomputed from the survivors per
+    (band_idx, band_hash, _batch) plus the zero-count sentinels.
+    Markers and meta are untouched: a fully-deleted batch still
+    rejects redelivery. This is corpus-proportional BY CONSTRUCTION —
+    bucket membership lives in file NAMES, not partition directories,
+    so there is nothing to localize; that is the tier's trade (no
+    join shuffle per snapshot ↔ no delete locality). Retraction-heavy
+    deployments should use the path-backed index, whose r10 layout
+    deletes localized. The DROP→RENAME swap windows are per-statement
+    catalog-atomic, not atomic across the pair — run in a maintenance
+    window. Returns the number of band rows removed."""
+    meta = minhash_table_meta(spark, table)
+    if meta is None:
+        raise ValueError(f"minhash_table_delete: no index table {table}")
+    full = spark.table(table)
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        gone = ids.select(F.col(key).alias("_id")).distinct()
+        survivors = full.join(gone, "_id", "left_anti")
+    else:
+        survivors = full.filter(~F.col("_id").isin(list(ids)))
+    before = full.count()
+    after = survivors.count()
+    if after == before:
+        return 0
+    if after == 0:
+        raise ValueError(
+            f"minhash_table_delete: deleting these ids would EMPTY the "
+            f"index table {table} — drop it (drop_minhash_table) instead"
+        )
+    buckets = meta["buckets"]
+    counts = (
+        survivors.groupBy("band_idx", "band_hash", "_batch")
+        .agg(F.count("*").alias("cnt"))
+        .select("band_idx", "band_hash", "cnt", "_batch")
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0, 0, b) for b in minhash_table_batches(spark, table)],
+                "band_idx int, band_hash long, cnt long, _batch string",
+            )
+        )
+    )
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        # stage BOTH rewrites before any swap: the counts CTAS reads the
+        # ORIGINAL data table (survivors lineage), so dropping it first
+        # would compute counts against a dead relation
+        targets = ((table, survivors), (f"{table}_counts", counts))
+        for name, df in targets:
+            tmp = f"{name}_deleting"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            df.repartition(
+                buckets, F.col("band_idx"), F.col("band_hash")
+            ).write.bucketBy(buckets, "band_idx", "band_hash").format(
+                "parquet"
+            ).saveAsTable(tmp)
+        for name, _ in targets:
+            spark.sql(f"DROP TABLE {name}")
+            spark.sql(f"ALTER TABLE {name}_deleting RENAME TO {name}")
+    finally:
+        spark.conf.set(auto_key, old_auto)
+    return before - after
+
+
 def minhash_index_delete(
     spark: SparkSession,
     path: str,

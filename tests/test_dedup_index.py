@@ -527,3 +527,63 @@ def test_relayout_migrates_flat_index_to_localized_deletes(spark, tmp_path):
     # a non-empty target is refused
     with pytest.raises(ValueError, match="FRESH path"):
         minhash_index_relayout(spark, path, migrated)
+
+
+def test_table_delete_removes_pairs_keeps_colocation(spark, tmp_path):
+    """minhash_table_delete (r10): the bucketed tier's retraction —
+    deleted docs vanish from pairs, markers keep rejecting redelivery,
+    guard counts recomputed, deleting everything refused, and the
+    zero-Exchange band join still plans after the CTAS swap
+    (co-location survived)."""
+    import re
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_delete"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        assert (1, 101) in {(r.id_a, r.id_b) for r in
+                            minhash_table_pairs_vs_batch(spark, tbl, "b1")
+                            .collect()}
+        assert minhash_table_delete(spark, tbl, [101]) > 0
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p for p in got) and (102, 103) in got
+        # no-op delete returns 0
+        assert minhash_table_delete(spark, tbl, [999999]) == 0
+        # co-location: no band-key shuffle after the CTAS swap, and the
+        # scan is still bucketed (the r8 zero-Exchange pin's assertions)
+        plan = (
+            minhash_table_pairs_vs_batch(spark, tbl, "b1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        exchanges = re.findall(
+            r"Exchange (?:hash|range)partitioning\(([^)]*)\)", plan
+        )
+        assert not [e for e in exchanges if "band_" in e], exchanges
+        assert "SelectedBucketsCount" in plan, "bucketed scan not used"
+        # markers survive: redelivery still rejected after delete
+        with pytest.raises(ValueError, match="already appended"):
+            minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                                 buckets=4)
+        # deleting everything is refused with the table intact
+        with pytest.raises(ValueError, match="EMPTY"):
+            minhash_table_delete(
+                spark, tbl,
+                [r.doc_id for r in base.collect()] + [101, 102, 103, 104],
+            )
+        assert spark.table(tbl).count() > 0
+    finally:
+        drop_minhash_table(spark, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_deleting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_counts_deleting")
