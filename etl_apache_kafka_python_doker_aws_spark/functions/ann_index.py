@@ -315,7 +315,7 @@ def ann_index_build(
         # already reads an ABSENT field as None (the legacy-layout
         # signal) — vec_buckets=None builds the flat refine tier
         meta["vec_buckets"] = vec_buckets
-    _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0)
+    _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0, wide=True)
     # meta LAST: its presence is the build's commit marker — search and
     # retry-build treat meta-less leftovers as a failed build, loudly
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
@@ -438,14 +438,18 @@ def ann_index_rebuild(
     # where that slip COMPOUNDS: the vecs ⋈ codes join on _id would
     # cross-product m×n rows per duplicated id into the new index
     # (ADVICE r9). Collapse both sides to one row per id instead —
-    # one surviving vector (duplicates are the same id, so re-indexing
-    # any one of them is the defined repair) and the EARLIEST batch's
-    # lineage (min _batch: deterministic, and keeps the marker counts
-    # stable across re-runs).
+    # min("_v") picks the lexicographically-least vector, which is
+    # DETERMINISTIC across re-evaluations (review r10: dropDuplicates'
+    # survivor is task-order dependent, and this frame is evaluated
+    # independently by the training passes, the codes encode and the
+    # refine write — a nondeterministic pick could store DIFFERENT
+    # vectors for the same id in the two tiers) — and the EARLIEST
+    # batch's lineage (min _batch, same determinism argument).
     vecs = (
         spark.read.parquet(f"{path}/{_VEC_DIR}")
         .select("_id", "_v")
-        .dropDuplicates(["_id"])
+        .groupBy("_id")
+        .agg(F.min("_v").alias("_v"))
     )
     corpus = vecs.join(
         spark.read.parquet(path)
@@ -470,10 +474,13 @@ def ann_index_rebuild(
     )
     meta["centroids"] = centroids
     meta["codebooks"] = codebooks
-    _encode_with_models(corpus, "_id", "_v", meta, batch_id=None).repartition(
-        F.col("cell")
+    _write_split(
+        _encode_with_models(corpus, "_id", "_v", meta, batch_id=None),
+        "cell",
+        meta["n_cells"],
+        wide=True,
     ).write.mode("append").partitionBy("cell").parquet(new_path)
-    _write_vec_tier(vecs, new_path, meta)
+    _write_vec_tier(vecs, new_path, meta, wide=True)
     # markers carried over; n_rows recomputed from the surviving corpus
     survivors = {
         r._batch: r.n for r in
@@ -506,7 +513,31 @@ def _vbucket(id_col: "F.Column", vec_buckets: int) -> "F.Column":
     return F.pmod(F.xxhash64(id_col), F.lit(vec_buckets)).cast("int")
 
 
-def _write_vec_tier(vecs: DataFrame, path: str, meta: dict) -> None:
+def _write_split(df: DataFrame, group_col: str, n_groups: int, wide: bool):
+    """Repartition for a hive-partitioned write. ``wide=False`` (the
+    batch-sized append shape): repartition on the partition column —
+    each directory written by exactly one task, ONE file per dir per
+    append (the r10 file-hygiene rule). ``wide=True`` (corpus-sized
+    build/rebuild, review r10): one-task-per-group would funnel the
+    whole corpus through n_groups stragglers (the compact_small_files
+    '10 GB file written by a single straggler' failure), so add an
+    id-hash split key sized to the cluster's parallelism — up to
+    ceil(parallelism / n_groups) files per directory, full write
+    parallelism, and a one-time build writes few files either way."""
+    sc = df.sparkSession.sparkContext
+    s = (
+        max(1, sc.defaultParallelism // max(1, int(n_groups)))
+        if wide
+        else 1
+    )
+    if s == 1:
+        return df.repartition(F.col(group_col))
+    return df.repartition(
+        F.col(group_col), F.pmod(F.xxhash64(F.col("_id")), F.lit(s))
+    )
+
+
+def _write_vec_tier(vecs: DataFrame, path: str, meta: dict, wide: bool = False) -> None:
     """Append ``(_id, _v)`` rows to the refine tier. With
     ``vec_buckets`` pinned in meta: id-hash partitioning + id-sorted
     files (r9) — the search-side re-rank prunes this tier by
@@ -515,8 +546,10 @@ def _write_vec_tier(vecs: DataFrame, path: str, meta: dict) -> None:
     directories. Without it (pre-r9 index): flat parquet, readable by
     the unpruned fallback."""
     if meta.get("vec_buckets"):
-        vecs.withColumn("_vbucket", _vbucket(F.col("_id"), meta["vec_buckets"])) \
-            .repartition(F.col("_vbucket")) \
+        with_vb = vecs.withColumn(
+            "_vbucket", _vbucket(F.col("_id"), meta["vec_buckets"])
+        )
+        _write_split(with_vb, "_vbucket", meta["vec_buckets"], wide) \
             .sortWithinPartitions("_vbucket", "_id") \
             .write.mode("append").partitionBy("_vbucket").parquet(
                 f"{path}/{_VEC_DIR}"
@@ -533,20 +566,24 @@ def _write_batch(
     meta: dict,
     batch_id: str,
     seq: int,
+    wide: bool = False,
 ) -> None:
     spark = df.sparkSession
-    # repartition ON the partition column: one file per cell dir per
-    # append (the dedup_index r10 file-hygiene rule — a naive
-    # partitionBy write opens tasks × n_cells writers; encode keeps the
-    # input's parallelism map-side, only the write is cell-grouped)
-    _encode_with_models(df, id_col, vec_col, meta, batch_id).repartition(
-        F.col("cell")
+    # _write_split: one file per cell dir for batch-sized appends, an
+    # id-hash split key for the corpus-sized build (wide=True) so the
+    # write isn't funneled through n_cells straggler tasks; encode
+    # keeps the input's parallelism map-side either way
+    _write_split(
+        _encode_with_models(df, id_col, vec_col, meta, batch_id),
+        "cell",
+        meta["n_cells"],
+        wide,
     ).write.mode("append").partitionBy("cell").parquet(path)
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    _write_vec_tier(vecs, path, meta)
+    _write_vec_tier(vecs, path, meta, wide)
     n_rows = df.count()
     spark.createDataFrame(
         [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
@@ -872,16 +909,12 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
     _recover(path)  # heal a pre-r9 whole-dir delete killed mid-swap
     _recover_partition_dirs(path)
     _recover_partition_dirs(f"{path}/{_VEC_DIR}")
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _retraction_forms,
+    )
+
     codes = spark.read.parquet(path)
-    if isinstance(ids, DataFrame):
-        key = ids.columns[0]
-        gone = ids.select(F.col(key).alias("_id")).distinct()
-        hit = codes.join(gone, "_id", "left_semi")
-        drop = lambda df: df.join(gone, "_id", "left_anti")  # noqa: E731
-    else:
-        ids = list(ids)
-        hit = codes.filter(F.col("_id").isin(ids))
-        drop = lambda df: df.filter(~F.col("_id").isin(ids))  # noqa: E731
+    hit, drop, gone = _retraction_forms(codes, ids, "ann_index_delete")
     per_cell = hit.groupBy("cell").agg(F.count("*").alias("_n")).collect()
     removed = sum(r._n for r in per_cell)
     if removed == 0:
@@ -912,11 +945,11 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
     vec_dir = f"{path}/{_VEC_DIR}"
     vecs = spark.read.parquet(vec_dir)
     if meta.get("vec_buckets") and "_vbucket" in vecs.columns:
-        if isinstance(ids, DataFrame):
+        if gone is not None:
             id_df = gone
         else:
             id_df = spark.createDataFrame(
-                [(i,) for i in ids], vecs.select("_id").schema
+                [(i,) for i in list(ids)], vecs.select("_id").schema
             )
         vb = sorted(
             r._vb

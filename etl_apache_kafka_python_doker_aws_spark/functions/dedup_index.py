@@ -114,6 +114,50 @@ def _require_local_path(path: str, who: str) -> None:
         )
 
 
+def _retraction_forms(full: DataFrame, ids, who: str):
+    """Normalize a delete request (Python list or DataFrame whose FIRST
+    column holds the ids) into ``(hit, drop, gone)`` with ONE NULL
+    semantics across every delete path (review r10 — the four
+    copy-pasted blocks had drifted: the list form's ``~isin`` silently
+    erased NULL-id index rows it was never asked to delete, while the
+    DataFrame form kept them):
+
+    * a NULL in the REQUEST is rejected loudly — anti-joins and In
+      predicates never match NULL, so the request would silently no-op
+      (the r5 keyed-merge lesson);
+    * a NULL-``_id`` INDEX row is never deleted — it matches no
+      requested id under either input form.
+
+    ``hit`` = the full frame filtered to requested rows; ``drop`` maps
+    any frame to its survivors; ``gone`` is the distinct-id DataFrame
+    (None for the list form — list callers keep the pushed-In shape)."""
+    spark = full.sparkSession
+    if isinstance(ids, DataFrame):
+        key = ids.columns[0]
+        gone = ids.select(F.col(key).alias("_id")).distinct()
+        if gone.filter(F.col("_id").isNull()).count():
+            raise ValueError(
+                f"{who}: delete ids contain NULL — an anti-join never "
+                "matches NULL, so the request would silently delete "
+                "nothing for it; drop the NULL from the request"
+            )
+        hit = full.join(gone, "_id", "left_semi")
+        drop = lambda df: df.join(gone, "_id", "left_anti")  # noqa: E731
+        return hit, drop, gone
+    ids = list(ids)
+    if any(i is None for i in ids):
+        raise ValueError(
+            f"{who}: delete ids contain None — an In predicate never "
+            "matches NULL, so the request would silently delete nothing "
+            "for it; drop the None from the request"
+        )
+    hit = full.filter(F.col("_id").isin(ids))
+    drop = lambda df: df.filter(  # noqa: E731
+        ~F.col("_id").isin(ids) | F.col("_id").isNull()
+    )
+    return hit, drop, None
+
+
 def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
     """Read the index's pinned LSH parameters, or None if no index
     exists at ``path`` yet. ``bgroups`` (r10, the delete-locality
@@ -759,12 +803,8 @@ def minhash_table_delete(spark: SparkSession, table: str, ids) -> int:
     if meta is None:
         raise ValueError(f"minhash_table_delete: no index table {table}")
     full = spark.table(table)
-    if isinstance(ids, DataFrame):
-        key = ids.columns[0]
-        gone = ids.select(F.col(key).alias("_id")).distinct()
-        survivors = full.join(gone, "_id", "left_anti")
-    else:
-        survivors = full.filter(~F.col("_id").isin(list(ids)))
+    _, drop, _ = _retraction_forms(full, ids, "minhash_table_delete")
+    survivors = drop(full)
     before = full.count()
     after = survivors.count()
     if after == before:
@@ -870,15 +910,7 @@ def _minhash_delete_localized(
     _recover(path)  # heal a pre-r10 whole-dir delete killed mid-swap
     _recover_partition_dirs(path)
     full = spark.read.parquet(path)
-    if isinstance(ids, DataFrame):
-        key = ids.columns[0]
-        gone = ids.select(F.col(key).alias("_id")).distinct()
-        hit = full.join(gone, "_id", "left_semi")
-        drop = lambda df: df.join(gone, "_id", "left_anti")  # noqa: E731
-    else:
-        ids = list(ids)
-        hit = full.filter(F.col("_id").isin(ids))
-        drop = lambda df: df.filter(~F.col("_id").isin(ids))  # noqa: E731
+    hit, drop, _ = _retraction_forms(full, ids, "minhash_index_delete")
     per_dir = (
         hit.groupBy("band_idx", "_bgroup").agg(F.count("*").alias("_n")).collect()
     )
@@ -982,6 +1014,10 @@ def minhash_index_relayout(
     the live index keeps serving until the caller repoints. Also the
     re-bgrouping path for an index whose group count no longer fits
     its scale."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _fs_nonempty,
+    )
+
     meta = minhash_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"minhash_index_relayout: no index at {path}")
@@ -990,6 +1026,16 @@ def minhash_index_relayout(
             f"minhash_index_relayout: {new_path} already holds an index — "
             "relayout targets a FRESH path (the live index keeps serving "
             "until the repoint)"
+        )
+    if _fs_nonempty(spark, new_path):
+        # meta is written LAST, so meta-less leftovers = a crashed
+        # relayout; every write below is mode("append") and a retry
+        # onto leftovers would silently double band rows, counts AND
+        # markers (review r10 — the ann_index_build retry rule)
+        raise ValueError(
+            f"minhash_index_relayout: {new_path} holds leftover files "
+            "without index meta — a crashed relayout; remove the path "
+            "and re-run (live index untouched)"
         )
     if not bgroups or int(bgroups) < 1:
         raise ValueError(f"minhash_index_relayout: bgroups {bgroups!r} must be >= 1")
@@ -1029,13 +1075,8 @@ def _minhash_delete_full_rewrite(spark: SparkSession, path: str, ids) -> int:
 
     _recover(path)
     full = spark.read.parquet(path)
-    if isinstance(ids, DataFrame):
-        key = ids.columns[0]
-        remaining = full.join(
-            ids.select(F.col(key).alias("_id")).distinct(), "_id", "left_anti"
-        )
-    else:
-        remaining = full.filter(~F.col("_id").isin(list(ids)))
+    _, drop, _ = _retraction_forms(full, ids, "minhash_index_delete")
+    remaining = drop(full)
     before = full.count()
     staging = path.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)

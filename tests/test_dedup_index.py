@@ -587,3 +587,46 @@ def test_table_delete_removes_pairs_keeps_colocation(spark, tmp_path):
         drop_minhash_table(spark, tbl)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_deleting")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_counts_deleting")
+
+
+def test_delete_rejects_null_ids_loudly(spark, tmp_path):
+    """_retraction_forms (review r10): a NULL in the delete request
+    never matches anything (In predicates and anti-joins both skip
+    NULL) — silently deleting nothing is the keyed-merge trap, so both
+    input forms reject loudly; and a NULL-_id index row is never
+    swept up by a list-form delete of other ids."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        banded_minhash_signatures,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0")
+    with pytest.raises(ValueError, match="None"):
+        minhash_index_delete(spark, path, [None, 3])
+    null_ids = spark.createDataFrame([(None,)], "doc_id long")
+    with pytest.raises(ValueError, match="NULL"):
+        minhash_index_delete(spark, path, null_ids)
+    # a NULL-_id row in the index (a doc with a null business key)
+    # survives a delete that never named it
+    meta = minhash_index_meta(spark, path)
+    nulldoc = spark.createDataFrame(
+        [(None, "sphinx of black quartz judge my vow")],
+        "doc_id long, text string",
+    )
+    banded_minhash_signatures(
+        nulldoc, "doc_id", "text", meta["num_hashes"], meta["bands"],
+        meta["shingle_n"], meta["seed"],
+    ).withColumn("_batch", F.lit("b0")).withColumn(
+        "_bgroup",
+        F.pmod(F.col("band_hash"), F.lit(meta["bgroups"])).cast("int"),
+    ).write.mode("append").partitionBy("band_idx", "_bgroup").parquet(path)
+    n_null = spark.read.parquet(path).filter(F.col("_id").isNull()).count()
+    assert n_null > 0
+    assert minhash_index_delete(spark, path, [3]) > 0
+    assert spark.read.parquet(path).filter(
+        F.col("_id").isNull()
+    ).count() == n_null
