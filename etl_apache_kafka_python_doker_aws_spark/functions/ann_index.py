@@ -15,18 +15,19 @@ Index layout at ``path``:
   * ``_graft_vectors/`` raw (id, vec) parquet — the REFINE tier,
     ``partitionBy("_vbucket")`` where _vbucket = pmod(xxhash64(_id),
     vec_buckets) and rows are id-sorted within files (r9, VERDICT r8
-    #1). The shortlist re-rank collects its (bounded:
-    |queries|·shortlist) candidate ids driver-side and reads this tier
-    through a PRUNED scan — ``_vbucket IN (…)`` partition filter +
-    ``_id IN (…)`` pushed parquet filter — instead of streaming every
-    raw vector through a broadcast join (the pre-r9 shape: a broadcast
-    hash join probes the FULL tier, ~512 GB scanned per search batch at
-    10⁹ vectors). With few queries the bucket whitelist skips most
-    directories outright; with many, the pushed id predicate still
-    keeps the scan filter-local (id-sorted row groups give min/max
-    skipping) and nothing is shuffled. This is the standard two-tier
-    layout: codes hot, raw vectors cold — and the cold tier is now
-    point-readable, not scan-only.
+    #1). On a big index (cost-based ``prune="auto"``, r10) the
+    shortlist re-rank materializes its bounded candidate set once
+    (``localCheckpoint``) and reads this tier through a PRUNED scan —
+    a ``_vbucket IN (…)`` partition filter always, plus an
+    ``_id IN (…)`` pushed parquet predicate when the candidate count
+    is point-lookup small (≤ ``_MAX_PUSHED_IDS``; id-sorted row
+    groups give min/max skipping) — instead of streaming every raw
+    vector through a broadcast join (the pre-r9 shape: a broadcast
+    hash join probes the FULL tier, ~512 GB scanned per search batch
+    at 10⁹ vectors). Below ``_PRUNE_MIN_ROWS`` the single-job
+    streaming join is simply faster and "auto" keeps it. This is the
+    standard two-tier layout: codes hot, raw vectors cold — and the
+    cold tier is point-readable, not scan-only.
   * ``_graft_meta/`` — one JSON row: dims/params AND the trained models
     (IVF centroids n_cells×dim + PQ codebooks
     n_subspaces×n_centroids×sub ≈ a few thousand doubles — broadcast as
