@@ -83,6 +83,9 @@ HEADLINE = [
     # persisted index (setup outside the timer, see OPERATOR_OPS).
     "l2_index_dedup_batch",
     "l3_ann_index_search",
+    # r11 (VERDICT r10 #6): time the retraction path too — localized
+    # deletes from both persisted indexes, fresh id chunk per pass.
+    "l2l3_index_delete",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -143,11 +146,64 @@ def _op_ann_index_search(spark, sf_dir: str):
     return lambda: ann_index_search(q, path, k=5, n_probe=8, shortlist=200)
 
 
+def _op_index_delete(spark, sf_dir: str):
+    """Operator path (r11, VERDICT r10 #6): LOCALIZED retraction from
+    both persisted indexes — minhash_index_delete (band_idx/_bgroup
+    dirs) + ann_index_delete (cell/_vbucket dirs) of a fresh 25-id
+    chunk per pass, so delete-cost regressions are caught the way
+    query regressions are. Setup (untimed): build both indexes once;
+    reserve disjoint id chunks so every warm/timed pass deletes ids
+    that are still live (a re-delete would no-op and time nothing)."""
+    import tempfile
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_delete,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_delete,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mh_path = tempfile.mkdtemp(prefix="bench_mh_del_")
+    _BENCH_TMP.append(mh_path)
+    minhash_index_append(docs, "doc_id", "text", mh_path, batch_id="base")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ann_path = tempfile.mkdtemp(prefix="bench_ann_del_")
+    _BENCH_TMP.append(ann_path)
+    ann_index_build(
+        e, "vec_id", "embedding", ann_path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    doc_ids = [r.doc_id for r in
+               docs.select("doc_id").orderBy("doc_id").limit(500).collect()]
+    vec_ids = [r.vec_id for r in
+               e.select("vec_id").orderBy("vec_id").limit(500).collect()]
+    state = {"i": 0}
+
+    def run():
+        i = state["i"]
+        state["i"] += 1
+        dchunk = doc_ids[i * 25:(i + 1) * 25]
+        vchunk = vec_ids[i * 25:(i + 1) * 25]
+        nd = minhash_index_delete(spark, mh_path, dchunk) if dchunk else 0
+        nv = ann_index_delete(spark, ann_path, vchunk) if vchunk else 0
+        return spark.createDataFrame(
+            [(nd, nv)], "mh_removed long, ann_removed long"
+        )
+
+    return run
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
     "l2_index_dedup_batch": _op_index_dedup_batch,
     "l3_ann_index_search": _op_ann_index_search,
+    "l2l3_index_delete": _op_index_delete,
 }
 
 # persisted-index fixtures built by the setups — removed after the run

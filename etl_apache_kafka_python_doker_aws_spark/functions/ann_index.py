@@ -74,6 +74,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+    _BCAST_MAX_CELLS,
     _kmeans_cells,
     _pq_assign,
     _pq_train,
@@ -633,8 +634,19 @@ def ann_index_search(
       tests/test_ann_index.py.
     * larger shortlists: collect only the DISTINCT ``_vbucket``
       whitelist (≤ ``vec_buckets`` values, one tiny agg) for
-      directory-level pruning and keep the broadcast id-join for row
-      matching — zero per-id driver traffic at any candidate mass.
+      directory-level pruning and keep the id-join for row matching —
+      zero per-id driver traffic at any candidate mass.
+
+    The re-rank join's broadcast hint is SIZE-GATED on the materialized
+    candidate count (r11, VERDICT r10 #1): below
+    ``similarity._BCAST_MAX_CELLS`` of conservative mass
+    (n_cand × (dim+2) cells) both the slim candidate set and the
+    semi-reduced query frame ride explicit hints (the serving shape);
+    above it — and always in the lazy ``prune=False`` path, which has
+    no count — the hints are dropped and AQE picks the join from
+    runtime stats, so the crawl-snapshot batches
+    ``ann_index_dedup_batch`` feeds through this path can never OOM on
+    a forced broadcast.
 
     Either way the cold tier is never streamed end-to-end for a point
     lookup — on a BIG index. ``prune`` is a COST-BASED plan choice
@@ -687,9 +699,12 @@ def ann_index_search(
     if prune == "auto":
         # cost-based, from marker metadata (the CBO-statistic move): the
         # pruned read pays ~2 fixed jobs, so only prune once the cold
-        # tier is big enough that streaming it costs more (a delete can
-        # shrink the corpus below the marker sum — that only delays the
-        # crossover, never breaks correctness). Unknown size (pre-r9
+        # tier is big enough that streaming it costs more. Deletes never
+        # update marker n_rows, so the sum OVERstates a post-delete
+        # corpus and "auto" switches to the pruned path EARLIER than the
+        # measured crossover — correct either way, worst case the ~1.1×
+        # small-index penalty (2.94 vs 2.70 s at 200k) until a rebuild
+        # refreshes the markers (ADVICE r10). Unknown size (pre-r9
         # markers) → prune: the unknown case is the big-index case.
         prune = n_idx is None or n_idx >= _PRUNE_MIN_ROWS
     sub = meta["dim"] // meta["n_subspaces"]
@@ -754,6 +769,7 @@ def ann_index_search(
         lambda acc, v: acc + v,
     )
     vec_scan = spark.read.parquet(f"{path}/{_VEC_DIR}")
+    n_cand = None  # unknown candidate mass ⇒ no hint, AQE decides
     if meta["vec_buckets"] and prune:
         # materialize the (bounded) shortlist ONCE: localCheckpoint
         # executes the codes-tier scoring query here and pins its rows
@@ -803,12 +819,37 @@ def ann_index_search(
             # larger shortlists: directory-level pruning only
             vec_scan = vec_scan.filter(F.col("_vbucket").isin(buckets))
         cand = cand.drop("_vb")
-    reranked = (
-        vec_scan.select(F.col("_id").alias("neighbor_id"), "_v")
-        .join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q_base), "query_id")
-        .select("query_id", "neighbor_id", exact_d.alias("dist"))
-    )
+    # Size-aware re-rank join (r11, VERDICT r10 #1): the candidate set
+    # is bounded PER QUERY, not in the number of queries —
+    # ann_index_dedup_batch feeds an entire crawl snapshot through this
+    # path, and an unconditional broadcast hint of |batch|×shortlist
+    # rows is a forced OOM AQE cannot demote. In the pruned path the
+    # MATERIALIZED candidate count is already collected, so the hint is
+    # kept only below the measured mass gate — conservatively
+    # n_cand × (dim + 2) cells, which bounds BOTH broadcasts at once
+    # (cand itself is slim; the query frame is semi-reduced to the
+    # ≤ n_cand query ids that actually have candidates, so a huge
+    # zero-hit query batch can never ride the hint either). Past the
+    # gate — and always in the lazy prune=False path, where no count
+    # exists — plain joins let AQE pick broadcast/SMJ from runtime
+    # stats (the r11 10M-vector probe measured the AQE form at parity
+    # with the hinted join at serving sizes; SCALING.md).
+    vecs_side = vec_scan.select(F.col("_id").alias("neighbor_id"), "_v")
+    if n_cand is not None and n_cand * (meta["dim"] + 2) <= _BCAST_MAX_CELLS:
+        q_side = q_base.join(
+            F.broadcast(cand.select("query_id").distinct()), "query_id"
+        )
+        reranked = (
+            vecs_side.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(q_side), "query_id")
+            .select("query_id", "neighbor_id", exact_d.alias("dist"))
+        )
+    else:
+        reranked = (
+            vecs_side.join(cand, "neighbor_id")
+            .join(q_base, "query_id")
+            .select("query_id", "neighbor_id", exact_d.alias("dist"))
+        )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
@@ -914,6 +955,13 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
         _retraction_forms,
     )
 
+    # normalize ONCE (ADVICE r10): the refine-tier branch consumes
+    # `ids` a second time below — a one-shot iterable would be
+    # exhausted by _retraction_forms' pass, deleting codes rows while
+    # the _graft_vectors rows silently survive (and rebuild would
+    # later resurrect the deleted vectors)
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)
     codes = spark.read.parquet(path)
     hit, drop, gone = _retraction_forms(codes, ids, "ann_index_delete")
     per_cell = hit.groupBy("cell").agg(F.count("*").alias("_n")).collect()
@@ -950,7 +998,7 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
             id_df = gone
         else:
             id_df = spark.createDataFrame(
-                [(i,) for i in list(ids)], vecs.select("_id").schema
+                [(i,) for i in ids], vecs.select("_id").schema
             )
         vb = sorted(
             r._vb

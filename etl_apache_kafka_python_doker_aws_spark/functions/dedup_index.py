@@ -604,6 +604,7 @@ def minhash_table_append(
     pinned at creation because appends into a different bucket count
     would silently break join co-location."""
     spark = df.sparkSession
+    _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
     params = {
         "num_hashes": num_hashes,
@@ -681,6 +682,7 @@ def minhash_table_pairs_vs_batch(
     property is the CLUSTER trade (shuffling ~1.1 TB of index per
     snapshot at 10⁹ docs is the cost that matters); registered
     scale_form="bounded" accordingly — locally, prefer the path form."""
+    _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"minhash_table_pairs_vs_batch: no index table {table}")
@@ -692,8 +694,14 @@ def minhash_table_pairs_vs_batch(
             f"MARKED batch of {table} (marked: {marked}) — a crashed append "
             "must be cleaned up and re-appended under a new batch_id"
         )
-    # same crash-window containment as the path form (VERDICT r8 #4)
-    full = spark.table(table).filter(F.col("_batch").isin(marked))
+    # same crash-window containment as the path form (VERDICT r8 #4);
+    # pending tombstones (r11 retraction sidecar) are anti-joined out —
+    # request-sized build side, the index itself never shuffles for it
+    full = _apply_tombstones(
+        spark.table(table).filter(F.col("_batch").isin(marked)),
+        _tombstones(spark, table),
+        markers,
+    )
     per_batch = None
     if _counts_complete(markers):
         per_batch = spark.table(f"{table}_counts")
@@ -732,7 +740,13 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
         )
     sc = spark.sparkContext
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    for t in (table, f"{table}_meta", f"{table}_batches", f"{table}_counts"):
+    for t in (
+        table,
+        f"{table}_meta",
+        f"{table}_batches",
+        f"{table}_counts",
+        f"{table}_tombstones",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t.lower()}")
         fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
@@ -779,41 +793,176 @@ def minhash_table_dedup_batch(
     )
 
 
-def minhash_table_delete(spark: SparkSession, table: str, ids) -> int:
-    """Delete documents from the BUCKETED band index table — retraction
-    for the zero-Exchange tier (r10: the path tier got localized
-    deletes; the table tier had none at all). ``ids`` is a Python list
-    or a DataFrame whose FIRST column holds the ids.
+def _table_swap_recover(spark: SparkSession, table: str) -> bool:
+    """Heal a ``minhash_table_delete`` killed mid-swap (ADVICE r10: the
+    DROP→RENAME pairs are per-statement catalog-atomic, not atomic
+    across the pair — a kill between ``DROP TABLE {name}`` and the
+    RENAME left the data (or counts) table absent with the survivors
+    stranded in ``{name}_deleting``, pairs queries raising until manual
+    repair). Both staging tables are CTAS'd BEFORE any swap starts, so
+    a live table that is missing WITH a ``_deleting`` twin present is
+    unambiguously a crashed swap: rename the twin into place. A missing
+    table with no twin is left alone (e.g. a half-finished first
+    append — not this function's crash window). When the DATA table was
+    the missing one, the counts swap never ran — complete it too, so
+    the pair stays consistent. Returns True if anything was repaired."""
+    repaired = False
+    data_was_missing = not _table_exists(spark, table)
+    for n in (table, f"{table}_counts"):
+        tmp = f"{n}_deleting"
+        if not _table_exists(spark, n) and _table_exists(spark, tmp):
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {n}")
+            repaired = True
+    if repaired and data_was_missing:
+        # the data swap crashed before the counts swap started; the
+        # staged post-delete counts pair with the recovered data table
+        tmp = f"{table}_counts_deleting"
+        if _table_exists(spark, tmp):
+            spark.sql(f"DROP TABLE IF EXISTS {table}_counts")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}_counts")
+    return repaired
 
-    Full CTAS rewrite with the PINNED bucket spec (the
-    compact_bucketed_table machinery: repartition on the bucket
-    columns so co-location — the tier's whole point — survives), then
-    a counts-table rewrite recomputed from the survivors per
-    (band_idx, band_hash, _batch) plus the zero-count sentinels.
-    Markers and meta are untouched: a fully-deleted batch still
-    rejects redelivery. This is corpus-proportional BY CONSTRUCTION —
-    bucket membership lives in file NAMES, not partition directories,
-    so there is nothing to localize; that is the tier's trade (no
-    join shuffle per snapshot ↔ no delete locality). Retraction-heavy
-    deployments should use the path-backed index, whose r10 layout
-    deletes localized. The DROP→RENAME swap windows are per-statement
-    catalog-atomic, not atomic across the pair — run in a maintenance
-    window. Returns the number of band rows removed."""
+
+def _tombstones(spark: SparkSession, table: str) -> DataFrame | None:
+    """The delete-request sidecar (``<table>_tombstones``: ``_id`` +
+    ``del_seq``), or None when no delete is pending. Dropped whole by
+    compaction — its absence is the common fast path."""
+    if not _table_exists(spark, f"{table}_tombstones"):
+        return None
+    return spark.table(f"{table}_tombstones")
+
+
+def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataFrame:
+    """Filter a bucketed-index frame down to its LIVE rows: a row is
+    dead iff some tombstone names its ``_id`` AND the row's batch was
+    already marked when the delete ran (``seq < del_seq``) — so a
+    RE-APPEND of a retracted id after the delete is a new observation
+    and lives, while the retracted batches stay dead (an id-only
+    tombstone would either resurrect GDPR-deleted rows on clearing or
+    permanently kill re-ingested docs). The batch→seq translation is a
+    literal map over the (bounded) marker list; the anti-join's
+    tombstone side is delete-request-sized, so AQE broadcasts it — the
+    index itself never shuffles for retraction."""
+    if tomb is None:
+        return full
+    pairs = []
+    for r in markers:
+        pairs += [F.lit(r.batch_id), F.lit(int(r.seq))]
+    seq = (
+        F.element_at(F.create_map(*pairs), F.col("_batch"))
+        if pairs
+        else F.lit(None).cast("int")
+    )
+    t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+    return (
+        full.withColumn("_seq", seq)
+        .join(
+            t,
+            (F.col("_id") == F.col("_t_id")) & (F.col("_seq") < F.col("del_seq")),
+            "left_anti",
+        )
+        .drop("_seq")
+    )
+
+
+def minhash_table_delete(
+    spark: SparkSession, table: str, ids, *, compact_threshold: float = 0.2
+) -> int:
+    """Delete documents from the BUCKETED band index table — retraction
+    for the zero-Exchange tier. ``ids`` is a Python list or a DataFrame
+    whose FIRST column holds the ids.
+
+    TOMBSTONE sidecar (r11, VERDICT r10 #2 — the r10 form CTAS-rewrote
+    the whole table per delete): bucket membership lives in file NAMES,
+    so there is nothing to localize on disk; instead each delete
+    APPENDS its request to ``<table>_tombstones`` (``_id`` + the marker
+    sequence at delete time) and every pairs query anti-joins the
+    tombstones out (see ``_apply_tombstones`` — request-sized build
+    side, no index shuffle). Per-delete cost is therefore proportional
+    to the REQUEST (one tiny append + two counts), measured at the
+    1M-doc probe in SCALING.md. The CTAS rewrite is demoted to
+    ``minhash_table_compact``, run automatically once dead rows exceed
+    ``compact_threshold`` of the table (pass 0 to force, or a value
+    > 1 to never auto-compact). Guard counts stay UNTOUCHED until
+    compaction — they over-count dead rows, which can only make the
+    skew guard drop a bucket early (the bounded-resource outcome the
+    cap already allows), never re-open the m² blowup.
+
+    Markers and meta are untouched: a fully-deleted batch still rejects
+    redelivery. A re-appended id LIVES (its batch seq is past every
+    tombstone) while its retracted history stays dead. Returns the
+    number of live band rows retracted."""
+    _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"minhash_table_delete: no index table {table}")
-    full = spark.table(table)
-    _, drop, _ = _retraction_forms(full, ids, "minhash_table_delete")
-    survivors = drop(full)
-    before = full.count()
-    after = survivors.count()
-    if after == before:
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)  # the one-shot-iterable lesson (ADVICE r10, ann side)
+    markers = _table_marker_rows(spark, table)
+    # marked batches only: unmarked crash rows are invisible to pairs
+    # (crash containment) and a seq-scoped tombstone can never kill
+    # them — they must not count as "removed" or trip the EMPTY guard
+    full = spark.table(table).filter(
+        F.col("_batch").isin([r.batch_id for r in markers])
+    )
+    live = _apply_tombstones(full, _tombstones(spark, table), markers)
+    hit, _, gone = _retraction_forms(live, ids, "minhash_table_delete")
+    removed = hit.count()
+    if removed == 0:
         return 0
-    if after == 0:
+    n_live = live.count()
+    if n_live == removed:
         raise ValueError(
             f"minhash_table_delete: deleting these ids would EMPTY the "
             f"index table {table} — drop it (drop_minhash_table) instead"
         )
+    del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
+    tomb_rows = (
+        gone
+        if gone is not None
+        else spark.createDataFrame([(i,) for i in ids], full.select("_id").schema)
+    ).withColumn("del_seq", F.lit(del_seq))
+    tomb_rows.write.mode("append").format("parquet").saveAsTable(
+        f"{table}_tombstones"
+    )
+    n_total = full.count()
+    dead = n_total - (n_live - removed)
+    if n_total and dead / n_total > compact_threshold:
+        minhash_table_compact(spark, table)
+    return removed
+
+
+def minhash_table_compact(spark: SparkSession, table: str) -> int:
+    """Fold accumulated tombstones into the bucketed band index: one
+    CTAS rewrite of data + recomputed guard counts with the PINNED
+    bucket spec (repartition on the bucket columns so co-location —
+    the tier's whole point — survives), zero-count sentinels re-seeded
+    per marked batch, then the tombstone sidecar is dropped LAST — a
+    crash before that drop leaves tombstones that re-kill already-gone
+    rows (an anti-join no-op), so compaction is idempotent. The
+    DROP→RENAME swap windows are healed by ``_table_swap_recover``
+    (run here and by every read/write entry point). Returns the number
+    of dead rows compacted away (0 when no tombstones are pending)."""
+    _table_swap_recover(spark, table)
+    meta = minhash_table_meta(spark, table)
+    if meta is None:
+        raise ValueError(f"minhash_table_compact: no index table {table}")
+    tomb = _tombstones(spark, table)
+    if tomb is None:
+        return 0
+    markers = _table_marker_rows(spark, table)
+    full = spark.table(table)
+    survivors = _apply_tombstones(full, tomb, markers)
+    before = full.count()
+    after = survivors.count()
+    if after == 0:
+        raise ValueError(
+            f"minhash_table_compact: pending tombstones would EMPTY the "
+            f"index table {table} — drop it (drop_minhash_table) instead"
+        )
+    if after == before:
+        spark.sql(f"DROP TABLE {table}_tombstones")
+        return 0
     buckets = meta["buckets"]
     counts = (
         survivors.groupBy("band_idx", "band_hash", "_batch")
@@ -842,11 +991,14 @@ def minhash_table_delete(spark: SparkSession, table: str, ids) -> int:
             ).write.bucketBy(buckets, "band_idx", "band_hash").format(
                 "parquet"
             ).saveAsTable(tmp)
+        # IF EXISTS (ADVICE r10): a retry after _table_swap_recover
+        # healed a mid-swap kill must not fail on the bare DROP
         for name, _ in targets:
-            spark.sql(f"DROP TABLE {name}")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
             spark.sql(f"ALTER TABLE {name}_deleting RENAME TO {name}")
     finally:
         spark.conf.set(auto_key, old_auto)
+    spark.sql(f"DROP TABLE {table}_tombstones")
     return before - after
 
 
@@ -1039,6 +1191,17 @@ def minhash_index_relayout(
         )
     if not bgroups or int(bgroups) < 1:
         raise ValueError(f"minhash_index_relayout: bgroups {bgroups!r} must be >= 1")
+    # heal SOURCE swap leftovers before reading (ADVICE r10): a
+    # localized delete killed between _dir_swap's paired renames leaves
+    # a `_bgroup=N.old` dir whose name contains '=' — Spark does NOT
+    # hide it, so it would be discovered as a partition value and its
+    # pre-delete rows (including GDPR-retracted ids) silently migrated.
+    # Same healing every delete entry point runs.
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _recover
+
+    _recover(path)
+    _recover_partition_dirs(path)
+    _recover(f"{path}/{_COUNTS_DIR}")
     g = int(bgroups)
     rows = spark.read.parquet(path).drop("_bgroup")
     rows.withColumn(

@@ -45,6 +45,40 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+# Size-aware broadcast gate (VERDICT r10 #1): the exact-topk / re-rank
+# plans broadcast a QUERY-BATCH-proportional frame — bounded per query,
+# NOT bounded in the number of queries. For point-lookup serving the
+# explicit hint is right (skips a corpus shuffle); for the
+# crawl-snapshot batches the dedup paths feed through the same code an
+# unconditional hint is a forced OOM AQE cannot demote. So every such
+# hint is gated on the frame's measured mass in 8-byte CELLS
+# (rows × per-row payload slots): below the bound → hint; above →
+# plain join/crossJoin, and AQE picks the strategy from runtime stats.
+# 24M cells ≈ 192 MB of payload doubles ≈ a ≲500 MB built relation —
+# comfortably under Spark's 8 GB broadcast hard cap with headroom for
+# row overhead, yet far past any serving batch. The r11 10M-vector
+# probe (SCALING.md) measured the AQE fallback at parity with the
+# hinted join at this scale — the gate costs nothing where it bites.
+_BCAST_MAX_CELLS = 24_000_000
+
+
+def _batch_stats(q: DataFrame, vec_col: str = "_qvec") -> tuple[int, int]:
+    """One tiny agg job: (row count, max vector width) of a query
+    batch — the inputs every broadcast-mass gate needs. The batch
+    lineage is evaluated once here and again by the main query; for
+    every caller the corpus-side work dwarfs that second evaluation."""
+    row = q.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    return int(row.n), int(row.d or 0)
+
+
+def _hint_if_bounded(df: DataFrame, cells: int) -> DataFrame:
+    """``F.broadcast(df)`` when its measured mass fits the gate, else
+    ``df`` unchanged (AQE converts small joins at runtime anyway)."""
+    return F.broadcast(df) if cells <= _BCAST_MAX_CELLS else df
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,8 +90,12 @@ def cosine_topk(
 
     Plan shape: broadcast(queries) ⋈ corpus (no shuffle of the corpus),
     then one window shuffle on query_id for the top-k — the optimal exact
-    plan when queries fit in a broadcast (≤ ~10 MB of vectors).
-    Excludes self-matches. Ties break on corpus id for determinism.
+    plan when queries fit in a broadcast. The hint is SIZE-GATED
+    (VERDICT r10 #1): one tiny agg measures the batch, and past
+    ``_BCAST_MAX_CELLS`` the hint is dropped so a corpus-sized query
+    batch plans a partitioned cross join instead of a forced-OOM
+    broadcast. Excludes self-matches. Ties break on corpus id for
+    determinism.
     """
     from pyspark.sql.window import Window
 
@@ -69,8 +107,9 @@ def cosine_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
+    n_q, d_q = _batch_stats(q)
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(_hint_if_bounded(q, n_q * (d_q + 1)))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -598,7 +637,9 @@ def pq_topk(
     Plan shape: broadcast(queries+LUTs) ⋈ corpus-codes (no corpus
     shuffle), one window shuffle on query_id for the shortlist, one
     broadcast join + window for the re-rank — identical skeleton to
-    cosine_topk but over codes.
+    cosine_topk but over codes. Both hints are SIZE-GATED (VERDICT
+    r10 #1): past ``_BCAST_MAX_CELLS`` of measured mass they are
+    dropped and AQE picks the join from runtime stats.
 
     Returns (query_id, neighbor_id, dist, rk) — dist ASCENDING squared
     L2 (ADC-approximate without ``shortlist``, exact over the re-ranked
@@ -653,8 +694,14 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # size-gated hints (VERDICT r10 #1): one stats job covers both the
+    # query-LUT broadcast (n_q rows × [vec + n_subspaces·n_centroids
+    # LUT cells]) and the re-rank candidate broadcast below (≤
+    # n_q·shortlist rows, each carrying the query vector)
+    n_q, d_q = _batch_stats(q)
+    lut_cells = n_subspaces * n_centroids
     scored = (
-        coded.crossJoin(F.broadcast(q))
+        coded.crossJoin(_hint_if_bounded(q, n_q * (d_q + lut_cells + 1)))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "_qvec", "neighbor_id", adc.alias("dist"))
     )
@@ -674,8 +721,12 @@ def pq_topk(
         .filter(F.col("rk") <= shortlist)
         .select("query_id", "_qvec", "neighbor_id")
     )
-    # Exact refine: fetch raw vectors for shortlist ids only (broadcast
-    # the |queries|·shortlist candidate rows against the corpus scan).
+    # Exact refine: fetch raw vectors for shortlist ids only — a
+    # size-gated broadcast of the ≤ |queries|·shortlist candidate rows
+    # (each carrying its query vector) against the corpus scan; past
+    # the gate the hint is dropped and AQE picks the join (r11,
+    # VERDICT r10 #1: the unconditional hint was a forced OOM at
+    # crawl-snapshot query-batch sizes).
     exact_d = F.aggregate(
         F.zip_with(
             F.col("_qvec"),
@@ -687,7 +738,7 @@ def pq_topk(
     )
     reranked = (
         dense.withColumnRenamed("_id", "neighbor_id")
-        .join(F.broadcast(cand), "neighbor_id")
+        .join(_hint_if_bounded(cand, n_q * shortlist * (d_q + 2)), "neighbor_id")
         .select("query_id", "neighbor_id", exact_d.alias("dist"))
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -735,8 +786,9 @@ def l2_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    n_q, d_q = _batch_stats(q)
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(_hint_if_bounded(q, n_q * (d_q + 1)))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", d.alias("l2_dist"))
     )
@@ -881,7 +933,9 @@ def ivf_pq_topk(
     Plan: two tiny broadcast models (centroids n_cells×dim, codebooks
     n_subspaces×n_centroids×sub as literals), corpus side = one
     projection to (cell, codes), one cell equi-join, one window
-    shuffle, one broadcast re-rank join. No corpus-wide crossJoin.
+    shuffle, one SIZE-GATED broadcast re-rank join (past
+    ``_BCAST_MAX_CELLS`` the hint is dropped — VERDICT r10 #1). No
+    corpus-wide crossJoin.
 
     Returns (query_id, neighbor_id, dist, rk) — squared L2, exact over
     the re-ranked shortlist (ADC-approximate when ``shortlist=None``).
@@ -957,9 +1011,13 @@ def ivf_pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # size-gated re-rank hint (VERDICT r10 #1): ≤ n_q·shortlist rows,
+    # each carrying the query vector — bounded per query, not in the
+    # number of queries, so a crawl-snapshot batch drops the hint
+    n_q, d_q = _batch_stats(q_base)
     reranked = (
         assigned.select(F.col("_id").alias("neighbor_id"), "_v")
-        .join(F.broadcast(cand), "neighbor_id")
+        .join(_hint_if_bounded(cand, n_q * shortlist * (d_q + 2)), "neighbor_id")
         .select("query_id", "neighbor_id", exact_d.alias("dist"))
     )
     w2 = Window.partitionBy("query_id").orderBy(

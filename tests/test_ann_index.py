@@ -632,3 +632,76 @@ def test_prune_auto_is_size_gated(spark, tmp_path, monkeypatch):
     key = lambda rows: sorted(  # noqa: E731
         (r.query_id, r.neighbor_id, round(r.dist, 9), r.rk) for r in rows)
     assert key(small.collect()) == key(big.collect())
+
+
+def test_ann_delete_accepts_one_shot_iterable(spark, tmp_path):
+    """ADVICE r10: ann_index_delete consumed `ids` twice (once in
+    _retraction_forms, once for the refine-tier id frame) — a generator
+    was exhausted by the first pass, deleting codes rows while the
+    _graft_vectors rows silently survived, and a later rebuild would
+    resurrect the deleted vectors. `ids` is normalized once now."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _VEC_DIR,
+        ann_index_delete,
+        ann_index_rebuild,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    assert ann_index_delete(spark, path, (i for i in [1000])) == 1
+    # BOTH tiers retracted, not just the codes tier
+    assert spark.read.parquet(path).filter(F.col("_id") == 1000).count() == 0
+    assert spark.read.parquet(f"{path}/{_VEC_DIR}").filter(
+        F.col("_id") == 1000
+    ).count() == 0
+    # and a rebuild cannot resurrect the deleted vector
+    rebuilt = str(tmp_path / "ann2")
+    ann_index_rebuild(spark, path, rebuilt)
+    q = corpus.filter("vec_id = 0")
+    hits = ann_index_search(q, rebuilt, k=3, n_probe=4, shortlist=20).collect()
+    assert all(r.neighbor_id != 1000 for r in hits)
+
+
+def _analyzed(df):
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_rerank_broadcast_hint_is_size_gated(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #1: the exact re-rank's broadcast hint is kept only
+    below the measured candidate-mass gate. A serving-sized search
+    carries the hint (both the slim candidate set and the semi-reduced
+    query frame); past the gate — simulated by forcing the bound to
+    0 — NO broadcast hint survives in the analyzed plan (AQE picks the
+    join from runtime stats instead), and results are identical. The
+    lazy prune=False path never hints at all."""
+    from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
+
+    corpus, _ = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    q = corpus.filter("vec_id < 3")
+    key = lambda rows: [(r.query_id, r.neighbor_id, round(r.dist, 9), r.rk)  # noqa: E731
+                        for r in rows]
+
+    hinted = ann_index_search(q, path, k=3, n_probe=4, shortlist=10,
+                              prune=True)
+    assert "ResolvedHint (strategy=broadcast)" in _analyzed(hinted)
+    expect = key(hinted.collect())
+
+    monkeypatch.setattr(ann_index, "_BCAST_MAX_CELLS", 0)
+    unhinted = ann_index_search(q, path, k=3, n_probe=4, shortlist=10,
+                                prune=True)
+    assert "ResolvedHint" not in _analyzed(unhinted)
+    assert key(unhinted.collect()) == expect
+    monkeypatch.undo()
+
+    lazy = ann_index_search(q, path, k=3, n_probe=4, shortlist=10,
+                            prune=False)
+    assert "ResolvedHint" not in _analyzed(lazy)
+    assert key(lazy.collect()) == expect

@@ -630,3 +630,199 @@ def test_delete_rejects_null_ids_loudly(spark, tmp_path):
     assert spark.read.parquet(path).filter(
         F.col("_id").isNull()
     ).count() == n_null
+
+
+def test_relayout_heals_crashed_delete_leftovers(spark, tmp_path):
+    """ADVICE r10: a localized delete killed between _dir_swap's paired
+    renames can leave a `_bgroup=N.old` dir NEXT TO the rewritten live
+    dir (swap done, cleanup not). Its name contains '=', so Spark would
+    discover it as a partition value and relayout would silently
+    migrate the PRE-delete rows — including GDPR-retracted ids — into
+    the new index. minhash_index_relayout now runs the same healing as
+    the delete entry points before reading the source."""
+    import os
+    import shutil
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+        minhash_index_relayout,
+    )
+
+    base, new, _ = _frames(spark)
+    path = str(tmp_path / "idx")
+    minhash_index_append(base, "doc_id", "text", path, batch_id="b0",
+                         bgroups=8)
+    minhash_index_append(new, "doc_id", "text", path, batch_id="b1")
+    # snapshot the pre-delete tree, delete 101, then resurrect every
+    # rewritten dir's pre-delete copy as `<dir>.old` — exactly the
+    # swap-completed-cleanup-skipped crash state
+    pre_copy = str(tmp_path / "pre")
+    shutil.copytree(path, pre_copy)
+    assert minhash_index_delete(spark, path, [101]) > 0
+    planted = 0
+    for b in os.listdir(pre_copy):
+        if not b.startswith("band_idx="):
+            continue
+        for g in os.listdir(os.path.join(pre_copy, b)):
+            if not g.startswith("_bgroup="):
+                continue
+            old_files = sorted(os.listdir(os.path.join(pre_copy, b, g)))
+            live = os.path.join(path, b, g)
+            now_files = sorted(os.listdir(live)) if os.path.isdir(live) else []
+            if old_files != now_files:  # this dir was rewritten
+                shutil.copytree(os.path.join(pre_copy, b, g), live + ".old")
+                planted += 1
+    assert planted > 0
+    migrated = str(tmp_path / "migrated")
+    minhash_index_relayout(spark, path, migrated, bgroups=4)
+    moved = spark.read.parquet(migrated)
+    assert moved.filter(F.col("_id") == 101).count() == 0
+    # healing restored the source: leftovers gone, retracted id stays out
+    assert not any(d.endswith(".old")
+                   for b in os.listdir(path) if os.path.isdir(os.path.join(path, b))
+                   for d in os.listdir(os.path.join(path, b)))
+    assert spark.read.parquet(path).filter(F.col("_id") == 101).count() == 0
+
+
+def test_table_delete_swap_recovery(spark, tmp_path):
+    """ADVICE r10: minhash_table_delete's DROP→RENAME swap is healed
+    after a mid-swap kill — both staging tables exist before any swap
+    starts, so a missing live table with a `_deleting` twin is renamed
+    back into place by every entry point, and the delete is simply
+    re-runnable."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _table_exists,
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_swap_recover"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        before = {(r.id_a, r.id_b) for r in
+                  minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert (1, 101) in before
+        # fabricate the crash state the swap loop can produce: both
+        # staging tables fully CTAS'd, then killed between `DROP TABLE
+        # {tbl}` and the RENAME — live data table gone, twins stranded
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+            spark.table(name).repartition(
+                4, F.col("band_idx"), F.col("band_hash")
+            ).write.bucketBy(4, "band_idx", "band_hash").format(
+                "parquet"
+            ).saveAsTable(f"{name}_deleting")
+        spark.sql(f"DROP TABLE {tbl}")
+        assert not _table_exists(spark, tbl)
+        # any entry point heals: pairs works again and sees the staged data
+        after = {(r.id_a, r.id_b) for r in
+                 minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert after == before
+        assert _table_exists(spark, tbl)
+        assert not _table_exists(spark, f"{tbl}_deleting")
+        assert not _table_exists(spark, f"{tbl}_counts_deleting")
+        # and the interrupted delete is re-runnable end-to-end
+        assert minhash_table_delete(spark, tbl, [101]) > 0
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p for p in got) and (102, 103) in got
+    finally:
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+        drop_minhash_table(spark, tbl)
+
+
+def test_table_delete_tombstones_are_request_proportional(spark, tmp_path):
+    """r11 (VERDICT r10 #2): minhash_table_delete no longer CTAS-rewrites
+    the table per delete — it appends a request-sized tombstone sidecar
+    that pairs queries anti-join out. Pinned here: (1) the data table's
+    files are BYTE-UNTOUCHED by a delete (per-delete cost proportional
+    to the request); (2) retracted history stays dead while a
+    RE-APPENDED id lives (seq-scoped tombstones — an id-only sidecar
+    would either resurrect GDPR rows or permanently kill re-ingests);
+    (3) compaction folds tombstones in, drops the sidecar, and pairs
+    results are unchanged."""
+    import os
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _table_exists,
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_compact,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    def files_of(tbl):
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        root = wh[len("file:"):] if wh.startswith("file:") else wh
+        loc = os.path.join(root, tbl.lower())
+        out = {}
+        for dp, _, fs in os.walk(loc):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, loc)] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_tombstones"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        pre_files = files_of(tbl)
+        pre_counts = files_of(f"{tbl}_counts")
+        assert minhash_table_delete(spark, tbl, [101]) > 0
+        # (1) request-proportional: data + counts tables byte-untouched
+        assert files_of(tbl) == pre_files
+        assert files_of(f"{tbl}_counts") == pre_counts
+        assert _table_exists(spark, f"{tbl}_tombstones")
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p for p in got) and (102, 103) in got
+        # idempotent re-delete of a dead id is a no-op
+        assert minhash_table_delete(spark, tbl, [101]) == 0
+        # (2) re-append the retracted id: the NEW observation lives,
+        # the retracted history stays dead
+        again = spark.createDataFrame(
+            [(101, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        minhash_table_append(again, "doc_id", "text", tbl, batch_id="b2",
+                             buckets=4)
+        b2 = {(r.id_a, r.id_b) for r in
+              minhash_table_pairs_vs_batch(spark, tbl, "b2").collect()}
+        assert (1, 101) in b2
+        b1 = {(r.id_a, r.id_b) for r in
+              minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p for p in b1)
+        # (3) compaction folds the tombstones in and drops the sidecar
+        removed = minhash_table_compact(spark, tbl)
+        assert removed > 0
+        assert not _table_exists(spark, f"{tbl}_tombstones")
+        assert {(r.id_a, r.id_b) for r in
+                minhash_table_pairs_vs_batch(spark, tbl, "b2").collect()} == b2
+        assert {(r.id_a, r.id_b) for r in
+                minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()} == b1
+        # compact with nothing pending is a cheap no-op
+        assert minhash_table_compact(spark, tbl) == 0
+        # forced auto-compaction (threshold 0) takes the CTAS path
+        assert minhash_table_delete(spark, tbl, [104],
+                                    compact_threshold=0) > 0
+        assert not _table_exists(spark, f"{tbl}_tombstones")
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(104 not in p for p in got) and (102, 103) in got
+    finally:
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+        drop_minhash_table(spark, tbl)

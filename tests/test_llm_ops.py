@@ -670,3 +670,46 @@ def test_semdedup_reports_excluded_members(spark):
         corpus, threshold=0.5, n_cells=2, return_excluded=True
     )
     assert none_excluded.count() == 0
+
+
+def test_similarity_broadcast_hints_are_size_gated(spark, monkeypatch):
+    """VERDICT r10 #1 (similarity side): cosine_topk / l2_topk /
+    pq_topk / ivf_pq_topk broadcast query-batch-proportional frames —
+    each hint is now gated on measured mass. Below the bound the
+    analyzed plan carries the hint; with the bound forced to 0 no
+    hint survives and results are unchanged (AQE decides at runtime)."""
+    import numpy as np
+
+    from etl_apache_kafka_python_doker_aws_spark.functions import similarity
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        l2_topk,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter("vec_id < 2")
+    builds = {
+        "cosine": lambda: cosine_topk(corpus, q, k=3),
+        "l2": lambda: l2_topk(corpus, q, k=3),
+        "pq": lambda: pq_topk(corpus, q, k=3, dim=8, n_subspaces=2,
+                              n_centroids=4, shortlist=10),
+        "ivf_pq": lambda: ivf_pq_topk(corpus, q, k=3, dim=8, n_cells=2,
+                                      n_probe=2, n_subspaces=2,
+                                      n_centroids=4, shortlist=10),
+    }
+    analyzed = lambda df: df._jdf.queryExecution().analyzed().toString()  # noqa: E731
+    for name, build in builds.items():
+        hinted = build()
+        assert "ResolvedHint (strategy=broadcast)" in analyzed(hinted), name
+        expect = hinted.collect()
+        monkeypatch.setattr(similarity, "_BCAST_MAX_CELLS", 0)
+        try:
+            unhinted = build()
+            assert "ResolvedHint" not in analyzed(unhinted), name
+            assert unhinted.collect() == expect, name
+        finally:
+            monkeypatch.undo()

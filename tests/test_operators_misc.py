@@ -498,3 +498,58 @@ def test_asof_join_null_keys_never_match(spark):
     out = {r.event_id: r.asof_value for r in
            asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()}
     assert out == {1: None, 2: 55.0}
+
+
+def test_model_lit_bit_identical_to_lit(spark):
+    """VERDICT r10 #5: _model_lit renders model tables as one SQL
+    array(array(…)) expression instead of F.lit's per-scalar py4j
+    recursion (~160× faster construction). Its correctness rests on a
+    repr()/JVM-parse round-trip property — shortest-exact decimal out,
+    correctly-rounded parse back — which this test pins element-wise
+    against the F.lit form over random codebooks plus the adversarial
+    edges (negative zero, subnormals, max/min exponents, 17-digit
+    mantissas), comparing raw IEEE bit patterns so a future formatting
+    refactor (e.g. locale-sensitive rendering) cannot silently perturb
+    every model literal in the engine."""
+    import random
+    import struct
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        _model_lit,
+    )
+
+    rng = random.Random(1117)
+    edges = [
+        0.0, -0.0,                                   # signed zero
+        5e-324, -5e-324,                             # smallest subnormals
+        2.2250738585072014e-308,                     # smallest normal
+        1.7976931348623157e308, -1.7976931348623157e308,  # largest finite
+        1 / 3, -1 / 3, 0.1, 2.675,                   # repeating binary
+        9007199254740993.0,                          # > 2^53, rounds
+        1.0000000000000002,                          # 1 + ulp
+        123456789.123456789,                         # 17-digit mantissa
+    ]
+    vals = (
+        edges
+        + [rng.uniform(-1e9, 1e9) for _ in range(24)]
+        + [rng.gauss(0.0, 1.0) * 10 ** rng.randint(-300, 300) for _ in range(24)]
+    )
+    rows = [vals[i : i + 4] for i in range(0, len(vals) // 4 * 4, 4)]
+
+    got = spark.range(1).select(
+        F.lit(rows).alias("a"), _model_lit(rows).alias("b")
+    ).first()
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    flat_a = [bits(x) for r in got.a for x in r]
+    flat_b = [bits(x) for r in got.b for x in r]
+    flat_py = [bits(float(v)) for r in rows for v in r]
+    assert flat_b == flat_a, "SQL-literal form drifted from F.lit"
+    assert flat_b == flat_py, "JVM round-trip drifted from the Python floats"
+
+    # out-of-domain: model tables are finite by construction — loud reject
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _model_lit([[1.0, bad]])

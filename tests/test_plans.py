@@ -505,3 +505,123 @@ def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
     band_ex = [e for e in exchanges if "band_" in e]
     assert not band_ex, f"band-key shuffle crept back in: {band_ex}"
     assert "SelectedBucketsCount" in plan, "bucketed scan not used"
+
+
+def test_every_broadcast_hint_site_is_classified():
+    """VERDICT r10 #3: the fact-scan guard above only inspects hinted
+    SCANS — a derived frame (e.g. the ann re-rank candidate set) could
+    still carry an unconditional hint. This guard enumerates EVERY
+    ``F.broadcast`` call site in the package via AST and requires each
+    to be classified: a 1-row/global aggregate, a structurally bounded
+    dim or sketch (nation/region, ≤m/64 bloom bitmap, d×w CMS,
+    metadata-sized maps), a documented caller contract, or behind the
+    r11 size gate (the enclosing function must reference
+    ``_BCAST_MAX_CELLS``). Adding a new hint — or moving a gated one
+    out of its gate — fails here until it is deliberately classified."""
+    import ast
+    import os
+
+    import etl_apache_kafka_python_doker_aws_spark as pkg
+
+    ONE_ROW = "one-row/global aggregate"
+    DIM = "structurally bounded dim/sketch"
+    CONTRACT = "documented caller contract"
+    GATED = "size-gated (_BCAST_MAX_CELLS)"
+    allow = {
+        ("operators/joins.py", "intervals"): CONTRACT,  # keyless interval join: docstring requires broadcastable intervals
+        ("workloads/composite.py", "n"): DIM,           # nation
+        ("workloads/composite.py", "r"): DIM,           # region
+        ("workloads/composite.py", "r.filter(F.col('r_name') == 'ASIA')"): DIM,
+        ("workloads/composite.py", "sn"): DIM,          # nation-derived
+        ("workloads/composite.py", "cn"): DIM,          # nation-derived
+        ("workloads/composite.py", "avg_bal"): ONE_ROW,
+        ("workloads/composite.py", "max_rev"): ONE_ROW,
+        ("workloads/curation.py", "centroid"): ONE_ROW,
+        ("workloads/curation.py", "g_inertia"): ONE_ROW,
+        ("workloads/curation.py", "summary"): ONE_ROW,
+        ("workloads/etl.py", "orphans"): ONE_ROW,
+        ("workloads/etl.py", "replay"): ONE_ROW,
+        ("workloads/joins.py", "n"): DIM,
+        ("workloads/joins.py", "r"): DIM,
+        ("workloads/llm.py", "n_missing"): ONE_ROW,
+        ("workloads/llm.py", "n_extra"): ONE_ROW,
+        ("workloads/llm.py", "n_diff"): ONE_ROW,
+        ("workloads/llm.py", "n_excluded"): ONE_ROW,
+        ("workloads/llm.py", "comp_var"): ONE_ROW,
+        ("workloads/llm.py", "n_q"): ONE_ROW,
+        ("workloads/llm.py", "n_tw"): ONE_ROW,
+        ("workloads/llm.py", "n_docs"): ONE_ROW,
+        ("workloads/llm.py", "fp"): ONE_ROW,
+        ("workloads/llm.py", "total"): ONE_ROW,
+        ("workloads/sql_surface.py", "lossless"): ONE_ROW,
+        ("workloads/streaming.py", "mx"): ONE_ROW,
+        ("sources/layout.py", "nmap"): DIM,             # partition-dir rename map (metadata-sized)
+        ("functions/ann_index.py", "cand.select('query_id').distinct()"): GATED,
+        ("functions/ann_index.py", "cand"): GATED,
+        ("functions/ann_index.py", "q_side"): GATED,
+        ("functions/dedup.py", "n_total"): ONE_ROW,
+        ("functions/dedup.py", "d_mass"): ONE_ROW,
+        ("functions/similarity.py", "df"): GATED,       # _hint_if_bounded, the gate itself
+        ("functions/sketches.py", "bitmap"): DIM,       # bloom bitmap ≤ m/64 rows
+        ("functions/sketches.py", "total.select('n_total')"): ONE_ROW,
+        ("functions/sketches.py", "sketch"): DIM,       # CMS: d×w rows
+        ("functions/text.py", "stats"): ONE_ROW,
+        ("functions/text.py", "vocab"): ONE_ROW,
+    }
+
+    root = os.path.dirname(pkg.__file__)
+    found: dict[tuple[str, str], list] = {}
+
+    class V(ast.NodeVisitor):
+        def __init__(self, rel):
+            self.rel, self.stack = rel, []
+
+        def visit_FunctionDef(self, node):
+            self.stack.append(node)
+            self.generic_visit(node)
+            self.stack.pop()
+
+        visit_AsyncFunctionDef = visit_FunctionDef
+
+        def visit_Call(self, node):
+            f = node.func
+            if (
+                isinstance(f, ast.Attribute)
+                and f.attr == "broadcast"
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "F"
+            ):
+                arg = ast.unparse(node.args[0]) if node.args else "?"
+                found.setdefault((self.rel, arg), []).append(
+                    (node.lineno, self.stack[-1] if self.stack else None)
+                )
+            self.generic_visit(node)
+
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root)
+            V(rel).visit(ast.parse(open(p).read()))
+
+    unknown = sorted(
+        f"{rel}:{hits[0][0]}: F.broadcast({arg})"
+        for (rel, arg), hits in found.items()
+        if (rel, arg) not in allow
+    )
+    assert not unknown, (
+        "unclassified F.broadcast sites (classify in the allowlist with a "
+        "category, or drop the hint and let AQE decide):\n" + "\n".join(unknown)
+    )
+    stale = sorted(f"{rel}: {arg}" for (rel, arg) in allow if (rel, arg) not in found)
+    assert not stale, "allowlist entries no longer in the code:\n" + "\n".join(stale)
+    for (rel, arg), hits in found.items():
+        if allow[(rel, arg)] != GATED:
+            continue
+        for lineno, fnode in hits:
+            assert fnode is not None and "_BCAST_MAX_CELLS" in ast.unparse(fnode), (
+                f"{rel}:{lineno}: F.broadcast({arg}) is classified size-gated "
+                "but its enclosing function no longer references "
+                "_BCAST_MAX_CELLS — the hint escaped its gate"
+            )
