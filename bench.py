@@ -189,8 +189,17 @@ def _op_index_delete(spark, sf_dir: str):
         state["i"] += 1
         dchunk = doc_ids[i * 25:(i + 1) * 25]
         vchunk = vec_ids[i * 25:(i + 1) * 25]
-        nd = minhash_index_delete(spark, mh_path, dchunk) if dchunk else 0
-        nv = ann_index_delete(spark, ann_path, vchunk) if vchunk else 0
+        if len(dchunk) < 25 or len(vchunk) < 25:
+            # never silently time a no-op delete (review r11): an
+            # exhausted reservation would record near-zero samples and
+            # MASK a delete-cost regression instead of catching it
+            raise RuntimeError(
+                "l2l3_index_delete: reserved id chunks exhausted after "
+                f"{i} passes — lower SPARK_GRAFT_BENCH_REPEATS or raise "
+                "the 500-id reservation in _op_index_delete"
+            )
+        nd = minhash_index_delete(spark, mh_path, dchunk)
+        nv = ann_index_delete(spark, ann_path, vchunk)
         return spark.createDataFrame(
             [(nd, nv)], "mh_removed long, ann_removed long"
         )

@@ -738,20 +738,36 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
             "its location lives under <db>.db/; pass the bare table name "
             "in the default database"
         )
-    sc = spark.sparkContext
-    wh = spark.conf.get("spark.sql.warehouse.dir")
+    # the `_deleting` staging twins MUST go too (review r11): a twin
+    # left by a compact killed mid-swap would otherwise be renamed back
+    # into place by _table_swap_recover when a NEW index is later built
+    # under the same name — resurrecting GDPR-purged rows
     for t in (
         table,
         f"{table}_meta",
         f"{table}_batches",
         f"{table}_counts",
         f"{table}_tombstones",
+        f"{table}_deleting",
+        f"{table}_counts_deleting",
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{t.lower()}")
-        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
+        _drop_table_and_location(spark, t)
+
+
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS *and* delete its default warehouse
+    location: a fresh session's catalog has never heard of a table
+    written by a crashed earlier session, so the DROP no-ops while the
+    directory persists and the next ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS (the r8 lesson, now shared by
+    drop_minhash_table and the compact staging prep)."""
+    sc = spark.sparkContext
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh}/{name.lower()}")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def minhash_table_dedup_batch(
@@ -902,15 +918,30 @@ def minhash_table_delete(
     # marked batches only: unmarked crash rows are invisible to pairs
     # (crash containment) and a seq-scoped tombstone can never kill
     # them — they must not count as "removed" or trip the EMPTY guard
+    # (compaction sweeps them physically; review r11)
     full = spark.table(table).filter(
         F.col("_batch").isin([r.batch_id for r in markers])
     )
     live = _apply_tombstones(full, _tombstones(spark, table), markers)
     hit, _, gone = _retraction_forms(live, ids, "minhash_table_delete")
-    removed = hit.count()
+    # ONE index scan for both numbers (review r11 — the first cut paid
+    # three corpus scans per "request-proportional" delete): mark the
+    # requested rows inside the live frame, count rows and marks in a
+    # single aggregate
+    if gone is not None:
+        marked_live = live.join(
+            gone.withColumn("_dead", F.lit(1)), "_id", "left"
+        )
+    else:
+        marked_live = live.withColumn(
+            "_dead", F.when(F.col("_id").isin(ids), F.lit(1))
+        )
+    stats = marked_live.agg(
+        F.count(F.lit(1)).alias("n_live"), F.count("_dead").alias("removed")
+    ).first()
+    n_live, removed = int(stats.n_live), int(stats.removed)
     if removed == 0:
         return 0
-    n_live = live.count()
     if n_live == removed:
         raise ValueError(
             f"minhash_table_delete: deleting these ids would EMPTY the "
@@ -925,7 +956,21 @@ def minhash_table_delete(
     tomb_rows.write.mode("append").format("parquet").saveAsTable(
         f"{table}_tombstones"
     )
-    n_total = full.count()
+    # dead-mass fraction from the METADATA-sized counts sidecar when
+    # complete (tombstones never change the physical row count) — no
+    # third index scan; incomplete counts fall back to one real count
+    if _counts_complete(markers):
+        n_total = (
+            spark.table(f"{table}_counts")
+            .filter(F.col("band_idx") >= 0)
+            .filter(F.col("_batch").isin([r.batch_id for r in markers]))
+            .agg(F.sum("cnt").alias("s"))
+            .first()
+            .s
+            or 0
+        )
+    else:
+        n_total = full.count()
     dead = n_total - (n_live - removed)
     if n_total and dead / n_total > compact_threshold:
         minhash_table_compact(spark, table)
@@ -952,7 +997,16 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
         return 0
     markers = _table_marker_rows(spark, table)
     full = spark.table(table)
-    survivors = _apply_tombstones(full, tomb, markers)
+    # survivors = tombstone-filtered MARKED rows: compaction also
+    # physically sweeps unmarked crash-append garbage (review r11 —
+    # those rows are invisible to pairs and unreachable by seq-scoped
+    # tombstones, so without this sweep a GDPR id stranded in a crashed
+    # append would sit in the warehouse forever)
+    survivors = _apply_tombstones(
+        full.filter(F.col("_batch").isin([r.batch_id for r in markers])),
+        tomb,
+        markers,
+    )
     before = full.count()
     after = survivors.count()
     if after == 0:
@@ -961,6 +1015,16 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
             f"index table {table} — drop it (drop_minhash_table) instead"
         )
     if after == before:
+        # nothing to rewrite — but a compact killed BETWEEN the data
+        # swap and the counts swap lands exactly here on re-run (data
+        # already post-delete, tombstones re-kill nothing): complete
+        # the stranded counts swap before declaring done, or the guard
+        # counts would keep the deleted rows forever (review r11)
+        if _table_exists(spark, f"{table}_counts_deleting"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}_counts")
+            spark.sql(
+                f"ALTER TABLE {table}_counts_deleting RENAME TO {table}_counts"
+            )
         spark.sql(f"DROP TABLE {table}_tombstones")
         return 0
     buckets = meta["buckets"]
@@ -985,7 +1049,11 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
         targets = ((table, survivors), (f"{table}_counts", counts))
         for name, df in targets:
             tmp = f"{name}_deleting"
-            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            # location too (review r11): a CTAS killed mid-write leaves
+            # files under {wh}/{tmp} with NO catalog entry — the bare
+            # DROP no-ops and the retry bricks on
+            # LOCATION_ALREADY_EXISTS (the r8 drop_minhash_table lesson)
+            _drop_table_and_location(spark, tmp)
             df.repartition(
                 buckets, F.col("band_idx"), F.col("band_hash")
             ).write.bucketBy(buckets, "band_idx", "band_hash").format(

@@ -790,6 +790,20 @@ def test_table_delete_tombstones_are_request_proportional(spark, tmp_path):
         got = {(r.id_a, r.id_b) for r in
                minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
         assert all(101 not in p for p in got) and (102, 103) in got
+        # the tombstone anti-join must BROADCAST its request-sized
+        # build side — an _id-key SortMergeJoin would shuffle the whole
+        # index per snapshot, exactly the cost this tier exists to
+        # avoid (review r11: the zero-Exchange pin above never ran with
+        # tombstones present, so the regression would pass CI)
+        import re as _re
+        plan = (
+            minhash_table_pairs_vs_batch(spark, tbl, "b1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        id_ex = [e for e in _re.findall(
+            r"Exchange (?:hash|range)partitioning\(([^)]*)\)", plan
+        ) if "_id" in e or "_t_id" in e]
+        assert not id_ex, f"tombstone anti-join shuffled the index: {id_ex}"
         # idempotent re-delete of a dead id is a no-op
         assert minhash_table_delete(spark, tbl, [101]) == 0
         # (2) re-append the retracted id: the NEW observation lives,
@@ -822,6 +836,76 @@ def test_table_delete_tombstones_are_request_proportional(spark, tmp_path):
         got = {(r.id_a, r.id_b) for r in
                minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
         assert all(104 not in p for p in got) and (102, 103) in got
+    finally:
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+        drop_minhash_table(spark, tbl)
+
+
+def test_compact_heals_stranded_counts_swap(spark, tmp_path):
+    """review r11: a compact killed BETWEEN the data swap and the counts
+    swap leaves post-delete data with PRE-delete counts and the
+    recomputed counts stranded in `_counts_deleting`. A re-run lands in
+    the nothing-to-rewrite early exit (tombstones re-kill nothing) —
+    which must complete the stranded counts swap instead of silently
+    abandoning it, or the guard would over-count the deleted rows
+    forever."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _apply_tombstones,
+        _table_exists,
+        _table_marker_rows,
+        _tombstones,
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_compact,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_counts_strand"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        assert minhash_table_delete(spark, tbl, [101]) > 0
+        # fabricate the crash state: stage survivors + recomputed
+        # counts exactly as compact does, swap ONLY the data table
+        markers = _table_marker_rows(spark, tbl)
+        survivors = _apply_tombstones(
+            spark.table(tbl), _tombstones(spark, tbl), markers)
+        counts = (
+            survivors.groupBy("band_idx", "band_hash", "_batch")
+            .agg(F.count("*").alias("cnt"))
+            .select("band_idx", "band_hash", "cnt", "_batch")
+            .unionByName(spark.createDataFrame(
+                [(-1, 0, 0, r.batch_id) for r in markers],
+                "band_idx int, band_hash long, cnt long, _batch string"))
+        )
+        for name, df in ((tbl, survivors), (f"{tbl}_counts", counts)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+            df.repartition(4, F.col("band_idx"), F.col("band_hash")) \
+              .write.bucketBy(4, "band_idx", "band_hash") \
+              .format("parquet").saveAsTable(f"{name}_deleting")
+        spark.sql(f"DROP TABLE {tbl}")
+        spark.sql(f"ALTER TABLE {tbl}_deleting RENAME TO {tbl}")
+        stale_total = spark.table(f"{tbl}_counts").agg(
+            F.sum("cnt")).first()[0]
+        # re-run: early exit, but the stranded counts swap completes
+        assert minhash_table_compact(spark, tbl) == 0
+        assert not _table_exists(spark, f"{tbl}_counts_deleting")
+        assert not _table_exists(spark, f"{tbl}_tombstones")
+        fresh_total = spark.table(f"{tbl}_counts").agg(
+            F.sum("cnt")).first()[0]
+        assert fresh_total < stale_total  # deleted rows left the guard
+        assert fresh_total == spark.table(tbl).count()
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p for p in got) and (102, 103) in got
     finally:
         for name in (tbl, f"{tbl}_counts"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
