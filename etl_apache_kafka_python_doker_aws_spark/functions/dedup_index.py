@@ -894,9 +894,13 @@ def minhash_table_delete(
     APPENDS its request to ``<table>_tombstones`` (``_id`` + the marker
     sequence at delete time) and every pairs query anti-joins the
     tombstones out (see ``_apply_tombstones`` — request-sized build
-    side, no index shuffle). Per-delete cost is therefore proportional
-    to the REQUEST (one tiny append + two counts), measured at the
-    1M-doc probe in SCALING.md. The CTAS rewrite is demoted to
+    side, no index shuffle). The WRITE side is therefore
+    request-sized — data and counts tables stay byte-untouched
+    (mtime-pinned in tests) — and the accounting is one columnar
+    counting scan of the index plus a metadata-sized sidecar sum;
+    measured at the 1M-doc probe: delete 3.7 s vs 13.0 s for the CTAS
+    rewrite, pairs-query overhead of the anti-join ≈ 0 (SCALING.md
+    r11). The CTAS rewrite is demoted to
     ``minhash_table_compact``, run automatically once dead rows exceed
     ``compact_threshold`` of the table (pass 0 to force, or a value
     > 1 to never auto-compact). Guard counts stay UNTOUCHED until

@@ -78,6 +78,24 @@ def main() -> None:
         emb.filter(F.col("vec_id") < 3), ann, k=3, n_probe=8, shortlist=200
     ).orderBy("query_id", "rk").show(9)
 
+    print("== 4. right-to-be-forgotten: LOCALIZED retraction ==")
+    # both deletes rewrite only the partition dirs the ids hash into
+    # (band_idx/_bgroup and cell/_vbucket) — untouched dirs stay
+    # byte-identical; markers survive, so redelivery stays rejected
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_delete,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_delete,
+    )
+
+    print("band rows retracted:", minhash_index_delete(spark, idx, [1_000_000]))
+    print("vectors retracted:", ann_index_delete(spark, ann, [1_000_000]))
+    print("deleted twin no longer serves (query 0's old rank-1 is gone):")
+    ann_index_search(
+        emb.filter(F.col("vec_id") == 0), ann, k=3, n_probe=8, shortlist=200
+    ).show(3)
+
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(ann, ignore_errors=True)
     spark.stop()

@@ -99,6 +99,23 @@ def main() -> None:
                 )
             )
         )
+        print(json.dumps(out), flush=True)
+    # TRUE point lookup: ≤ _MAX_PUSHED_IDS candidates (2 × 1000 = 2k),
+    # so the refine scan gets the `_id IN` parquet predicate and
+    # row-group skipping — the shape the pruned path exists for. The
+    # 10-query leg above lands in the bucket-whitelist branch where 10k
+    # random ids hit ALL 64 _vbucket dirs (no directory pruning left),
+    # so it pays the fixed jobs without the read win.
+    q2 = emb.filter(F.col("vec_id") < 2)
+    for tag, prune in (("point_pruned", True), ("point_join", False)):
+        out[f"{tag}_search_sec"] = _median3(
+            lambda: drain(
+                ann_index_search(
+                    q2, apath, k=5, n_probe=8, shortlist=1000, prune=prune
+                )
+            )
+        )
+        print(json.dumps(out), flush=True)
 
     # ---- (b) broadcast-gate A/B -------------------------------------
     # serving shape: 10 queries x 1000 shortlist = 10k candidates,
@@ -117,6 +134,7 @@ def main() -> None:
         )
     finally:
         ann_index._BCAST_MAX_CELLS = bound
+    print(json.dumps(out), flush=True)
     # just past the gate: 200 queries x 2000 shortlist ≈ 400k candidates
     # x (dim+2)=66 cells ≈ 26M cells > 24M -> gate drops the hint by
     # default; force it back open to time the hinted form at the bound
@@ -141,6 +159,7 @@ def main() -> None:
         )
     finally:
         ann_index._BCAST_MAX_CELLS = bound
+    print(json.dumps(out), flush=True)
 
     # ---- (c) bucketed band-table tombstone delete at 1M docs --------
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
