@@ -282,6 +282,108 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "l2_bucketed_retraction",
+    scale_form="bounded",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           TRUE AS found_cross_batch,
+           TRUE AS retracted_absent,
+           TRUE AS same_after_compact
+    FROM t WHERE doc_id % 25 = 0 AND doc_id % 50 <> 0 AND n >= 3
+    """,
+)
+def l2_bucketed_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 retraction on the bucketed band index (r11, VERDICT r10 #2 —
+    the tombstone sidecar, oracle-checked end-to-end rather than only
+    unit-tested): index the corpus (b0) plus planted verbatim copies of
+    every 25th eligible doc under id+100000 (b1), then TOMBSTONE-DELETE
+    every other plant (source doc_id % 50 == 0) via
+    ``minhash_table_delete`` — a request-sized sidecar append, no table
+    rewrite — and finally fold the tombstones in with
+    ``minhash_table_compact``.
+
+    Contract (oracle enumerates the SURVIVING plants exactly):
+    (a) ``found_cross_batch`` — every surviving plant still pairs with
+    its source through the tombstone anti-join; (b) ``retracted_absent``
+    — zero post-delete pairs touch ANY retracted id (GDPR holds even
+    for natural near-dups of the retracted plant); (c)
+    ``same_after_compact`` — the CTAS fold-in changes no pair (both
+    anti-join directions empty between the pre-compact snapshot and the
+    post-compact query). The pre-compact pairs are eagerly
+    ``localCheckpoint``-ed BEFORE compacting: compaction swaps the
+    underlying table, and a lazy pre-swap lineage evaluated after the
+    swap would read the wrong files (the r11 swap-vs-laziness rule)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_compact,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+        & (F.size(tx.tokenize("text")) >= 3)
+    )
+    new = eligible.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text")
+    retract = eligible.filter(
+        F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) == 0
+    ).select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"))
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    tbl = f"l2_band_retraction_{app}"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
+    minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1", buckets=8)
+    minhash_table_delete(spark, tbl, retract)
+    # pre-compact snapshot, pinned eagerly (see docstring)
+    pre = minhash_table_pairs_vs_batch(spark, tbl, "b1").localCheckpoint(
+        eager=True
+    )
+    n_excluded = (
+        pre.join(retract, pre["id_a"] == retract["doc_id"], "left_semi")
+        .unionByName(
+            pre.join(retract, pre["id_b"] == retract["doc_id"], "left_semi")
+        )
+        .agg(F.count("*").alias("_nr"))
+    )
+    minhash_table_compact(spark, tbl)
+    post = minhash_table_pairs_vs_batch(spark, tbl, "b1")
+    n_diff = (
+        pre.join(post, ["id_a", "id_b"], "left_anti")
+        .unionByName(post.join(pre, ["id_a", "id_b"], "left_anti"))
+        .agg(F.count("*").alias("_nd"))
+    )
+    expected = eligible.filter(
+        F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) != 0
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(post, ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(n_excluded))
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").isNotNull().alias("found_cross_batch"),
+            (F.col("_nr") == 0).alias("retracted_absent"),
+            (F.col("_nd") == 0).alias("same_after_compact"),
+        )
+    )
+
+
+@query(
     "l2_incremental_semdedup",
     oracle="""
     SELECT vec_id AS id_a,
