@@ -910,3 +910,43 @@ def test_compact_heals_stranded_counts_swap(spark, tmp_path):
         for name in (tbl, f"{tbl}_counts"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
         drop_minhash_table(spark, tbl)
+
+
+def test_drop_table_clears_staging_twins(spark, tmp_path):
+    """review r11: drop_minhash_table must also remove the `_deleting`
+    staging twins — a twin left by a compact killed mid-swap would be
+    renamed back into place by _table_swap_recover when a NEW index is
+    later created under the same name, resurrecting GDPR-purged rows
+    into the fresh index."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _table_exists,
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_drop_twins"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                         buckets=4)
+    # stage a twin as a crashed compact would, then kill between the
+    # DROP and the RENAME
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_deleting")
+    spark.table(tbl).repartition(4, F.col("band_idx"), F.col("band_hash")) \
+        .write.bucketBy(4, "band_idx", "band_hash").format("parquet") \
+        .saveAsTable(f"{tbl}_deleting")
+    drop_minhash_table(spark, tbl)
+    assert not _table_exists(spark, f"{tbl}_deleting")
+    # a NEW index under the same name starts EMPTY — nothing resurrected
+    minhash_table_append(new, "doc_id", "text", tbl, batch_id="fresh",
+                         buckets=4)
+    try:
+        assert spark.table(tbl).filter(F.col("_id") < 100).count() == 0
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "fresh").collect()}
+        assert (102, 103) in got and all(a >= 100 for a, _ in got)
+    finally:
+        drop_minhash_table(spark, tbl)
