@@ -810,18 +810,22 @@ def minhash_table_dedup_batch(
 
 
 def _table_swap_recover(spark: SparkSession, table: str) -> bool:
-    """Heal a ``minhash_table_delete`` killed mid-swap (ADVICE r10: the
+    """Heal a ``minhash_table_compact`` killed mid-swap (ADVICE r10: the
     DROP→RENAME pairs are per-statement catalog-atomic, not atomic
-    across the pair — a kill between ``DROP TABLE {name}`` and the
-    RENAME left the data (or counts) table absent with the survivors
-    stranded in ``{name}_deleting``, pairs queries raising until manual
-    repair). Both staging tables are CTAS'd BEFORE any swap starts, so
-    a live table that is missing WITH a ``_deleting`` twin present is
-    unambiguously a crashed swap: rename the twin into place. A missing
-    table with no twin is left alone (e.g. a half-finished first
-    append — not this function's crash window). When the DATA table was
-    the missing one, the counts swap never ran — complete it too, so
-    the pair stays consistent. Returns True if anything was repaired."""
+    across the pair). Run by EVERY read/write entry point, so no append
+    can interleave with a half-applied swap. The states are
+    unambiguous because compact drops BOTH staging twins upfront and
+    stages data before counts — so a ``_deleting`` twin next to a
+    MISSING live table is a swap killed between its DROP and RENAME
+    (rename the twin in), and a ``counts_deleting`` twin with NO
+    ``{table}_deleting`` beside both live tables means the data swap
+    COMPLETED and the counts swap never ran (review r11 — without this
+    arm the next compact's nothing-to-rewrite early exit would strand
+    the recomputed counts forever, and a batch appended meanwhile
+    would land its counts in the stale table): complete the counts
+    swap. A missing table with no twin is left alone (e.g. a
+    half-finished first append — not this function's crash window).
+    Returns True if anything was repaired."""
     repaired = False
     data_was_missing = not _table_exists(spark, table)
     for n in (table, f"{table}_counts"):
@@ -829,13 +833,21 @@ def _table_swap_recover(spark: SparkSession, table: str) -> bool:
         if not _table_exists(spark, n) and _table_exists(spark, tmp):
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {n}")
             repaired = True
-    if repaired and data_was_missing:
-        # the data swap crashed before the counts swap started; the
-        # staged post-delete counts pair with the recovered data table
+    if (repaired and data_was_missing) or (
+        not data_was_missing
+        and _table_exists(spark, table)
+        and _table_exists(spark, f"{table}_counts")
+        and not _table_exists(spark, f"{table}_deleting")
+        and _table_exists(spark, f"{table}_counts_deleting")
+    ):
+        # either the data swap was just recovered above (counts swap
+        # never started), or it completed on its own before the kill —
+        # in both cases the staged counts pair with the CURRENT data
         tmp = f"{table}_counts_deleting"
         if _table_exists(spark, tmp):
             spark.sql(f"DROP TABLE IF EXISTS {table}_counts")
             spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}_counts")
+            repaired = True
     return repaired
 
 
@@ -945,6 +957,9 @@ def minhash_table_delete(
     ).first()
     n_live, removed = int(stats.n_live), int(stats.removed)
     if removed == 0:
+        # nothing LIVE matches — ids unknown, already tombstoned, or
+        # stranded in unmarked crash-append rows (invisible to pairs;
+        # run minhash_table_compact to physically sweep those)
         return 0
     if n_live == removed:
         raise ValueError(
@@ -952,8 +967,14 @@ def minhash_table_delete(
             f"index table {table} — drop it (drop_minhash_table) instead"
         )
     del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
+    # pin the sidecar's _id to the INDEX's id type (second review r11):
+    # the first delete's request form would otherwise fix the table
+    # schema, and a later delete whose DataFrame carries a narrower /
+    # wider id type fails the append under ANSI store assignment —
+    # retraction reported by exception, not applied
+    id_type = full.schema["_id"].dataType
     tomb_rows = (
-        gone
+        gone.select(F.col("_id").cast(id_type).alias("_id"))
         if gone is not None
         else spark.createDataFrame([(i,) for i in ids], full.select("_id").schema)
     ).withColumn("del_seq", F.lit(del_seq))
@@ -990,22 +1011,27 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
     crash before that drop leaves tombstones that re-kill already-gone
     rows (an anti-join no-op), so compaction is idempotent. The
     DROP→RENAME swap windows are healed by ``_table_swap_recover``
-    (run here and by every read/write entry point). Returns the number
-    of dead rows compacted away (0 when no tombstones are pending)."""
+    (run here and by every read/write entry point). Also the PHYSICAL
+    sweep for unmarked crash-append rows — those never get tombstones
+    (invisible to pairs, unreachable by seq scoping), so compact
+    rewrites whenever marked survivors differ from the physical table,
+    tombstones pending or not. Returns the number of dead rows
+    compacted away (0 when there is nothing to fold or sweep)."""
     _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"minhash_table_compact: no index table {table}")
     tomb = _tombstones(spark, table)
-    if tomb is None:
-        return 0
     markers = _table_marker_rows(spark, table)
     full = spark.table(table)
     # survivors = tombstone-filtered MARKED rows: compaction also
     # physically sweeps unmarked crash-append garbage (review r11 —
     # those rows are invisible to pairs and unreachable by seq-scoped
     # tombstones, so without this sweep a GDPR id stranded in a crashed
-    # append would sit in the warehouse forever)
+    # append would sit in the warehouse forever). The sweep runs even
+    # with NO tombstones pending (second review r11: a GDPR id whose
+    # rows exist ONLY in an unmarked batch produces no tombstone —
+    # delete returns 0 — so compact must be able to purge it alone).
     survivors = _apply_tombstones(
         full.filter(F.col("_batch").isin([r.batch_id for r in markers])),
         tomb,
@@ -1019,17 +1045,12 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
             f"index table {table} — drop it (drop_minhash_table) instead"
         )
     if after == before:
-        # nothing to rewrite — but a compact killed BETWEEN the data
-        # swap and the counts swap lands exactly here on re-run (data
-        # already post-delete, tombstones re-kill nothing): complete
-        # the stranded counts swap before declaring done, or the guard
-        # counts would keep the deleted rows forever (review r11)
-        if _table_exists(spark, f"{table}_counts_deleting"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}_counts")
-            spark.sql(
-                f"ALTER TABLE {table}_counts_deleting RENAME TO {table}_counts"
-            )
-        spark.sql(f"DROP TABLE {table}_tombstones")
+        # nothing to rewrite (a compact killed between its two swaps
+        # also lands here on re-run — but the entry-point
+        # _table_swap_recover above already completed the stranded
+        # counts swap for that case)
+        if tomb is not None:
+            spark.sql(f"DROP TABLE {table}_tombstones")
         return 0
     buckets = meta["buckets"]
     counts = (
@@ -1051,13 +1072,23 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
         # ORIGINAL data table (survivors lineage), so dropping it first
         # would compute counts against a dead relation
         targets = ((table, survivors), (f"{table}_counts", counts))
+        # clear BOTH staging twins BEFORE the first CTAS (second review
+        # r11): dropping each twin lazily just before its own CTAS
+        # leaves a reachable state where a STALE counts twin survives a
+        # staging crash without its data twin — indistinguishable from
+        # the data-swap-completed crash window _table_swap_recover
+        # heals, so recovery would rename pre-crash counts over the
+        # live table. With both drops upfront, a counts twin can only
+        # exist alongside this attempt's data twin (staged) or after
+        # the data swap consumed it (renamed away) — exactly the two
+        # states recovery distinguishes. Location too: a CTAS killed
+        # mid-write leaves files under {wh}/{tmp} with NO catalog
+        # entry — a bare DROP no-ops and the retry bricks on
+        # LOCATION_ALREADY_EXISTS (the r8 drop_minhash_table lesson).
+        for name, _df in targets:
+            _drop_table_and_location(spark, f"{name}_deleting")
         for name, df in targets:
             tmp = f"{name}_deleting"
-            # location too (review r11): a CTAS killed mid-write leaves
-            # files under {wh}/{tmp} with NO catalog entry — the bare
-            # DROP no-ops and the retry bricks on
-            # LOCATION_ALREADY_EXISTS (the r8 drop_minhash_table lesson)
-            _drop_table_and_location(spark, tmp)
             df.repartition(
                 buckets, F.col("band_idx"), F.col("band_hash")
             ).write.bucketBy(buckets, "band_idx", "band_hash").format(
@@ -1070,7 +1101,8 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
             spark.sql(f"ALTER TABLE {name}_deleting RENAME TO {name}")
     finally:
         spark.conf.set(auto_key, old_auto)
-    spark.sql(f"DROP TABLE {table}_tombstones")
+    if tomb is not None:
+        spark.sql(f"DROP TABLE {table}_tombstones")
     return before - after
 
 

@@ -895,17 +895,35 @@ def test_compact_heals_stranded_counts_swap(spark, tmp_path):
         spark.sql(f"ALTER TABLE {tbl}_deleting RENAME TO {tbl}")
         stale_total = spark.table(f"{tbl}_counts").agg(
             F.sum("cnt")).first()[0]
-        # re-run: early exit, but the stranded counts swap completes
-        assert minhash_table_compact(spark, tbl) == 0
+        # WORST interleaving (second review r11): an APPEND arrives
+        # before any compact re-run. Entry-point recovery must complete
+        # the counts swap FIRST — otherwise b2's counts land in the
+        # stale table and a later early-exit compact renames the
+        # pre-b2 staged counts over them, silently dropping b2-only
+        # buckets from the guard whitelist (pairs lost).
+        b2 = spark.createDataFrame(
+            [(601, "novel sphinx wafts quick jolts of zesty vim"),
+             (602, "novel sphinx wafts quick jolts of zesty vim")],
+            "doc_id long, text string")
+        minhash_table_append(b2, "doc_id", "text", tbl, batch_id="b2",
+                             buckets=4)
         assert not _table_exists(spark, f"{tbl}_counts_deleting")
-        assert not _table_exists(spark, f"{tbl}_tombstones")
         fresh_total = spark.table(f"{tbl}_counts").agg(
             F.sum("cnt")).first()[0]
-        assert fresh_total < stale_total  # deleted rows left the guard
-        assert fresh_total == spark.table(tbl).count()
+        assert fresh_total < stale_total + 8  # deleted rows left the guard
+        # b2's within-batch dup pairs — its bucket exists ONLY in b2,
+        # so this fails if b2's counts were stranded or overwritten
+        got2 = {(r.id_a, r.id_b) for r in
+                minhash_table_pairs_vs_batch(spark, tbl, "b2").collect()}
+        assert (601, 602) in got2
+        # compact's early exit just drops the (no-op) tombstones now
+        assert minhash_table_compact(spark, tbl) == 0
+        assert not _table_exists(spark, f"{tbl}_tombstones")
         got = {(r.id_a, r.id_b) for r in
                minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
         assert all(101 not in p for p in got) and (102, 103) in got
+        assert {(r.id_a, r.id_b) for r in
+                minhash_table_pairs_vs_batch(spark, tbl, "b2").collect()} == got2
     finally:
         for name in (tbl, f"{tbl}_counts"):
             spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
@@ -949,4 +967,90 @@ def test_drop_table_clears_staging_twins(spark, tmp_path):
                minhash_table_pairs_vs_batch(spark, tbl, "fresh").collect()}
         assert (102, 103) in got and all(a >= 100 for a, _ in got)
     finally:
+        drop_minhash_table(spark, tbl)
+
+
+def test_compact_sweeps_unmarked_rows_without_tombstones(spark, tmp_path):
+    """second review r11: a GDPR id whose band rows exist ONLY in an
+    UNMARKED (crashed-append) batch gets no tombstone — delete returns
+    0 — so minhash_table_compact must run its physical sweep even with
+    no tombstones pending, or those rows would sit in the warehouse
+    forever with both entry points reporting success."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
+        banded_minhash_signatures,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _table_exists,
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_compact,
+        minhash_table_delete,
+        minhash_table_meta,
+    )
+
+    base, _, _ = _frames(spark)
+    tbl = "t_mh_unmarked_sweep"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        # simulate an append crash: band rows written, marker never was
+        meta = minhash_table_meta(spark, tbl)
+        orphan = spark.createDataFrame(
+            [(9001, "stranded crash append document about zebras")],
+            "doc_id long, text string")
+        banded_minhash_signatures(
+            orphan, "doc_id", "text", meta["num_hashes"], meta["bands"],
+            meta["shingle_n"], meta["seed"],
+        ).withColumn("_batch", F.lit("crashed")).write.mode(
+            "append"
+        ).bucketBy(4, "band_idx", "band_hash").format("parquet").saveAsTable(tbl)
+        assert spark.table(tbl).filter(F.col("_id") == 9001).count() > 0
+        # the GDPR request for the stranded id: no live rows match
+        assert minhash_table_delete(spark, tbl, [9001]) == 0
+        assert not _table_exists(spark, f"{tbl}_tombstones")
+        # compact alone performs the physical sweep
+        assert minhash_table_compact(spark, tbl) > 0
+        assert spark.table(tbl).filter(F.col("_id") == 9001).count() == 0
+        # idempotent afterwards
+        assert minhash_table_compact(spark, tbl) == 0
+    finally:
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
+        drop_minhash_table(spark, tbl)
+
+
+def test_tombstone_sidecar_id_type_is_order_independent(spark, tmp_path):
+    """second review r11: the tombstone sidecar's _id type is pinned to
+    the INDEX's id type, not to whichever request form ran first — a
+    first delete with an INT-typed id frame must not brick a later
+    BIGINT list delete on the sidecar append."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    base, new, _ = _frames(spark)
+    tbl = "t_mh_tomb_types"
+    drop_minhash_table(spark, tbl)
+    try:
+        minhash_table_append(base, "doc_id", "text", tbl, batch_id="b0",
+                             buckets=4)
+        minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1",
+                             buckets=4)
+        narrow = spark.createDataFrame([(101,)], "doc_id int")  # INT, not BIGINT
+        assert minhash_table_delete(spark, tbl, narrow) > 0
+        assert spark.table(f"{tbl}_tombstones").schema["_id"].simpleString() \
+            == "_id:bigint"
+        # the list form (BIGINT) appends into the same sidecar cleanly
+        assert minhash_table_delete(spark, tbl, [104]) > 0
+        got = {(r.id_a, r.id_b) for r in
+               minhash_table_pairs_vs_batch(spark, tbl, "b1").collect()}
+        assert all(101 not in p and 104 not in p for p in got)
+        assert (102, 103) in got
+    finally:
+        for name in (tbl, f"{tbl}_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_deleting")
         drop_minhash_table(spark, tbl)
