@@ -86,6 +86,10 @@ HEADLINE = [
     # r11 (VERDICT r10 #6): time the retraction path too — localized
     # deletes from both persisted indexes, fresh id chunk per pass.
     "l2l3_index_delete",
+    # r12 (VERDICT r11 #5): the third delete shape — the bucketed-tier
+    # tombstone append (minhash_table_delete), compaction outside the
+    # timer, so the r11 flagship's cost is regression-tracked too.
+    "l2_table_delete",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -147,13 +151,16 @@ def _op_ann_index_search(spark, sf_dir: str):
 
 
 def _op_index_delete(spark, sf_dir: str):
-    """Operator path (r11, VERDICT r10 #6): LOCALIZED retraction from
-    both persisted indexes — minhash_index_delete (band_idx/_bgroup
-    dirs) + ann_index_delete (cell/_vbucket dirs) of a fresh 25-id
-    chunk per pass, so delete-cost regressions are caught the way
-    query regressions are. Setup (untimed): build both indexes once;
-    reserve disjoint id chunks so every warm/timed pass deletes ids
-    that are still live (a re-delete would no-op and time nothing)."""
+    """Operator path (r11, VERDICT r10 #6): retraction from both
+    persisted indexes — minhash_index_delete (localized band_idx/_bgroup
+    dir rewrite) + ann_index_delete (r12: request-sized TOMBSTONE
+    append, no dir rewrite) of a fresh 25-id chunk per pass, so
+    delete-cost regressions are caught the way query regressions are.
+    Setup (untimed): build both indexes once; reserve disjoint id
+    chunks so every warm/timed pass deletes ids that are still live (a
+    re-delete would no-op and time nothing). The ANN deletes stay below
+    the auto-compact threshold at this corpus/pass count — the timed
+    path is the pure sidecar append."""
     import tempfile
 
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
@@ -207,17 +214,60 @@ def _op_index_delete(spark, sf_dir: str):
     return run
 
 
+def _op_table_delete(spark, sf_dir: str):
+    """Operator path (r12, VERDICT r11 #5): the bucketed-tier tombstone
+    retraction — minhash_table_delete of a fresh 25-id chunk per pass
+    (compact_threshold > 1 pins the timed path to the request-sized
+    sidecar append + the metadata accounting; the CTAS fold-in is a
+    maintenance op, run once OUTSIDE the timers at cleanup). Setup
+    (untimed): one bucketed-table append of the corpus."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_table_append,
+        minhash_table_delete,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    tbl = f"bench_mh_table_del_{app}"
+    _BENCH_TABLES.append(tbl)
+    minhash_table_append(docs, "doc_id", "text", tbl, batch_id="base", buckets=8)
+    doc_ids = [r.doc_id for r in
+               docs.select("doc_id").orderBy("doc_id").limit(500).collect()]
+    state = {"i": 0}
+
+    def run():
+        i = state["i"]
+        state["i"] += 1
+        chunk = doc_ids[i * 25:(i + 1) * 25]
+        if len(chunk) < 25:
+            raise RuntimeError(
+                "l2_table_delete: reserved id chunks exhausted after "
+                f"{i} passes — lower SPARK_GRAFT_BENCH_REPEATS or raise "
+                "the 500-id reservation in _op_table_delete"
+            )
+        n = minhash_table_delete(spark, tbl, chunk, compact_threshold=2.0)
+        return spark.createDataFrame([(n,)], "tbl_removed long")
+
+    return run
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
     "l2_index_dedup_batch": _op_index_dedup_batch,
     "l3_ann_index_search": _op_ann_index_search,
     "l2l3_index_delete": _op_index_delete,
+    "l2_table_delete": _op_table_delete,
 }
 
 # persisted-index fixtures built by the setups — removed after the run
-# (hundreds of MB per bench invocation otherwise accumulate in /tmp)
+# (hundreds of MB per bench invocation otherwise accumulate in /tmp);
+# catalog tables get one compaction pass (outside all timers — the
+# maintenance op the tombstone path defers) and are then dropped
 _BENCH_TMP: list[str] = []
+_BENCH_TABLES: list[str] = []
 
 
 def main() -> None:
@@ -264,6 +314,20 @@ def main() -> None:
 
         for p in _BENCH_TMP:
             shutil.rmtree(p, ignore_errors=True)
+        from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+            drop_minhash_table,
+            minhash_table_compact,
+        )
+
+        for t in _BENCH_TABLES:
+            try:
+                # one fold-in OUTSIDE the timers — exercises the
+                # maintenance path the tombstone deletes deferred
+                minhash_table_compact(spark, t)
+            except Exception:
+                pass
+            finally:
+                drop_minhash_table(spark, t)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -43,8 +43,21 @@ Index layout at ``path``:
   * ``_graft_batches/`` — append markers; duplicate batch_id rejected.
     Markers record ``n_rows`` (r9) so the auto-sized shortlist can read
     the corpus size as metadata (sum of markers) instead of counting
-    the codes tier; a delete shrinks the corpus below the marker sum,
-    which only OVERSIZES the shortlist — recall-safe.
+    the codes tier.
+  * ``_graft_tombstones/`` + ``_graft_dead/`` (r12, VERDICT r11 #1) —
+    the retraction sidecars: ``ann_index_delete`` on an r12 index
+    APPENDS its request as (``_id``, ``del_seq``) tombstones instead of
+    rewriting ``cell=/_vbucket=`` directories (the r9-r11 shape paid a
+    dir-proportional rewrite — ~n/4096 vectors per directory at 10⁹
+    scale for a 25-row GDPR request). Every read path anti-joins the
+    tombstones out, seq-scoped against the batch markers exactly like
+    ``dedup_index._apply_tombstones`` (a row is dead iff its batch was
+    marked BEFORE the delete ran — a re-appended id lives while its
+    retracted history stays dead). ``_graft_dead`` holds one tiny JSON
+    tally per delete so live-size accounting (auto shortlist/prune)
+    stays a metadata read; ``ann_index_compact`` folds tombstones into
+    the affected directories (the old localized rewrite, demoted to
+    maintenance) and recomputes marker ``n_rows``.
   * ``residual=True`` (VERDICT r7 #6) trains the PQ codebooks on
     per-cell residuals (vec − centroid[cell]) — classic FAISS IVFPQ,
     finer quantization when cells are tight. The flag is pinned in meta
@@ -86,6 +99,28 @@ from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
 _META_DIR = "_graft_meta"
 _BATCH_DIR = "_graft_batches"
 _VEC_DIR = "_graft_vectors"
+_TOMB_DIR = "_graft_tombstones"
+_DEAD_DIR = "_graft_dead"
+
+# Corpus-scaled refine-tier bucketing (r12, VERDICT r11 #2): the r11
+# 10M-vector probe showed the fixed default of 64 `_vbucket`s loses its
+# pruning bite at serving shortlists — 10k candidates hash into all 64
+# buckets, so the whitelist degenerates to a full-tier read. The default
+# now targets ~50k vectors per bucket (a few tens of MB of raw doubles
+# at dim 64 — directory-sized, not straggler-sized), clamped to
+# [64, 4096] so tiny corpora keep cheap listings and huge ones bound
+# the partition count. buckets-hit ≈ min(n_cand, vec_buckets) keeps
+# directory pruning effective as the corpus grows. Existing indexes
+# migrate via ann_index_rebuild(vec_buckets="auto").
+_AUTO_VB_ROWS_PER_BUCKET = 50_000
+_AUTO_VB_MIN = 64
+_AUTO_VB_MAX = 4096
+
+
+def _auto_vec_buckets(n_rows: int) -> int:
+    return max(
+        _AUTO_VB_MIN, min(_AUTO_VB_MAX, int(n_rows) // _AUTO_VB_ROWS_PER_BUCKET)
+    )
 
 # Upper bound on the candidate ids ann_index_search will collect
 # driver-side and push into the refine scan as an ``_id IN (…)``
@@ -138,6 +173,13 @@ def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
         "vec_buckets": (
             int(row.vec_buckets) if "vec_buckets" in row.__fields__ else None
         ),
+        # r12: refine-tier rows carry per-row ``_batch`` lineage, the
+        # prerequisite for seq-scoped tombstone retraction; pre-r12
+        # indexes lack it and keep the physical dir-rewrite delete
+        # (ann_index_rebuild is the migration path)
+        "vec_batch": (
+            bool(row.vec_batch) if "vec_batch" in row.__fields__ else False
+        ),
         "centroids": [list(map(float, c)) for c in row.centroids],
         "codebooks": [
             [list(map(float, c)) for c in book] for book in row.codebooks
@@ -154,27 +196,142 @@ def _fs_nonempty(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
 
 
-def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
+def _ann_marker_rows(spark: SparkSession, path: str) -> list:
+    """Raw batch-marker rows in append order (empty for a fresh index).
+    One tiny JSON row per batch — metadata-cheap at any index size."""
     try:
         rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
     except Exception:
         return []
-    return [r.batch_id for r in sorted(rows, key=lambda r: r.seq)]
+    return sorted(rows, key=lambda r: r.seq)
+
+
+def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
+    return [r.batch_id for r in _ann_marker_rows(spark, path)]
 
 
 def _index_size_from_markers(spark: SparkSession, path: str) -> int | None:
-    """Corpus size as a METADATA read: sum of the per-batch ``n_rows``
-    marker field (r9). None when any marker predates the field (pre-r9
-    append) — the caller falls back to counting the codes tier."""
-    try:
-        rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
-    except Exception:
-        return None
+    """PHYSICAL corpus size as a METADATA read: sum of the per-batch
+    ``n_rows`` marker field (r9). None when any marker predates the
+    field (pre-r9 append) — the caller falls back to counting the codes
+    tier. Tombstoned-but-uncompacted rows are still counted here — use
+    ``_ann_live_size`` for the serving size."""
+    rows = _ann_marker_rows(spark, path)
     if not rows or any(
         "n_rows" not in r.__fields__ or r.n_rows is None for r in rows
     ):
         return None
     return sum(int(r.n_rows) for r in rows)
+
+
+def _ann_dead_total(spark: SparkSession, path: str) -> int:
+    """Tombstoned-row tally: sum of the per-delete ``n_dead`` markers
+    (``_graft_dead``, one tiny JSON row per delete). 0 when no delete is
+    pending — compaction drops the tally with the tombstones."""
+    try:
+        rows = spark.read.json(f"{path}/{_DEAD_DIR}").collect()
+    except Exception:
+        return 0
+    return sum(
+        int(r.n_dead)
+        for r in rows
+        if "n_dead" in r.__fields__ and r.n_dead is not None
+    )
+
+
+def _ann_live_size(spark: SparkSession, path: str, meta: dict) -> int | None:
+    """Serving-size statistic for the auto shortlist / prune decisions
+    (r12, VERDICT r11 #3 — the r11 form read the raw marker sum, so a
+    heavily-retracted index overstated its size and took the pruned
+    path below the true crossover): physical marker sum minus the
+    tombstoned-dead tally. None when markers predate ``n_rows``."""
+    n = _index_size_from_markers(spark, path)
+    if n is None:
+        return None
+    if meta.get("vec_batch"):
+        n -= _ann_dead_total(spark, path)
+    return max(n, 0)
+
+
+def _ann_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The pending delete requests (``_id``, ``del_seq``), or None when
+    none are pending — compaction removes the sidecar whole, so its
+    absence is the common fast path (zero extra plan nodes)."""
+    try:
+        return spark.read.parquet(f"{path}/{_TOMB_DIR}")
+    except Exception:
+        return None
+
+
+def _ann_marker_df(spark: SparkSession, markers: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
+    )
+
+
+def _with_seq(df: DataFrame, mdf: DataFrame, how: str) -> DataFrame:
+    """Attach each row's batch SEQUENCE by joining the metadata-sized
+    marker frame — a broadcast join, never a literal ``create_map``
+    (ADVICE r11 #2 applied from day one on this tier: a year of 15-min
+    crawl snapshots is ~35k markers, and a 70k-element literal map in
+    every serving plan is driver-side bloat; the join side stays one
+    tiny row per batch). ``how="left"`` keeps unmarked (crashed-append)
+    rows with a NULL seq — no tombstone can name them, so they survive
+    retraction untouched; ``how="inner"`` restricts to marked rows (the
+    delete-accounting shape)."""
+    return df.join(F.broadcast(mdf), df["_batch"] == mdf["_mb"], how).drop("_mb")
+
+
+def _ann_apply_tombstones(
+    df: DataFrame, tomb: DataFrame | None, markers: list
+) -> DataFrame:
+    """Filter an index frame (codes or refine tier) to its LIVE rows: a
+    row is dead iff some tombstone names its ``_id`` AND the row's batch
+    was already marked when the delete ran (``seq < del_seq``) — the
+    seq scoping that lets a RE-APPENDED id live while its retracted
+    history stays dead (same rule as ``dedup_index._apply_tombstones``).
+    The anti-join's tombstone side is delete-request-sized; the index
+    itself never shuffles for retraction."""
+    if tomb is None:
+        return df
+    t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+    return (
+        _with_seq(df, _ann_marker_df(df.sparkSession, markers), "left")
+        .join(
+            t,
+            (F.col("_id") == F.col("_t_id"))
+            & (F.col("_seq") < F.col("del_seq")),
+            "left_anti",
+        )
+        .drop("_seq")
+    )
+
+
+def _ann_recover(path: str) -> None:
+    """Heal every crash window the WRITE ops can leave, run by each
+    write entry point (append/delete/compact/rebuild): half-swapped
+    partition directories from a compact or legacy delete
+    (``_recover_partition_dirs``), a pre-r9 whole-dir delete swap and
+    compact's marker-dir swap (``plans.merge._recover``). No-op on a
+    remote-scheme path (the swap machinery is local-FS; remote indexes
+    fold tombstones via ``ann_index_rebuild``). Reads stay correct
+    through every window without healing: tombstones pending during a
+    partially-folded compact anti-join rows that are already physically
+    gone (a no-op), and a missing marker dir only degrades the auto
+    size statistic to a codes count."""
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme not in ("", "file"):
+        return
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _recover_partition_dirs,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _recover
+
+    _recover(path)
+    _recover_partition_dirs(path)
+    _recover_partition_dirs(f"{path}/{_VEC_DIR}")
+    _recover(f"{path}/{_BATCH_DIR}")
 
 
 def _dim_guarded(vec: "F.Column", dim: int, who: str) -> "F.Column":
@@ -258,7 +415,7 @@ def ann_index_build(
     train_fraction: float | None = None,
     batch_id: str = "base",
     residual: bool = False,
-    vec_buckets: int = 64,
+    vec_buckets: int | str | None = "auto",
 ) -> None:
     """Train IVF centroids + PQ codebooks on ``corpus`` (seeded KMeans;
     ``train_fraction`` samples the training passes at scale), persist
@@ -270,9 +427,12 @@ def ann_index_build(
     onto them would append-double the corpus; VERDICT r7 #5).
     ``residual=True`` trains PQ codebooks on (vec − centroid[cell])
     residuals — the flag is pinned in meta with the models.
-    ``vec_buckets`` sizes the refine tier's id-hash partitioning (r9):
-    at 10⁹ vectors pick it so each bucket directory holds a few GB —
-    pinned in meta because search derives the pruning hash from it."""
+    ``vec_buckets`` sizes the refine tier's id-hash partitioning (r9);
+    the default ``"auto"`` (r12, VERDICT r11 #2) scales it with the
+    corpus — ~50k vectors per bucket, clamped to [64, 4096]
+    (``_auto_vec_buckets``) — so directory pruning keeps bite at
+    serving shortlists as the corpus grows; pinned in meta because
+    search derives the pruning hash from it."""
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
     spark = corpus.sparkSession
@@ -289,6 +449,8 @@ def ann_index_build(
         )
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    if vec_buckets == "auto":
+        vec_buckets = _auto_vec_buckets(corpus.count())
     sub = dim // n_subspaces
     assigned, centroids = _kmeans_cells(
         ensure_parallelism(corpus), id_col, vec_col, n_cells, seed, train_fraction
@@ -308,6 +470,9 @@ def ann_index_build(
         "n_centroids": n_centroids,
         "seed": seed,
         "residual": residual,
+        # r12: per-row batch lineage in the refine tier — the layout
+        # prerequisite for seq-scoped tombstone retraction
+        "vec_batch": True,
         "centroids": centroids,
         "codebooks": codebooks,
     }
@@ -348,6 +513,10 @@ def ann_index_append(
     meta = ann_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"ann_index_append: no index at {path} — build first")
+    # heal a compact killed mid-marker-swap BEFORE reading the batch
+    # list: a missing marker dir would read as "no batches" and accept
+    # a duplicate batch_id (r12 crash-window table)
+    _ann_recover(path)
     existing = ann_index_batches(spark, path)
     if batch_id in existing:
         raise ValueError(
@@ -368,7 +537,7 @@ def ann_index_rebuild(
     seed: int | None = None,
     train_fraction: float | None = None,
     residual: bool | None = None,
-    vec_buckets: int | None = None,
+    vec_buckets: int | str | None = None,
 ) -> None:
     """Retrain the index from its own stored vectors into ``new_path``
     — the documented staleness cure as an API instead of a playbook
@@ -394,7 +563,13 @@ def ann_index_rebuild(
     move); ``dim`` is a property of the stored vectors and cannot
     change. A pre-r9 index (unpartitioned refine tier) rebuilds into
     the bucketed layout by default (vec_buckets 64) — rebuild IS the
-    legacy upgrade path.
+    legacy upgrade path, and since r12 ALSO the tombstone-retraction
+    upgrade path: the rebuilt index always carries per-row ``_batch``
+    lineage in its refine tier (``vec_batch``), pending tombstones are
+    folded in (never copied — the rebuilt markers reflect the true
+    post-delete counts), and ``vec_buckets="auto"`` re-derives the
+    corpus-scaled bucket count for an index that outgrew its build-time
+    layout.
 
     Scale shape: two sampled training passes (``train_fraction``), one
     full encode pass and one refine-tier rewrite — all linear scans,
@@ -412,6 +587,7 @@ def ann_index_rebuild(
             f"ann_index_rebuild: {new_path} is not empty — rebuild targets "
             "a FRESH path (the live index keeps serving until the swap)"
         )
+    _ann_recover(path)
     meta = {
         "dim": old["dim"],
         "n_cells": n_cells if n_cells is not None else old["n_cells"],
@@ -423,8 +599,9 @@ def ann_index_rebuild(
         ),
         "seed": seed if seed is not None else old["seed"],
         "residual": residual if residual is not None else old["residual"],
+        "vec_batch": True,  # rebuild always migrates to the r12 layout
         "vec_buckets": (
-            vec_buckets if vec_buckets is not None
+            vec_buckets if vec_buckets is not None and vec_buckets != "auto"
             else (old["vec_buckets"] or 64)
         ),
     }
@@ -447,18 +624,28 @@ def ann_index_rebuild(
     # refine write — a nondeterministic pick could store DIFFERENT
     # vectors for the same id in the two tiers) — and the EARLIEST
     # batch's lineage (min _batch, same determinism argument).
+    # Pending tombstones are FOLDED IN here (r12): both tiers are
+    # live-filtered with the same seq-scoped rule the read paths use,
+    # so the rebuilt index holds only surviving rows and carries no
+    # tombstone sidecar — rebuild is the remote-index compaction path.
+    markers = _ann_marker_rows(spark, path)
+    tomb = _ann_tombstones(spark, path) if old.get("vec_batch") else None
+    raw_vecs = spark.read.parquet(f"{path}/{_VEC_DIR}")
+    if old.get("vec_batch"):
+        raw_vecs = _ann_apply_tombstones(raw_vecs, tomb, markers)
     vecs = (
-        spark.read.parquet(f"{path}/{_VEC_DIR}")
-        .select("_id", "_v")
+        raw_vecs.select("_id", "_v")
         .groupBy("_id")
         .agg(F.min("_v").alias("_v"))
     )
     corpus = vecs.join(
-        spark.read.parquet(path)
+        _ann_apply_tombstones(spark.read.parquet(path), tomb, markers)
         .groupBy("_id")
         .agg(F.min("_batch").alias("_batch")),
         "_id",
     )
+    if vec_buckets == "auto":
+        meta["vec_buckets"] = _auto_vec_buckets(vecs.count())
     assigned, centroids = _kmeans_cells(
         ensure_parallelism(vecs), "_id", "_v", meta["n_cells"],
         meta["seed"], train_fraction,
@@ -482,7 +669,10 @@ def ann_index_rebuild(
         meta["n_cells"],
         wide=True,
     ).write.mode("append").partitionBy("cell").parquet(new_path)
-    _write_vec_tier(vecs, new_path, meta, wide=True)
+    # the new refine tier carries _batch lineage (vec_batch layout) —
+    # corpus is vecs ⋈ per-id earliest batch, so both tiers agree
+    _write_vec_tier(corpus.select("_id", "_v", "_batch"), new_path, meta,
+                    wide=True)
     # markers carried over; n_rows recomputed from the surviving corpus
     survivors = {
         r._batch: r.n for r in
@@ -494,10 +684,7 @@ def ann_index_rebuild(
             "seq": int(r.seq),
             "n_rows": int(survivors.get(r.batch_id, 0)),
         }
-        for r in sorted(
-            spark.read.json(f"{path}/{_BATCH_DIR}").collect(),
-            key=lambda r: r.seq,
-        )
+        for r in markers
     ]
     spark.createDataFrame(marks).coalesce(1).write.mode("append").json(
         f"{new_path}/{_BATCH_DIR}"
@@ -584,6 +771,9 @@ def _write_batch(
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        # r12 layout: refine-tier rows carry batch lineage so seq-scoped
+        # tombstones can pair them (pre-r12 metas keep the slim schema)
+        *([F.lit(batch_id).alias("_batch")] if meta.get("vec_batch") else []),
     )
     _write_vec_tier(vecs, path, meta, wide)
     n_rows = df.count()
@@ -682,8 +872,13 @@ def ann_index_search(
     meta = ann_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"ann_index_search: no index at {path}")
+    # tombstone sidecar (r12): absent on the common path (compaction
+    # removes it whole) — the check is one driver-side listing, no job.
+    # Pre-r12 indexes (no vec_batch) delete physically; skip even that.
+    tomb = _ann_tombstones(spark, path) if meta.get("vec_batch") else None
+    markers = _ann_marker_rows(spark, path) if tomb is not None else None
     n_idx = (
-        _index_size_from_markers(spark, path)
+        _ann_live_size(spark, path, meta)
         if (
             shortlist == "auto"
             or (prune == "auto" and meta["vec_buckets"] and shortlist is not None)
@@ -712,9 +907,12 @@ def ann_index_search(
         prune = n_idx is None or n_idx >= _PRUNE_MIN_ROWS
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
-    coded = spark.read.parquet(path).select(
-        F.col("_id").alias("neighbor_id"), "_codes", "cell"
-    )
+    # retraction filter BEFORE the slim projection: seq-scoped anti-join
+    # against the (request-sized) tombstones — dead rows never become
+    # candidates, so the refine tier can't resurrect them either
+    coded = _ann_apply_tombstones(
+        spark.read.parquet(path), tomb, markers
+    ).select(F.col("_id").alias("neighbor_id"), "_codes", "cell")
     if probe_cells is not None:
         coded = coded.filter(F.col("cell").isin([int(c) for c in probe_cells]))
     q_base = queries.select(
@@ -772,6 +970,13 @@ def ann_index_search(
         lambda acc, v: acc + v,
     )
     vec_scan = spark.read.parquet(f"{path}/{_VEC_DIR}")
+    if tomb is not None:
+        # a RE-APPENDED id has both a retracted and a live vector in the
+        # refine tier until compaction — the seq-scoped filter picks the
+        # live one (the dead row would otherwise re-rank under its
+        # retracted embedding). The _vbucket/_id prune filters below
+        # push through these joins to the scan.
+        vec_scan = _ann_apply_tombstones(vec_scan, tomb, markers)
     n_cand = None  # unknown candidate mass ⇒ no hint, AQE decides
     if meta["vec_buckets"] and prune:
         # materialize the (bounded) shortlist ONCE: localCheckpoint
@@ -911,53 +1116,150 @@ def ann_index_dedup_batch(
     return hits.filter(F.col("dist") <= F.lit(float(threshold)))
 
 
-def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
+def ann_index_delete(
+    spark: SparkSession, path: str, ids, *, compact_threshold: float = 0.2
+) -> int:
     """Delete vectors from the persisted index — retraction /
     right-to-be-forgotten for a serving ANN index. ``ids`` is a Python
     list (the GDPR shape) or a DataFrame whose FIRST column holds the
     ids.
 
-    LOCALIZED rewrite (r9, VERDICT r8 #7 — the r8 form rewrote the
-    whole index per delete, unusable at 10⁹ vectors for weekly GDPR
-    batches): one pushed-filter scan of the codes tier finds the
+    TOMBSTONE sidecar (r12, VERDICT r11 #1 — the r9-r11 form rewrote
+    every ``cell=/_vbucket=`` directory a deleted id hashed into:
+    localized, but DIR-proportional — ~n/4096 vectors rewritten per
+    directory at 10⁹ scale for a 25-row GDPR request): each delete
+    APPENDS its request to ``_graft_tombstones/`` (``_id`` + the marker
+    sequence at delete time) plus one tiny ``_graft_dead/`` accounting
+    row, and every read path anti-joins the tombstones out
+    (``_ann_apply_tombstones`` — request-sized build side, seq-scoped
+    so a RE-APPENDED id lives while its retracted history stays dead).
+    The WRITE side is request-proportional: both data tiers stay
+    byte-untouched (mtime-pinned in tests); the accounting is one
+    pushed-filter scan of the codes tier restricted to the requested
+    ids. The physical rewrite is demoted to ``ann_index_compact``, run
+    automatically once dead rows exceed ``compact_threshold`` of the
+    index (pass 0 to force, or a value > 1 to never auto-compact —
+    the explicit/async pattern for latency-sensitive delete
+    endpoints). Meta (pinned models — deletion never retrains) and
+    batch markers are untouched, so a fully-deleted batch still
+    rejects redelivery; the live-size statistic the auto shortlist /
+    prune decisions read subtracts the dead tally (VERDICT r11 #3).
+    Deleting every live vector is refused (remove the path instead).
+
+    Works on any Hadoop filesystem (the tombstone path is plain
+    appends); only the auto-compaction is skipped on a remote-scheme
+    index — fold via ``ann_index_compact`` on a host with the index
+    locally mounted, or ``ann_index_rebuild``. A pre-r12 index (no
+    ``vec_batch`` in meta — its refine tier lacks per-row batch
+    lineage, so seq-scoped tombstones cannot pair its rows) falls back
+    to the r9-r11 localized dir rewrite; migrate with
+    ``ann_index_rebuild``. Returns the number of live vectors
+    retracted."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _require_local_path,
+        _retraction_forms,
+    )
+
+    meta = ann_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"ann_index_delete: no index at {path}")
+    if not meta.get("vec_batch"):
+        _require_local_path(path, "ann_index_delete")
+        return _ann_delete_rewrite(spark, path, ids, meta)
+    _ann_recover(path)
+    # normalize ONCE (ADVICE r10): a one-shot iterable consumed twice
+    # would write an empty tombstone frame on the second pass
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)
+    markers = _ann_marker_rows(spark, path)
+    codes = spark.read.parquet(path)
+    tomb = _ann_tombstones(spark, path)
+    hit, _, gone = _retraction_forms(codes, ids, "ann_index_delete")
+    # rows the new tombstone will kill: requested ids (pushed filter /
+    # semi join), marked batches only (unmarked crash rows have no seq
+    # — unreachable by tombstones, so they must not count as removed;
+    # compaction's rewrite is where they would be swept), minus rows
+    # already dead under existing tombstones. ONE request-filtered scan.
+    live_hit = _with_seq(hit, _ann_marker_df(spark, markers), "inner")
+    if tomb is not None:
+        t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+        live_hit = live_hit.join(
+            t,
+            (F.col("_id") == F.col("_t_id"))
+            & (F.col("_seq") < F.col("del_seq")),
+            "left_anti",
+        )
+    removed = live_hit.count()
+    if removed == 0:
+        # ids unknown, already tombstoned, or stranded in unmarked
+        # crash-append rows (those are swept physically by compact)
+        return 0
+    n_total = _index_size_from_markers(spark, path)
+    if n_total is None:
+        raise ValueError(
+            f"ann_index_delete: markers at {path} lack n_rows but meta "
+            "claims the r12 vec_batch layout — inconsistent metadata; "
+            "rebuild with ann_index_rebuild"
+        )
+    dead_prev = _ann_dead_total(spark, path)
+    if n_total - dead_prev - removed <= 0:
+        raise ValueError(
+            f"ann_index_delete: deleting these ids would EMPTY the index "
+            f"at {path} — remove the path instead (live index untouched)"
+        )
+    del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
+    # pin the sidecar's _id to the INDEX's id type (the r11 table-tier
+    # lesson): the first delete's request form must not fix a schema a
+    # later, differently-typed request fails to append under
+    id_type = codes.schema["_id"].dataType
+    if gone is not None:
+        tomb_rows = gone.select(F.col("_id").cast(id_type).alias("_id"))
+    else:
+        tomb_rows = spark.createDataFrame(
+            [(i,) for i in dict.fromkeys(ids)], codes.select("_id").schema
+        )
+    # one file per delete (request-sized frames; the GDPR shape) —
+    # tombstones first, tally second: a kill between the two appends
+    # leaves the retraction APPLIED but the live-size statistic
+    # overstated until compact recomputes it (conservative: auto-prune
+    # flips early, never late; a re-run of the same delete returns 0)
+    tomb_rows.withColumn("del_seq", F.lit(del_seq)).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/{_TOMB_DIR}")
+    spark.createDataFrame([{"del_seq": del_seq, "n_dead": removed}]).coalesce(
+        1
+    ).write.mode("append").json(f"{path}/{_DEAD_DIR}")
+    if n_total and (dead_prev + removed) / n_total > compact_threshold:
+        from urllib.parse import urlparse
+
+        if urlparse(path).scheme in ("", "file"):
+            ann_index_compact(spark, path)
+        # remote index: the fold-in needs a local mount (dir swaps) —
+        # run ann_index_compact there, or fold via ann_index_rebuild
+    return removed
+
+
+def _ann_delete_rewrite(spark: SparkSession, path: str, ids, meta: dict) -> int:
+    """Pre-r12 (no ``vec_batch``) retraction: the r9-r11 LOCALIZED
+    rewrite — one pushed-filter scan of the codes tier finds the
     AFFECTED cells (and, through the shared id-hash, the affected
     _vbucket dirs of the refine tier); only those partition directories
     are rewritten and swapped — every untouched cell/bucket directory
-    keeps its files byte-identical (pinned by mtime in
-    tests/test_ann_index.py). Meta (pinned models — deletion never
-    retrains) and batch markers are NOT touched, so a fully-deleted
-    batch still rejects redelivery under its batch_id. Per-directory
-    swaps are sequential renames healed by ``_recover_partition_dirs``:
-    a crash mid-delete leaves a readable index with SOME ids already
-    retracted — re-run the same delete to finish (idempotent). Returns
-    the number of vectors removed. Deleting every vector is refused (an
-    empty parquet dir cannot be read back — remove the path instead).
-    Batch deletes together: cost scales with affected directories, and
-    one call per id still pays a scan each."""
+    keeps its files byte-identical. Per-directory swaps are sequential
+    renames healed by ``_recover_partition_dirs``: a crash mid-delete
+    leaves a readable index with SOME ids already retracted — re-run
+    the same delete to finish (idempotent). Dir-proportional cost is
+    why r12 demoted this to the legacy path (VERDICT r11 #1)."""
     import os
     import shutil
 
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
         _dir_swap,
-        _recover_partition_dirs,
-        _require_local_path,
-    )
-    from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
-        _recover,
-        _swap_in,
-    )
-
-    _require_local_path(path, "ann_index_delete")
-    meta = ann_index_meta(spark, path)
-    if meta is None:
-        raise ValueError(f"ann_index_delete: no index at {path}")
-    _recover(path)  # heal a pre-r9 whole-dir delete killed mid-swap
-    _recover_partition_dirs(path)
-    _recover_partition_dirs(f"{path}/{_VEC_DIR}")
-    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
         _retraction_forms,
     )
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _swap_in
 
+    _ann_recover(path)
     # normalize ONCE (ADVICE r10): the refine-tier branch consumes
     # `ids` a second time below — a one-shot iterable would be
     # exhausted by _retraction_forms' pass, deleting codes rows while
@@ -1025,3 +1327,164 @@ def ann_index_delete(spark: SparkSession, path: str, ids) -> int:
         drop(vecs).write.parquet(staging)
         _swap_in(staging, vec_dir)
     return removed
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> int:
+    """Fold accumulated tombstones into the index physically — the
+    r9-r11 localized delete rewrite, demoted to maintenance (r12,
+    VERDICT r11 #1): rewrite ONLY the ``cell=`` / ``_vbucket=``
+    directories that still hold tombstoned rows (``_dir_swap`` — every
+    untouched directory keeps its files byte-identical), recompute the
+    batch markers' ``n_rows`` from the physical survivors (atomic
+    staging swap on the marker dir), then drop the dead tally and the
+    tombstone sidecar LAST.
+
+    Crash-window table (every state a kill can leave, and its heal —
+    the r11 review discipline):
+
+    * mid-dir-swap — healed by ``_ann_recover`` at every write entry
+      point; reads meanwhile stay correct (tombstones still pending
+      anti-join rows that are already physically gone: a no-op);
+    * after some dir swaps, before the marker rewrite — markers
+      overstate, tally still subtracts: live-size statistic stays
+      correct; re-run compact to finish (it recomputes dead rows from
+      the CURRENT physical data, so already-swapped dirs are not
+      re-rewritten);
+    * mid-marker-swap — marker dir missing, complete copy in
+      ``.staging``/``.old``: ``_ann_recover`` restores it (append heals
+      before reading the batch list, so redelivery stays rejected);
+    * after markers, before the tally drop — live size UNDERstated
+      (auto keeps the streaming join past the crossover — a plan-choice
+      penalty only); the next compact finds zero dead rows and drops
+      both sidecars;
+    * after the tally drop, before the tombstone drop — accounting
+      exact (markers already post-compact), tombstones anti-join
+      nothing; the next compact drops them.
+
+    Single-writer assumption (the table-tier rule): run one maintenance
+    writer at a time — a concurrent compact/delete on the same index
+    can interleave swaps. Local-filesystem paths only (the dir swaps
+    are os.rename-based); remote indexes fold via ``ann_index_rebuild``.
+    Returns the number of dead rows compacted out of the codes tier
+    (0 when nothing pends)."""
+    import os
+    import shutil
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _dir_swap,
+        _require_local_path,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _swap_in
+
+    _require_local_path(path, "ann_index_compact")
+    meta = ann_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"ann_index_compact: no index at {path}")
+    _ann_recover(path)
+    if not meta.get("vec_batch"):
+        return 0  # pre-r12 layout: deletes are physical, nothing pends
+    tomb = _ann_tombstones(spark, path)
+    if tomb is None:
+        # a kill between compact's two sidecar drops can strand a dead
+        # tally without tombstones — it would understate the live size
+        # forever; sweep it
+        shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
+        return 0
+    markers = _ann_marker_rows(spark, path)
+    mdf = _ann_marker_df(spark, markers)
+    t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+    dead_cond = (F.col("_id") == F.col("_t_id")) & (
+        F.col("_seq") < F.col("del_seq")
+    )
+    codes = spark.read.parquet(path)
+    cell_hist = (
+        _with_seq(codes, mdf, "inner")
+        .join(t, dead_cond, "left_semi")
+        .groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    n_dead = sum(r._n for r in cell_hist)
+    vec_dir = f"{path}/{_VEC_DIR}"
+    vecs = spark.read.parquet(vec_dir)
+    dead_vecs = _with_seq(vecs, mdf, "inner").join(t, dead_cond, "left_semi")
+    bucketed_vecs = bool(meta.get("vec_buckets")) and "_vbucket" in vecs.columns
+    if bucketed_vecs:
+        vb_hist = (
+            dead_vecs.groupBy("_vbucket").agg(F.count("*").alias("_n")).collect()
+        )
+        n_dead_vecs = sum(r._n for r in vb_hist)
+    else:
+        n_dead_vecs = dead_vecs.count()
+    if n_dead == 0 and n_dead_vecs == 0:
+        # already folded (a re-run after a kill between the dir swaps
+        # and the sidecar drops) — finish the drops
+        shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
+        return 0
+    if n_dead and codes.count() - n_dead <= 0:
+        raise ValueError(
+            f"ann_index_compact: pending tombstones would EMPTY the index "
+            f"at {path} — remove the path instead (live index untouched)"
+        )
+    if n_dead:
+        cells = sorted(int(r.cell) for r in cell_hist)
+        keep_codes = _ann_apply_tombstones(
+            codes.filter(F.col("cell").isin(cells)), tomb, markers
+        )
+        _dir_swap(
+            path,
+            "cell",
+            cells,
+            lambda staging: keep_codes.repartition(F.col("cell"))
+            .write.partitionBy("cell")
+            .parquet(staging),
+        )
+    if n_dead_vecs and bucketed_vecs:
+        vb = sorted(int(r._vbucket) for r in vb_hist)
+        keep_vecs = _ann_apply_tombstones(
+            vecs.filter(F.col("_vbucket").isin(vb)), tomb, markers
+        )
+        _dir_swap(
+            vec_dir,
+            "_vbucket",
+            vb,
+            lambda staging: keep_vecs.repartition(F.col("_vbucket"))
+            .sortWithinPartitions("_vbucket", "_id")
+            .write.partitionBy("_vbucket")
+            .parquet(staging),
+        )
+    elif n_dead_vecs:
+        # flat refine tier (vec_buckets=None build): full sidecar rewrite
+        staging = vec_dir.rstrip("/") + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        _ann_apply_tombstones(vecs, tomb, markers).write.parquet(staging)
+        _swap_in(staging, vec_dir)
+    # marker n_rows from the POST-SWAP physical survivors (not a delta
+    # off the old markers: a crashed earlier compact may have already
+    # removed rows the old markers still count) — atomic staging swap,
+    # healed by _ann_recover
+    live_counts = {
+        r._batch: int(r.n)
+        for r in spark.read.parquet(path)
+        .groupBy("_batch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    marks = [
+        {
+            "batch_id": r.batch_id,
+            "seq": int(r.seq),
+            "n_rows": live_counts.get(r.batch_id, 0),
+        }
+        for r in markers
+    ]
+    marker_dir = os.path.join(path, _BATCH_DIR)
+    staging = marker_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.createDataFrame(marks).coalesce(1).write.json(staging)
+    _swap_in(staging, marker_dir)
+    # sidecars LAST — tally before tombstones (see the crash table)
+    shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
+    return n_dead

@@ -742,6 +742,9 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
     # left by a compact killed mid-swap would otherwise be renamed back
     # into place by _table_swap_recover when a NEW index is later built
     # under the same name — resurrecting GDPR-purged rows
+    # `_compacting` twins (ADVICE r11 #3): compact_bucketed_table's CTAS
+    # staging — purge them too, or a crashed hygiene compaction strands
+    # a twin the next build under a reused name trips over
     for t in (
         table,
         f"{table}_meta",
@@ -750,6 +753,8 @@ def drop_minhash_table(spark: SparkSession, table: str) -> None:
         f"{table}_tombstones",
         f"{table}_deleting",
         f"{table}_counts_deleting",
+        f"{table}_compacting",
+        f"{table}_counts_compacting",
     ):
         _drop_table_and_location(spark, t)
 
@@ -825,7 +830,13 @@ def _table_swap_recover(spark: SparkSession, table: str) -> bool:
     would land its counts in the stale table): complete the counts
     swap. A missing table with no twin is left alone (e.g. a
     half-finished first append — not this function's crash window).
-    Returns True if anything was repaired."""
+    Returns True if anything was repaired.
+
+    SINGLE-WRITER assumption (ADVICE r11 #1): recovery distinguishes
+    crash states by table/twin PRESENCE, which is only unambiguous when
+    no compact is running concurrently — a reader in another session
+    that recovers mid-compact races the live writer's own swap (see
+    ``minhash_table_compact``). One maintenance writer per index."""
     repaired = False
     data_was_missing = not _table_exists(spark, table)
     for n in (table, f"{table}_counts"):
@@ -860,6 +871,17 @@ def _tombstones(spark: SparkSession, table: str) -> DataFrame | None:
     return spark.table(f"{table}_tombstones")
 
 
+# Past this many batch markers the batch→seq translation switches from
+# an inlined ``create_map`` literal to a broadcast join against the
+# (metadata-sized) marker frame (r12, VERDICT r11 #4 / ADVICE r11 #2):
+# a long-lived crawl table at 15-min snapshots accumulates ~35k markers
+# a year, and a 70k-element literal map in every pairs plan is
+# driver-side analysis/codegen bloat on the hot query path. Below the
+# bound the literal map stays — zero extra plan nodes for the common
+# hundreds-of-batches case.
+_MARKER_MAP_MAX = 1_000
+
+
 def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataFrame:
     """Filter a bucketed-index frame down to its LIVE rows: a row is
     dead iff some tombstone names its ``_id`` AND the row's batch was
@@ -868,23 +890,34 @@ def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataF
     and lives, while the retracted batches stay dead (an id-only
     tombstone would either resurrect GDPR-deleted rows on clearing or
     permanently kill re-ingested docs). The batch→seq translation is a
-    literal map over the (bounded) marker list; the anti-join's
-    tombstone side is delete-request-sized, so AQE broadcasts it — the
-    index itself never shuffles for retraction."""
+    literal map over the marker list while it is small, and a broadcast
+    join against the one-row-per-batch marker frame past
+    ``_MARKER_MAP_MAX`` (see above); the anti-join's tombstone side is
+    delete-request-sized, so AQE broadcasts it — the index itself never
+    shuffles for retraction."""
     if tomb is None:
         return full
-    pairs = []
-    for r in markers:
-        pairs += [F.lit(r.batch_id), F.lit(int(r.seq))]
-    seq = (
-        F.element_at(F.create_map(*pairs), F.col("_batch"))
-        if pairs
-        else F.lit(None).cast("int")
-    )
     t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+    if len(markers) > _MARKER_MAP_MAX:
+        mdf = full.sparkSession.createDataFrame(
+            [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
+        )
+        # metadata-sized dim (one tiny row per batch marker)
+        with_seq = full.join(
+            F.broadcast(mdf), full["_batch"] == mdf["_mb"], "left"
+        ).drop("_mb")
+    else:
+        pairs = []
+        for r in markers:
+            pairs += [F.lit(r.batch_id), F.lit(int(r.seq))]
+        seq = (
+            F.element_at(F.create_map(*pairs), F.col("_batch"))
+            if pairs
+            else F.lit(None).cast("int")
+        )
+        with_seq = full.withColumn("_seq", seq)
     return (
-        full.withColumn("_seq", seq)
-        .join(
+        with_seq.join(
             t,
             (F.col("_id") == F.col("_t_id")) & (F.col("_seq") < F.col("del_seq")),
             "left_anti",
@@ -1016,7 +1049,18 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
     (invisible to pairs, unreachable by seq scoping), so compact
     rewrites whenever marked survivors differ from the physical table,
     tombstones pending or not. Returns the number of dead rows
-    compacted away (0 when there is nothing to fold or sweep)."""
+    compacted away (0 when there is nothing to fold or sweep).
+
+    SINGLE-WRITER assumption (ADVICE r11 #1): run one maintenance
+    writer per index at a time. ``_table_swap_recover`` fires from
+    every read/write entry point, and a READER in another session that
+    lands between this compact's data swap and its counts swap will
+    itself complete the counts swap — after which this compact's own
+    counts DROP deletes the just-renamed table and the RENAME throws,
+    leaving ``<table>_counts`` missing until a compact re-run. Fine
+    under a single coordinating writer (the deployment shape for every
+    swap-based maintenance op here); concurrent multi-session
+    compaction needs an external lock."""
     _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
     if meta is None:

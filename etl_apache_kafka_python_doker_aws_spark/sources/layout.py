@@ -309,7 +309,15 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
         for c in desc["Bucket Columns"].strip("[]").split(",")
     ]
     tmp = f"{table}_compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # drop the staging twin's warehouse LOCATION too (ADVICE r11 #3): a
+    # CTAS killed mid-write leaves files with no catalog entry — a bare
+    # DROP no-ops and the retry bricks on LOCATION_ALREADY_EXISTS (the
+    # r8 lesson, same helper the _deleting twins use)
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _drop_table_and_location,
+    )
+
+    _drop_table_and_location(spark, tmp)
     before = spark.table(table).count()
     # force the BUCKETED scan for the rewrite: the planner elides the
     # repartition because the bucketed scan already provides

@@ -466,6 +466,133 @@ def l2_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_ann_retraction",
+    scale_form="bounded",
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           TRUE AS found_after_reappend,
+           TRUE AS pre_reappend_state_ok,
+           TRUE AS retracted_absent,
+           TRUE AS same_after_compact
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l3_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 retraction on the persisted ANN index (r12, VERDICT r11 #1 —
+    the tombstone sidecar, oracle-checked end-to-end like the band
+    tier's l2_bucketed_retraction): index the corpus (b0) plus planted
+    verbatim copies of every 25th vector under id+100000 (b1), then
+    TOMBSTONE-DELETE every other plant (source vec_id % 50 == 0) via
+    ``ann_index_delete`` — a request-sized sidecar append, both data
+    tiers byte-untouched — then RE-APPEND the retracted copies under a
+    new batch (b2: the seq-scoping contract — a re-ingested id lives
+    while its retracted history stays dead), and finally fold the
+    tombstones in with ``ann_index_compact``.
+
+    Contract (oracle enumerates ALL plants — the re-append restores the
+    full set; queries are the SOURCE vectors, so a plant pairs iff its
+    copy is live at squared-L2 dist 0 ≤ 0.25, far below the fixture's
+    natural minimum distance — the planted-vs-random separation rule):
+    (a) ``found_after_reappend`` — every plant pairs with its source
+    after b2; (b) ``pre_reappend_state_ok`` — BETWEEN delete and
+    re-append, a plant paired iff it was NOT retracted (surviving
+    plants served through the anti-join, retracted ones invisible);
+    (c) ``retracted_absent`` — in that window zero pairs named ANY
+    retracted id as a neighbor (GDPR holds); (d) ``same_after_compact``
+    — the physical fold-in changes no pair (both anti-join directions
+    empty between the eagerly-pinned pre-compact snapshot and the
+    post-compact query — the r11 swap-vs-laziness rule)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_compact,
+        ann_index_delete,
+        ann_index_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    new = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    retract_src = planted.filter(
+        F.pmod(F.col("vec_id"), F.lit(2 * _PLANT_STEP)) == 0
+    )
+    retract = retract_src.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id")
+    )
+    path = _scratch_dir(spark, "ann_idx_retract")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    ann_index_append(new, "vec_id", "embedding", path, batch_id="b1")
+    # request-proportional delete; compaction deferred to the explicit
+    # call below (the latency-sensitive-endpoint pattern)
+    ann_index_delete(spark, path, retract, compact_threshold=2.0)
+    shortlist = _ann_shortlist(e)
+
+    def plant_pairs():
+        hits = ann_index_search(
+            planted, path, "vec_id", "embedding", k=5,
+            n_probe=8, shortlist=shortlist,
+        )
+        return hits.filter(F.col("dist") <= F.lit(0.25))
+
+    # pre-re-append window, pinned eagerly (search lineage must not be
+    # re-evaluated after later appends/compaction move the files)
+    mid = plant_pairs().localCheckpoint(eager=True)
+    n_excluded = (
+        mid.join(retract, mid["neighbor_id"] == retract["vec_id"], "left_semi")
+        .agg(F.count("*").alias("_nr"))
+    )
+    ann_index_append(new.join(retract, "vec_id", "left_semi"),
+                     "vec_id", "embedding", path, batch_id="b2")
+    pre = plant_pairs().localCheckpoint(eager=True)
+    ann_index_compact(spark, path)
+    post = plant_pairs()
+    n_diff = (
+        pre.join(post, ["query_id", "neighbor_id"], "left_anti")
+        .unionByName(post.join(pre, ["query_id", "neighbor_id"], "left_anti"))
+        .agg(F.count("*").alias("_nd"))
+    )
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(
+            post,
+            (expected["id_a"] == post["query_id"])
+            & (expected["id_b"] == post["neighbor_id"]),
+            "left",
+        )
+        .join(
+            mid.select(
+                F.col("query_id").alias("_mq"),
+                F.col("neighbor_id").alias("_mn"),
+            ),
+            (F.col("id_a") == F.col("_mq")) & (F.col("id_b") == F.col("_mn")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_excluded))
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dist").isNotNull().alias("found_after_reappend"),
+            (
+                F.col("_mn").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) != 0)
+            ).alias("pre_reappend_state_ok"),
+            (F.col("_nr") == 0).alias("retracted_absent"),
+            (F.col("_nd") == 0).alias("same_after_compact"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (

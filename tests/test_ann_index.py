@@ -322,19 +322,21 @@ def test_ann_append_after_delete(spark, tmp_path):
     assert ann_index_batches(spark, path) == ["base", "b1", "b2"]
 
 
-def test_delete_rejects_remote_scheme(spark):
-    """ADVICE r8: the staging swap is os.rename-based — a remote-scheme
-    index path must fail fast with the real reason, not a misleading
-    'would EMPTY the index' after writing remote staging garbage."""
+def test_remote_scheme_rules(spark):
+    """ADVICE r8 / r12: swap-based ops are os.rename-based and must fail
+    fast on a remote-scheme path with the real reason, not a misleading
+    'would EMPTY the index' after writing remote staging garbage. Since
+    r12 ann_index_delete itself is a plain tombstone APPEND (any Hadoop
+    FS) — the local-only op is the fold-in, ann_index_compact."""
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
-        ann_index_delete,
+        ann_index_compact,
     )
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
         minhash_index_delete,
     )
 
     with pytest.raises(ValueError, match="local-filesystem-only"):
-        ann_index_delete(spark, "s3a://bucket/ann_idx", [1])
+        ann_index_compact(spark, "s3a://bucket/ann_idx")
     with pytest.raises(ValueError, match="local-filesystem-only"):
         minhash_index_delete(spark, "hdfs://nn/band_idx", [1])
 
@@ -542,26 +544,39 @@ def test_rebuild_collapses_duplicate_ids(spark, tmp_path):
                             n_probe=4, shortlist=20).count() == 3
 
 
-def test_ann_delete_is_localized_untouched_dirs_byte_identical(spark, tmp_path):
-    """VERDICT r9 #3: the docstring claim made true — after an
-    ann_index_delete, every cell=/ _vbucket= directory the deleted ids
-    do NOT live in keeps its exact files (size + mtime pinned); the
-    affected directories are rewritten."""
+def _data_snapshot(root):
+    """(size, mtime_ns) of every file under the DATA tiers (cell= and
+    _graft_vectors dirs) — the byte-untouched witness."""
+    import os
+
+    snap = {}
+    for r, _, files in os.walk(root):
+        rel_r = os.path.relpath(r, root)
+        top = rel_r.split(os.sep)[0]
+        if not (top.startswith("cell=") or top == "_graft_vectors"):
+            continue
+        for f in files:
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_ann_delete_is_request_proportional_compact_localized(spark, tmp_path):
+    """VERDICT r11 #1: ann_index_delete on an r12 index is a TOMBSTONE
+    append — EVERY data-tier file of both tiers stays byte-identical
+    (size + mtime pinned), the retraction visible only through the
+    read-path anti-join. ann_index_compact then folds the tombstones
+    physically: only the affected cell=/_vbucket= dirs are rewritten,
+    untouched dirs stay byte-identical, the sidecars are dropped, and
+    marker n_rows is recomputed."""
     import os
 
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
         _vbucket,
+        ann_index_compact,
         ann_index_delete,
     )
-
-    def snapshot(root):
-        snap = {}
-        for r, _, files in os.walk(root):
-            for f in files:
-                p = os.path.join(r, f)
-                st = os.stat(p)
-                snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
-        return snap
 
     corpus, rows = _corpus(spark)
     path = str(tmp_path / "ann")
@@ -572,33 +587,55 @@ def test_ann_delete_is_localized_untouched_dirs_byte_identical(spark, tmp_path):
                    .filter(F.col("_id") == victim).first().cell)
     hit_vb = int(spark.range(1).select(
         _vbucket(F.lit(victim).cast("long"), 8).alias("vb")).first().vb)
-    pre = snapshot(path)
+    pre = _data_snapshot(path)
     assert ann_index_delete(spark, path, [victim]) == 1
-    post = snapshot(path)
+    post = _data_snapshot(path)
+    # request-proportional: the delete wrote ONLY the sidecars
+    assert post == pre, "a tombstone delete rewrote data-tier files"
+    assert os.path.isdir(os.path.join(path, "_graft_tombstones"))
+    assert os.path.isdir(os.path.join(path, "_graft_dead"))
+    # but the victim is gone from search
+    got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
+                           n_probe=4, shortlist=30).collect()
+    assert got and all(r.neighbor_id != victim for r in got)
+
+    # compact: localized physical fold-in
+    assert ann_index_compact(spark, path) == 1
+    folded = _data_snapshot(path)
 
     def owner(rel):
         top = rel.split(os.sep)[0]
         if top.startswith("cell="):
             return ("cell", int(top.split("=", 1)[1]))
-        if top == "_graft_vectors":
-            parts = rel.split(os.sep)
-            if len(parts) > 1 and parts[1].startswith("_vbucket="):
-                return ("vb", int(parts[1].split("=", 1)[1]))
+        parts = rel.split(os.sep)
+        if top == "_graft_vectors" and len(parts) > 1 \
+                and parts[1].startswith("_vbucket="):
+            return ("vb", int(parts[1].split("=", 1)[1]))
         return None
 
     touched = {("cell", hit_cell), ("vb", hit_vb)}
     for rel, stat in pre.items():
         o = owner(rel)
         if o is not None and o not in touched:
-            assert post.get(rel) == stat, f"untouched file rewritten: {rel}"
-    # the affected dirs were really rewritten
+            assert folded.get(rel) == stat, f"untouched file rewritten: {rel}"
     for o in touched:
         old_files = {r for r in pre if owner(r) == o}
-        assert old_files and all(post.get(r) != pre[r] for r in old_files), o
-    # and the victim is gone from search
-    got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
-                           n_probe=4, shortlist=30).collect()
-    assert all(r.neighbor_id != victim for r in got)
+        assert old_files and all(folded.get(r) != pre[r] for r in old_files), o
+    # sidecars dropped, physical rows gone, markers post-delete accurate
+    assert not os.path.exists(os.path.join(path, "_graft_tombstones"))
+    assert not os.path.exists(os.path.join(path, "_graft_dead"))
+    assert spark.read.parquet(path).filter(F.col("_id") == victim).count() == 0
+    marks = {r.batch_id: int(r.n_rows)
+             for r in spark.read.json(f"{path}/_graft_batches").collect()}
+    assert marks == {"base": 59}
+    # search identical post-compact
+    got2 = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
+                            n_probe=4, shortlist=30).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, round(r.dist, 9), r.rk) for r in rs)
+    assert key(got2) == key(got)
+    # idempotent: nothing left to fold
+    assert ann_index_compact(spark, path) == 0
 
 
 def test_prune_auto_is_size_gated(spark, tmp_path, monkeypatch):
@@ -654,17 +691,21 @@ def test_ann_delete_accepts_one_shot_iterable(spark, tmp_path):
                                  "vec_id long, embedding array<double>")
     ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
     assert ann_index_delete(spark, path, (i for i in [1000])) == 1
-    # BOTH tiers retracted, not just the codes tier
-    assert spark.read.parquet(path).filter(F.col("_id") == 1000).count() == 0
-    assert spark.read.parquet(f"{path}/{_VEC_DIR}").filter(
-        F.col("_id") == 1000
-    ).count() == 0
-    # and a rebuild cannot resurrect the deleted vector
+    # a rebuild FOLDS the pending tombstone — it cannot resurrect the
+    # retracted vector from either tier (r12: the tombstone filter runs
+    # on codes AND refine rows before retraining)
     rebuilt = str(tmp_path / "ann2")
     ann_index_rebuild(spark, path, rebuilt)
+    assert spark.read.parquet(rebuilt).filter(F.col("_id") == 1000).count() == 0
+    assert spark.read.parquet(f"{rebuilt}/{_VEC_DIR}").filter(
+        F.col("_id") == 1000
+    ).count() == 0
     q = corpus.filter("vec_id = 0")
     hits = ann_index_search(q, rebuilt, k=3, n_probe=4, shortlist=20).collect()
-    assert all(r.neighbor_id != 1000 for r in hits)
+    assert hits and all(r.neighbor_id != 1000 for r in hits)
+    # and the rebuilt index carries no tombstone sidecar
+    import os
+    assert not os.path.exists(os.path.join(rebuilt, "_graft_tombstones"))
 
 
 def _analyzed(df):

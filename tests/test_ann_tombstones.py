@@ -1,0 +1,275 @@
+"""ANN-index tombstone retraction (r12, VERDICT r11 #1): seq-scoped
+sidecar deletes mirroring the band tier's r11 pattern — re-append
+semantics, live-size accounting, the auto-prune flip (VERDICT r11 #3),
+corpus-scaled vec_buckets (VERDICT r11 #2), the legacy fallback, and
+the enumerated crash-window states."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+    _ann_dead_total,
+    _ann_live_size,
+    _auto_vec_buckets,
+    ann_index_append,
+    ann_index_batches,
+    ann_index_build,
+    ann_index_compact,
+    ann_index_delete,
+    ann_index_meta,
+    ann_index_search,
+)
+
+
+def _corpus(spark, n=60, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = [(i, rng.randn(dim).astype(float).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def _build(spark, tmp_path, name="ann", **kw):
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / name)
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8,
+                    **{"vec_buckets": 8, **kw})
+    return corpus, rows, path
+
+
+def test_reappended_id_lives_retracted_history_dead(spark, tmp_path):
+    """The seq-scoping contract (the dedup_index._apply_tombstones rule
+    on the ANN tier): delete id X, then re-append X under a NEW batch
+    with a DIFFERENT vector — the re-appended row serves (dist 0 against
+    its own vector) while the RETRACTED vector's row stays dead (a
+    query at the old vector no longer finds X at dist 0: the refine
+    tier's seq filter dropped the old row, so X re-ranks under the new
+    vector only)."""
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8, vec_buckets=8)
+    old_vec = rows[0][1]
+    twin = spark.createDataFrame([(1000, old_vec)],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    assert ann_index_delete(spark, path, [1000]) == 1
+    # re-append the SAME id with a different vector (vec 7's twin)
+    new_vec = rows[7][1]
+    re_add = spark.createDataFrame([(1000, new_vec)],
+                                   "vec_id long, embedding array<double>")
+    ann_index_append(re_add, "vec_id", "embedding", path, batch_id="b2")
+    q_new = corpus.filter("vec_id = 7")
+    top = ann_index_search(q_new, path, k=3, n_probe=4, shortlist=20).collect()
+    assert top[0].neighbor_id == 1000 and top[0].dist == 0.0, \
+        "re-appended id must LIVE (its batch seq is past the tombstone)"
+    q_old = corpus.filter("vec_id = 0")
+    hits = ann_index_search(q_old, path, k=5, n_probe=4, shortlist=20).collect()
+    assert all(not (r.neighbor_id == 1000 and r.dist == 0.0) for r in hits), \
+        "the RETRACTED vector's row must stay dead"
+    # compaction preserves exactly these semantics
+    ann_index_compact(spark, path)
+    top2 = ann_index_search(q_new, path, k=3, n_probe=4, shortlist=20).collect()
+    assert top2[0].neighbor_id == 1000 and top2[0].dist == 0.0
+    hits2 = ann_index_search(q_old, path, k=5, n_probe=4, shortlist=20).collect()
+    assert all(not (r.neighbor_id == 1000 and r.dist == 0.0) for r in hits2)
+    # physically: exactly ONE row for id 1000 in each tier post-compact
+    assert spark.read.parquet(path).filter(F.col("_id") == 1000).count() == 1
+    assert spark.read.parquet(f"{path}/_graft_vectors").filter(
+        F.col("_id") == 1000).count() == 1
+
+
+def test_delete_accounting_and_idempotence(spark, tmp_path):
+    """removed counts LIVE rows only; re-deleting tombstoned ids is a
+    0-row no-op; the live-size statistic (markers − dead tally) tracks
+    the truth without any corpus scan (VERDICT r11 #3)."""
+    corpus, rows, path = _build(spark, tmp_path)
+    meta = ann_index_meta(spark, path)
+    assert _ann_live_size(spark, path, meta) == 60
+    assert ann_index_delete(spark, path, [3, 4, 5]) == 3
+    assert _ann_dead_total(spark, path) == 3
+    assert _ann_live_size(spark, path, meta) == 57
+    # already-tombstoned + unknown ids: nothing live matches
+    assert ann_index_delete(spark, path, [3, 4, 999]) == 0
+    assert _ann_live_size(spark, path, meta) == 57
+    # NULL ids rejected loudly in both request forms (shared
+    # _retraction_forms contract)
+    with pytest.raises(ValueError, match="None"):
+        ann_index_delete(spark, path, [1, None])
+    ids_df = spark.createDataFrame([(1,), (None,)], "vec_id long")
+    with pytest.raises(ValueError, match="NULL"):
+        ann_index_delete(spark, path, ids_df)
+    # DataFrame request form works and casts to the index id type
+    ids_df2 = spark.createDataFrame([(6,), (7,)], "vec_id int")
+    assert ann_index_delete(spark, path, ids_df2) == 2
+    assert _ann_live_size(spark, path, meta) == 55
+    # compact folds everything and resets the accounting to markers-only
+    assert ann_index_compact(spark, path) == 5
+    assert _ann_dead_total(spark, path) == 0
+    assert _ann_live_size(spark, path, meta) == 55
+    assert spark.read.parquet(path).count() == 55
+
+
+def test_delete_empty_guard_and_auto_compact(spark, tmp_path):
+    """Deleting every live vector is refused with the index intact;
+    crossing compact_threshold triggers the auto fold-in (and
+    compact_threshold > 1 disables it — the latency-sensitive endpoint
+    escape hatch)."""
+    corpus, rows, path = _build(spark, tmp_path)
+    with pytest.raises(ValueError, match="EMPTY"):
+        ann_index_delete(spark, path, [i for i, _ in rows])
+    assert ann_index_meta(spark, path) is not None
+    # 20 of 60 dead > 0.2 → auto-compact fires: sidecars folded away
+    assert ann_index_delete(spark, path, list(range(20))) == 20
+    assert not os.path.exists(os.path.join(path, "_graft_tombstones"))
+    assert spark.read.parquet(path).count() == 40
+    # threshold > 1: never auto-compacts
+    assert ann_index_delete(spark, path, [30, 31, 32, 33, 34, 35, 36, 37,
+                                          38, 39, 40, 41, 42, 43, 44],
+                            compact_threshold=2.0) == 15
+    assert os.path.exists(os.path.join(path, "_graft_tombstones"))
+    assert spark.read.parquet(path).count() == 40  # untouched physically
+
+
+def test_prune_auto_reads_post_delete_live_size(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #3: prune="auto" must read the POST-DELETE size —
+    above the crossover the scan prunes; after a heavy retraction the
+    same index drops below it and auto returns to the streaming join."""
+    import re
+
+    from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
+
+    corpus, rows, path = _build(spark, tmp_path)
+    q = corpus.filter("vec_id >= 55")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+
+    def has_vb_filter(df):
+        plan = df._jdf.queryExecution().explainString(mode)
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        return any("_vbucket" in p and "IN" in p.upper() for p in pfs)
+
+    monkeypatch.setattr(ann_index, "_PRUNE_MIN_ROWS", 50)
+    assert has_vb_filter(
+        ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    ), "60 live rows ≥ 50 → the pruned path"
+    # retract 15 (no auto-compact: stay on the tombstone accounting)
+    ann_index_delete(spark, path, list(range(15)), compact_threshold=2.0)
+    assert not has_vb_filter(
+        ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    ), "45 live rows < 50 → auto must fall back to the streaming join"
+
+
+def test_crash_windows_heal(spark, tmp_path):
+    """The enumerated r12 crash-window table, each state proven healed:
+    (a) stale dead tally without tombstones → compact sweeps it;
+    (b) marker dir renamed away mid-swap → the next write entry point
+    restores it (append still rejects redelivery);
+    (c) tombstones naming already-folded rows → compact's early exit
+    drops the sidecars without rewriting anything."""
+    corpus, rows, path = _build(spark, tmp_path)
+    meta = ann_index_meta(spark, path)
+
+    # (a) dead tally stranded after a kill between compact's two drops
+    spark.createDataFrame([{"del_seq": 1, "n_dead": 7}]).coalesce(1) \
+        .write.mode("append").json(f"{path}/_graft_dead")
+    assert _ann_live_size(spark, path, meta) == 53  # understated (window)
+    assert ann_index_compact(spark, path) == 0
+    assert _ann_live_size(spark, path, meta) == 60  # healed
+
+    # (b) compact killed between the marker-dir renames: only .old left
+    marker_dir = os.path.join(path, "_graft_batches")
+    os.rename(marker_dir, marker_dir + ".old")
+    assert ann_index_batches(spark, path) == []  # the unhealed read
+    twin = spark.createDataFrame([(1000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    assert ann_index_batches(spark, path) == ["base", "b1"]
+    with pytest.raises(ValueError, match="already appended"):
+        ann_index_append(twin, "vec_id", "embedding", path, batch_id="base")
+
+    # (c) a real delete, then simulate "dirs already swapped, sidecars
+    # pending": run compact, then re-plant the same tombstone sidecar
+    assert ann_index_delete(spark, path, [9], compact_threshold=2.0) == 1
+    tomb_snapshot = str(tmp_path / "tomb_copy")
+    shutil.copytree(f"{path}/_graft_tombstones", tomb_snapshot)
+    assert ann_index_compact(spark, path) == 1
+    shutil.copytree(tomb_snapshot, f"{path}/_graft_tombstones")
+    def snap():  # everything but the sidecar being dropped
+        return {
+            p: os.stat(p).st_mtime_ns
+            for r, _, fs in os.walk(path)
+            if "_graft_tombstones" not in r
+            for f in fs
+            for p in [os.path.join(r, f)]
+        }
+
+    pre = snap()  # data + markers must stay byte-identical: early exit
+    assert ann_index_compact(spark, path) == 0
+    assert not os.path.exists(f"{path}/_graft_tombstones")
+    assert snap() == pre
+
+
+def test_auto_vec_buckets_scaling(spark, tmp_path):
+    """VERDICT r11 #2: the default refine-tier bucket count scales with
+    the corpus (~50k rows/bucket, clamped [64, 4096]) and is pinned in
+    meta; rebuild(vec_buckets="auto") is the migration path."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_rebuild,
+    )
+
+    assert _auto_vec_buckets(0) == 64
+    assert _auto_vec_buckets(1_000_000) == 64
+    assert _auto_vec_buckets(10_000_000) == 200
+    assert _auto_vec_buckets(100_000_000) == 2000
+    assert _auto_vec_buckets(500_000_000) == 4096
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann_auto")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)  # default auto
+    meta = ann_index_meta(spark, path)
+    assert meta["vec_buckets"] == 64 and meta["vec_batch"] is True
+    # rebuild with auto re-derives from the live corpus (still 64 here,
+    # but the path exercises the derivation)
+    new = str(tmp_path / "ann_auto2")
+    ann_index_rebuild(spark, path, new, vec_buckets="auto")
+    assert ann_index_meta(spark, new)["vec_buckets"] == 64
+
+
+def test_legacy_index_falls_back_to_physical_delete(spark, tmp_path):
+    """A pre-r12 index (no vec_batch in meta — its refine tier lacks
+    per-row lineage) keeps the r9-r11 localized dir rewrite: rows are
+    physically gone after the delete and no tombstone sidecar appears."""
+    corpus, rows, path = _build(spark, tmp_path, name="ann_legacy")
+    # simulate a pre-r12 index: strip the flag from meta and the _batch
+    # column from the refine tier (exactly what an r11 build wrote)
+    meta_dir = os.path.join(path, "_graft_meta")
+    fn = [f for f in os.listdir(meta_dir) if f.endswith(".json")][0]
+    with open(os.path.join(meta_dir, fn)) as fh:
+        m = json.loads(fh.read())
+    m.pop("vec_batch", None)
+    with open(os.path.join(meta_dir, fn), "w") as fh:
+        fh.write(json.dumps(m))
+    for f in os.listdir(meta_dir):  # stale checksums would fail the read
+        if f.endswith(".crc"):
+            os.remove(os.path.join(meta_dir, f))
+    vec_dir = f"{path}/_graft_vectors"
+    slim = spark.read.parquet(vec_dir).select("_id", "_v", "_vbucket")
+    tmp_vec = str(tmp_path / "vecslim")
+    slim.repartition(F.col("_vbucket")).sortWithinPartitions("_vbucket", "_id") \
+        .write.partitionBy("_vbucket").parquet(tmp_vec)
+    shutil.rmtree(vec_dir)
+    os.rename(tmp_vec, vec_dir)
+
+    assert ann_index_meta(spark, path)["vec_batch"] is False
+    assert ann_index_delete(spark, path, [5]) == 1
+    assert not os.path.exists(os.path.join(path, "_graft_tombstones"))
+    assert spark.read.parquet(path).filter(F.col("_id") == 5).count() == 0
+    assert spark.read.parquet(vec_dir).filter(F.col("_id") == 5).count() == 0
+    got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
+                           n_probe=4, shortlist=30).collect()
+    assert got and all(r.neighbor_id != 5 for r in got)
