@@ -198,54 +198,64 @@ def _fs_nonempty(spark: SparkSession, path: str) -> bool:
 
 def _ann_marker_rows(spark: SparkSession, path: str) -> list:
     """Raw batch-marker rows in append order (empty for a fresh index).
-    One tiny JSON row per batch — metadata-cheap at any index size."""
-    try:
-        rows = spark.read.json(f"{path}/{_BATCH_DIR}").collect()
-    except Exception:
+    One tiny JSON row per batch — metadata-cheap at any index size.
+    Absence is an explicit existence check; a READ error on an existing
+    marker dir propagates (review r12 — ``util.sidecar_read``)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+
+    df = sidecar_read(spark, f"{path}/{_BATCH_DIR}", "json")
+    if df is None:
         return []
-    return sorted(rows, key=lambda r: r.seq)
+    return sorted(df.collect(), key=lambda r: r.seq)
 
 
 def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
     return [r.batch_id for r in _ann_marker_rows(spark, path)]
 
 
-def _index_size_from_markers(spark: SparkSession, path: str) -> int | None:
+def _index_size_from_markers(markers: list) -> int | None:
     """PHYSICAL corpus size as a METADATA read: sum of the per-batch
     ``n_rows`` marker field (r9). None when any marker predates the
     field (pre-r9 append) — the caller falls back to counting the codes
-    tier. Tombstoned-but-uncompacted rows are still counted here — use
-    ``_ann_live_size`` for the serving size."""
-    rows = _ann_marker_rows(spark, path)
-    if not rows or any(
-        "n_rows" not in r.__fields__ or r.n_rows is None for r in rows
+    tier. Tombstoned-but-uncompacted rows are still counted here — this
+    is the SCAN-COST statistic (what a streaming read pays); use
+    ``_ann_live_size`` for the serving (recall-sizing) size."""
+    if not markers or any(
+        "n_rows" not in r.__fields__ or r.n_rows is None for r in markers
     ):
         return None
-    return sum(int(r.n_rows) for r in rows)
+    return sum(int(r.n_rows) for r in markers)
 
 
 def _ann_dead_total(spark: SparkSession, path: str) -> int:
     """Tombstoned-row tally: sum of the per-delete ``n_dead`` markers
     (``_graft_dead``, one tiny JSON row per delete). 0 when no delete is
     pending — compaction drops the tally with the tombstones."""
-    try:
-        rows = spark.read.json(f"{path}/{_DEAD_DIR}").collect()
-    except Exception:
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+
+    df = sidecar_read(spark, f"{path}/{_DEAD_DIR}", "json")
+    if df is None:
         return 0
     return sum(
         int(r.n_dead)
-        for r in rows
+        for r in df.collect()
         if "n_dead" in r.__fields__ and r.n_dead is not None
     )
 
 
-def _ann_live_size(spark: SparkSession, path: str, meta: dict) -> int | None:
-    """Serving-size statistic for the auto shortlist / prune decisions
-    (r12, VERDICT r11 #3 — the r11 form read the raw marker sum, so a
-    heavily-retracted index overstated its size and took the pruned
-    path below the true crossover): physical marker sum minus the
-    tombstoned-dead tally. None when markers predate ``n_rows``."""
-    n = _index_size_from_markers(spark, path)
+def _ann_live_size(
+    spark: SparkSession, path: str, meta: dict, markers: list | None = None
+) -> int | None:
+    """Serving-size statistic for the auto SHORTLIST sizing (VERDICT
+    r11 #3): physical marker sum minus the tombstoned-dead tally —
+    recall targets scale with the LIVE corpus. Not the prune statistic:
+    scan cost is physical (tombstones shrink no bytes until compaction),
+    so ``prune="auto"`` reads ``_index_size_from_markers`` instead
+    (review r12). None when markers predate ``n_rows``. Pass
+    already-collected ``markers`` to skip a duplicate driver-side read."""
+    n = _index_size_from_markers(
+        markers if markers is not None else _ann_marker_rows(spark, path)
+    )
     if n is None:
         return None
     if meta.get("vec_batch"):
@@ -256,30 +266,30 @@ def _ann_live_size(spark: SparkSession, path: str, meta: dict) -> int | None:
 def _ann_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The pending delete requests (``_id``, ``del_seq``), or None when
     none are pending — compaction removes the sidecar whole, so its
-    absence is the common fast path (zero extra plan nodes)."""
-    try:
-        return spark.read.parquet(f"{path}/{_TOMB_DIR}")
-    except Exception:
-        return None
+    absence is the common fast path (zero extra plan nodes). Absence is
+    an explicit existence check; a READ error on an existing sidecar
+    propagates (review r12 — swallowing it would silently serve
+    GDPR-retracted rows)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+
+    return sidecar_read(spark, f"{path}/{_TOMB_DIR}", "parquet")
 
 
-def _ann_marker_df(spark: SparkSession, markers: list) -> DataFrame:
-    return spark.createDataFrame(
-        [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
+def _with_seq(df: DataFrame, markers: list, how: str) -> DataFrame:
+    """Attach each row's batch SEQUENCE — the shared
+    ``dedup_index._marker_seq_join`` broadcast join, never a literal
+    ``create_map`` (ADVICE r11 #2 applied from day one on this tier: a
+    year of 15-min crawl snapshots is ~35k markers, and a 70k-element
+    literal map in every serving plan is driver-side bloat).
+    ``how="left"`` keeps unmarked (crashed-append) rows with a NULL seq
+    — no tombstone can name them, so the READ paths serve them until
+    ``ann_index_compact`` sweeps them; ``how="inner"`` restricts to
+    marked rows (the delete-accounting / compaction-keep shape)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _marker_seq_join,
     )
 
-
-def _with_seq(df: DataFrame, mdf: DataFrame, how: str) -> DataFrame:
-    """Attach each row's batch SEQUENCE by joining the metadata-sized
-    marker frame — a broadcast join, never a literal ``create_map``
-    (ADVICE r11 #2 applied from day one on this tier: a year of 15-min
-    crawl snapshots is ~35k markers, and a 70k-element literal map in
-    every serving plan is driver-side bloat; the join side stays one
-    tiny row per batch). ``how="left"`` keeps unmarked (crashed-append)
-    rows with a NULL seq — no tombstone can name them, so they survive
-    retraction untouched; ``how="inner"`` restricts to marked rows (the
-    delete-accounting shape)."""
-    return df.join(F.broadcast(mdf), df["_batch"] == mdf["_mb"], how).drop("_mb")
+    return _marker_seq_join(df, markers, how)
 
 
 def _ann_apply_tombstones(
@@ -291,12 +301,14 @@ def _ann_apply_tombstones(
     seq scoping that lets a RE-APPENDED id live while its retracted
     history stays dead (same rule as ``dedup_index._apply_tombstones``).
     The anti-join's tombstone side is delete-request-sized; the index
-    itself never shuffles for retraction."""
+    itself never shuffles for retraction. Unmarked (crashed-append)
+    rows are KEPT — this is the read-path filter; compaction is where
+    they are swept (``_ann_live_rows``/``_ann_dead_rows``)."""
     if tomb is None:
         return df
     t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
     return (
-        _with_seq(df, _ann_marker_df(df.sparkSession, markers), "left")
+        _with_seq(df, markers, "left")
         .join(
             t,
             (F.col("_id") == F.col("_t_id"))
@@ -305,6 +317,49 @@ def _ann_apply_tombstones(
         )
         .drop("_seq")
     )
+
+
+def _ann_live_rows(
+    df: DataFrame, tomb: DataFrame | None, markers: list
+) -> DataFrame:
+    """The COMPACTION/REBUILD keep set: marked AND not seq-scoped-
+    tombstoned. Unlike ``_ann_apply_tombstones`` (the read-path filter,
+    which keeps unmarked rows so a crashed append degrades to serving
+    its orphans rather than losing data mid-recovery), this DROPS
+    unmarked crash-append orphans — compact/rebuild are where they are
+    swept (the table-tier rule, review r12: orphans have no marker seq,
+    so no tombstone can ever name them; without the sweep a GDPR
+    request against them had no supported removal path)."""
+    out = _with_seq(df, markers, "inner")
+    if tomb is not None:
+        t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+        out = out.join(
+            t,
+            (F.col("_id") == F.col("_t_id"))
+            & (F.col("_seq") < F.col("del_seq")),
+            "left_anti",
+        )
+    return out.drop("_seq")
+
+
+def _ann_dead_rows(
+    df: DataFrame, tomb: DataFrame | None, markers: list
+) -> DataFrame:
+    """Complement of ``_ann_live_rows``: seq-scoped tombstoned rows
+    PLUS unmarked crash-append orphans (disjoint sets — a NULL seq
+    never satisfies ``_seq < del_seq``). Feeds compaction's affected-
+    directory histograms."""
+    seqd = _with_seq(df, markers, "left")
+    unmarked = seqd.filter(F.col("_seq").isNull()).drop("_seq")
+    if tomb is None:
+        return unmarked
+    t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
+    dead = seqd.join(
+        t,
+        (F.col("_id") == F.col("_t_id")) & (F.col("_seq") < F.col("del_seq")),
+        "left_semi",
+    ).drop("_seq")
+    return dead.unionByName(unmarked)
 
 
 def _ann_recover(path: str) -> None:
@@ -508,7 +563,16 @@ def ann_index_append(
     (two rows at different ranks) and collapsed to one row (earliest
     batch's lineage) by ``ann_index_rebuild``; enforcing uniqueness
     here would cost a full-index anti-join per append, which is the
-    wrong trade for an append that is otherwise batch-proportional."""
+    wrong trade for an append that is otherwise batch-proportional.
+
+    Crash window (marker written LAST): a kill before the marker write
+    leaves UNMARKED orphan rows in the data tiers — search serves them
+    (conservative: data is never hidden mid-recovery) but they carry no
+    seq, so tombstones cannot name them and a naive re-append of the
+    same delivery would duplicate them under the now-marked batch_id.
+    The retry contract (the band-tier rule): run ``ann_index_compact``
+    first — it sweeps unmarked orphans physically — then re-append
+    under the SAME batch_id (still unmarked, so not rejected)."""
     spark = new_df.sparkSession
     meta = ann_index_meta(spark, path)
     if meta is None:
@@ -625,21 +689,32 @@ def ann_index_rebuild(
     # vectors for the same id in the two tiers) — and the EARLIEST
     # batch's lineage (min _batch, same determinism argument).
     # Pending tombstones are FOLDED IN here (r12): both tiers are
-    # live-filtered with the same seq-scoped rule the read paths use,
-    # so the rebuilt index holds only surviving rows and carries no
-    # tombstone sidecar — rebuild is the remote-index compaction path.
+    # filtered to their MARKED LIVE rows (``_ann_live_rows`` — the
+    # seq-scoped tombstone rule plus the unmarked-orphan sweep, review
+    # r12: copying crashed-append orphans forward would re-plant rows
+    # no tombstone can ever name), so the rebuilt index holds only
+    # surviving committed rows and carries no tombstone sidecar —
+    # rebuild is the remote-index compaction path.
     markers = _ann_marker_rows(spark, path)
     tomb = _ann_tombstones(spark, path) if old.get("vec_batch") else None
     raw_vecs = spark.read.parquet(f"{path}/{_VEC_DIR}")
-    if old.get("vec_batch"):
-        raw_vecs = _ann_apply_tombstones(raw_vecs, tomb, markers)
+    # column-guarded like compact's _vbucket check: a hand-stripped or
+    # inconsistent fixture whose meta claims r12 but whose refine tier
+    # lacks lineage must not fail analysis — the codes-side live filter
+    # below still drops retracted/orphan ids from the corpus join
+    if old.get("vec_batch") and "_batch" in raw_vecs.columns:
+        raw_vecs = _ann_live_rows(raw_vecs, tomb, markers)
     vecs = (
         raw_vecs.select("_id", "_v")
         .groupBy("_id")
         .agg(F.min("_v").alias("_v"))
     )
+    # pre-r12 refine tiers lack per-row lineage (raw_vecs unfiltered
+    # above), but the codes side always carries ``_batch``: restricting
+    # it to marked live rows drops orphan-only ids from the corpus via
+    # this inner join on every layout
     corpus = vecs.join(
-        _ann_apply_tombstones(spark.read.parquet(path), tomb, markers)
+        _ann_live_rows(spark.read.parquet(path), tomb, markers)
         .groupBy("_id")
         .agg(F.min("_batch").alias("_batch")),
         "_id",
@@ -876,35 +951,43 @@ def ann_index_search(
     # removes it whole) — the check is one driver-side listing, no job.
     # Pre-r12 indexes (no vec_batch) delete physically; skip even that.
     tomb = _ann_tombstones(spark, path) if meta.get("vec_batch") else None
-    markers = _ann_marker_rows(spark, path) if tomb is not None else None
-    n_idx = (
-        _ann_live_size(spark, path, meta)
-        if (
-            shortlist == "auto"
-            or (prune == "auto" and meta["vec_buckets"] and shortlist is not None)
-        )
+    need_stats = shortlist == "auto" or (
+        prune == "auto" and meta["vec_buckets"] and shortlist is not None
+    )
+    # ONE driver-side marker read serves the tombstone seq scope and
+    # both auto statistics (review r12: the r12-draft form re-read the
+    # marker JSON per statistic — duplicate driver jobs per search)
+    markers = (
+        _ann_marker_rows(spark, path)
+        if (tomb is not None or need_stats)
         else None
     )
+    n_phys = _index_size_from_markers(markers) if need_stats else None
     if shortlist == "auto":
         from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
             ann_shortlist,
         )
 
-        n = n_idx
+        # recall sizing scales with the LIVE corpus: physical minus the
+        # tombstoned-dead tally (VERDICT r11 #3)
+        n = _ann_live_size(spark, path, meta, markers)
         if n is None:  # pre-r9 markers lack n_rows: one columnar count
             n = spark.read.parquet(path).count()
         shortlist = ann_shortlist(n)
     if prune == "auto":
         # cost-based, from marker metadata (the CBO-statistic move): the
         # pruned read pays ~2 fixed jobs, so only prune once the cold
-        # tier is big enough that streaming it costs more. Deletes never
-        # update marker n_rows, so the sum OVERstates a post-delete
-        # corpus and "auto" switches to the pruned path EARLIER than the
-        # measured crossover — correct either way, worst case the ~1.1×
-        # small-index penalty (2.94 vs 2.70 s at 200k) until a rebuild
-        # refreshes the markers (ADVICE r10). Unknown size (pre-r9
-        # markers) → prune: the unknown case is the big-index case.
-        prune = n_idx is None or n_idx >= _PRUNE_MIN_ROWS
+        # tier is big enough that streaming it costs more. The statistic
+        # is the PHYSICAL marker sum, not the live size (review r12):
+        # tombstones shrink no bytes until compaction, so a heavily
+        # retracted-but-uncompacted index still pays the full physical
+        # scan on the streaming path — gating on live size would
+        # downgrade exactly the index the measured 10M crossover says
+        # to prune. Post-compact the two statistics coincide (compact
+        # rewrites marker n_rows from physical survivors). Unknown size
+        # (pre-r9 markers) → prune: the unknown case is the big-index
+        # case.
+        prune = n_phys is None or n_phys >= _PRUNE_MIN_ROWS
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     # retraction filter BEFORE the slim projection: seq-scoped anti-join
@@ -1180,7 +1263,7 @@ def ann_index_delete(
     # — unreachable by tombstones, so they must not count as removed;
     # compaction's rewrite is where they would be swept), minus rows
     # already dead under existing tombstones. ONE request-filtered scan.
-    live_hit = _with_seq(hit, _ann_marker_df(spark, markers), "inner")
+    live_hit = _with_seq(hit, markers, "inner")
     if tomb is not None:
         t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
         live_hit = live_hit.join(
@@ -1194,7 +1277,7 @@ def ann_index_delete(
         # ids unknown, already tombstoned, or stranded in unmarked
         # crash-append rows (those are swept physically by compact)
         return 0
-    n_total = _index_size_from_markers(spark, path)
+    n_total = _index_size_from_markers(markers)
     if n_total is None:
         raise ValueError(
             f"ann_index_delete: markers at {path} lack n_rows but meta "
@@ -1329,15 +1412,64 @@ def _ann_delete_rewrite(spark: SparkSession, path: str, ids, meta: dict) -> int:
     return removed
 
 
+def _rewrite_markers(spark: SparkSession, path: str, markers: list) -> bool:
+    """Recompute per-batch ``n_rows`` from the POST-SWAP physical
+    survivors (not a delta off the old markers: a crashed earlier
+    compact may have already removed rows the old markers still count)
+    and swap the marker dir atomically (healed by ``_ann_recover``).
+    No-op — marker bytes untouched, the mtime-pinned crash test — when
+    every marker already matches; that check is what lets compact's
+    zero-dead early exit heal a compact killed between its dir swaps
+    and this rewrite (review r12 #1: dropping the sidecars there
+    without re-verifying the markers stranded overstated ``n_rows``
+    forever, with no tally left to subtract)."""
+    import os
+    import shutil
+
+    from etl_apache_kafka_python_doker_aws_spark.plans.merge import _swap_in
+
+    live_counts = {
+        r._batch: int(r.n)
+        for r in spark.read.parquet(path)
+        .groupBy("_batch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    marks = [
+        {
+            "batch_id": r.batch_id,
+            "seq": int(r.seq),
+            "n_rows": live_counts.get(r.batch_id, 0),
+        }
+        for r in markers
+    ]
+    if all(
+        "n_rows" in r.__fields__
+        and r.n_rows is not None
+        and int(r.n_rows) == m["n_rows"]
+        for r, m in zip(markers, marks)
+    ):
+        return False
+    marker_dir = os.path.join(path, _BATCH_DIR)
+    staging = marker_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.createDataFrame(marks).coalesce(1).write.json(staging)
+    _swap_in(staging, marker_dir)
+    return True
+
+
 def ann_index_compact(spark: SparkSession, path: str) -> int:
     """Fold accumulated tombstones into the index physically — the
     r9-r11 localized delete rewrite, demoted to maintenance (r12,
     VERDICT r11 #1): rewrite ONLY the ``cell=`` / ``_vbucket=``
-    directories that still hold tombstoned rows (``_dir_swap`` — every
+    directories that still hold DEAD rows (``_dir_swap`` — every
     untouched directory keeps its files byte-identical), recompute the
     batch markers' ``n_rows`` from the physical survivors (atomic
     staging swap on the marker dir), then drop the dead tally and the
-    tombstone sidecar LAST.
+    tombstone sidecar LAST. Dead = seq-scoped tombstoned rows PLUS
+    unmarked crash-append orphans (review r12: an orphan has no marker
+    seq, so no tombstone can ever name it — compact is its only
+    removal path, same as ``minhash_table_compact``'s unmarked sweep).
 
     Crash-window table (every state a kill can leave, and its heal —
     the r11 review discipline):
@@ -1347,16 +1479,19 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
       anti-join rows that are already physically gone: a no-op);
     * after some dir swaps, before the marker rewrite — markers
       overstate, tally still subtracts: live-size statistic stays
-      correct; re-run compact to finish (it recomputes dead rows from
-      the CURRENT physical data, so already-swapped dirs are not
-      re-rewritten);
+      correct; re-run compact to finish. The re-run recomputes dead
+      rows from the CURRENT physical data, so already-swapped dirs are
+      not re-rewritten — and if EVERY dir was already swapped, the
+      zero-dead early exit still re-verifies the markers against the
+      physical survivors and rewrites them when stale (review r12 #1)
+      before dropping the sidecars;
     * mid-marker-swap — marker dir missing, complete copy in
       ``.staging``/``.old``: ``_ann_recover`` restores it (append heals
       before reading the batch list, so redelivery stays rejected);
     * after markers, before the tally drop — live size UNDERstated
       (auto keeps the streaming join past the crossover — a plan-choice
-      penalty only); the next compact finds zero dead rows and drops
-      both sidecars;
+      penalty only); the next compact finds zero dead rows, re-verifies
+      markers (already exact — bytes untouched) and drops both sidecars;
     * after the tally drop, before the tombstone drop — accounting
       exact (markers already post-compact), tombstones anti-join
       nothing; the next compact drops them.
@@ -1384,22 +1519,10 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
     if not meta.get("vec_batch"):
         return 0  # pre-r12 layout: deletes are physical, nothing pends
     tomb = _ann_tombstones(spark, path)
-    if tomb is None:
-        # a kill between compact's two sidecar drops can strand a dead
-        # tally without tombstones — it would understate the live size
-        # forever; sweep it
-        shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
-        return 0
     markers = _ann_marker_rows(spark, path)
-    mdf = _ann_marker_df(spark, markers)
-    t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
-    dead_cond = (F.col("_id") == F.col("_t_id")) & (
-        F.col("_seq") < F.col("del_seq")
-    )
     codes = spark.read.parquet(path)
     cell_hist = (
-        _with_seq(codes, mdf, "inner")
-        .join(t, dead_cond, "left_semi")
+        _ann_dead_rows(codes, tomb, markers)
         .groupBy("cell")
         .agg(F.count("*").alias("_n"))
         .collect()
@@ -1407,7 +1530,7 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
     n_dead = sum(r._n for r in cell_hist)
     vec_dir = f"{path}/{_VEC_DIR}"
     vecs = spark.read.parquet(vec_dir)
-    dead_vecs = _with_seq(vecs, mdf, "inner").join(t, dead_cond, "left_semi")
+    dead_vecs = _ann_dead_rows(vecs, tomb, markers)
     bucketed_vecs = bool(meta.get("vec_buckets")) and "_vbucket" in vecs.columns
     if bucketed_vecs:
         vb_hist = (
@@ -1418,18 +1541,25 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
         n_dead_vecs = dead_vecs.count()
     if n_dead == 0 and n_dead_vecs == 0:
         # already folded (a re-run after a kill between the dir swaps
-        # and the sidecar drops) — finish the drops
+        # and the sidecar drops) — re-verify the markers against the
+        # physical survivors (review r12 #1: a kill BEFORE the marker
+        # rewrite reaches here too, and dropping the tally without
+        # healing the markers would strand the overstatement forever),
+        # then finish the drops
+        if tomb is not None or os.path.isdir(os.path.join(path, _DEAD_DIR)):
+            _rewrite_markers(spark, path, markers)
         shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
         shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
         return 0
     if n_dead and codes.count() - n_dead <= 0:
         raise ValueError(
-            f"ann_index_compact: pending tombstones would EMPTY the index "
-            f"at {path} — remove the path instead (live index untouched)"
+            f"ann_index_compact: folding the pending dead rows would EMPTY "
+            f"the index at {path} — remove the path instead (live index "
+            "untouched)"
         )
     if n_dead:
         cells = sorted(int(r.cell) for r in cell_hist)
-        keep_codes = _ann_apply_tombstones(
+        keep_codes = _ann_live_rows(
             codes.filter(F.col("cell").isin(cells)), tomb, markers
         )
         _dir_swap(
@@ -1442,7 +1572,7 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
         )
     if n_dead_vecs and bucketed_vecs:
         vb = sorted(int(r._vbucket) for r in vb_hist)
-        keep_vecs = _ann_apply_tombstones(
+        keep_vecs = _ann_live_rows(
             vecs.filter(F.col("_vbucket").isin(vb)), tomb, markers
         )
         _dir_swap(
@@ -1458,32 +1588,9 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
         # flat refine tier (vec_buckets=None build): full sidecar rewrite
         staging = vec_dir.rstrip("/") + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
-        _ann_apply_tombstones(vecs, tomb, markers).write.parquet(staging)
+        _ann_live_rows(vecs, tomb, markers).write.parquet(staging)
         _swap_in(staging, vec_dir)
-    # marker n_rows from the POST-SWAP physical survivors (not a delta
-    # off the old markers: a crashed earlier compact may have already
-    # removed rows the old markers still count) — atomic staging swap,
-    # healed by _ann_recover
-    live_counts = {
-        r._batch: int(r.n)
-        for r in spark.read.parquet(path)
-        .groupBy("_batch")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    marks = [
-        {
-            "batch_id": r.batch_id,
-            "seq": int(r.seq),
-            "n_rows": live_counts.get(r.batch_id, 0),
-        }
-        for r in markers
-    ]
-    marker_dir = os.path.join(path, _BATCH_DIR)
-    staging = marker_dir + ".staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    spark.createDataFrame(marks).coalesce(1).write.json(staging)
-    _swap_in(staging, marker_dir)
+    _rewrite_markers(spark, path, markers)
     # sidecars LAST — tally before tombstones (see the crash table)
     shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
     shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)

@@ -242,13 +242,22 @@ def _marker_rows(spark: SparkSession, source) -> list:
     JSON/table row per batch — metadata-cheap at any index size. Marker
     fields: batch_id, seq, and (r9) ``counted`` — written True AFTER
     the counts sidecar, so a marked batch with counted=True provably
-    has its guard counts on disk (markers are written LAST)."""
-    try:
-        rows = (
-            source if isinstance(source, DataFrame) else spark.read.json(source)
-        ).collect()
-    except Exception:
-        return []
+    has its guard counts on disk (markers are written LAST).
+
+    Absence (fresh index) is an explicit existence check; a READ error
+    on an existing marker dir propagates (review r12 — swallowing it
+    as "no batches" would strip every row's seq, so tombstone
+    retraction anti-joins nothing and pairs queries see zero marked
+    batches: correctness, not availability)."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+
+    if isinstance(source, DataFrame):
+        rows = source.collect()
+    else:
+        df = sidecar_read(spark, source, "json")
+        if df is None:
+            return []
+        rows = df.collect()
     return sorted(rows, key=lambda r: r.seq)
 
 
@@ -882,6 +891,21 @@ def _tombstones(spark: SparkSession, table: str) -> DataFrame | None:
 _MARKER_MAP_MAX = 1_000
 
 
+def _marker_seq_join(df: DataFrame, markers, how: str) -> DataFrame:
+    """Attach each row's batch SEQUENCE by joining the metadata-sized
+    marker frame (one tiny row per batch) — the ONE batch→seq
+    translation both index tiers share (review r12: the band tier's
+    >``_MARKER_MAP_MAX`` branch and the ANN tier's ``_with_seq`` were
+    verbatim copies that could drift). ``how="left"`` keeps unmarked
+    (crashed-append) rows with a NULL seq; ``how="inner"`` restricts to
+    marked rows. The broadcast hint is structural: the build side is
+    one row per batch marker, metadata-bounded at any corpus size."""
+    mdf = df.sparkSession.createDataFrame(
+        [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
+    )
+    return df.join(F.broadcast(mdf), df["_batch"] == mdf["_mb"], how).drop("_mb")
+
+
 def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataFrame:
     """Filter a bucketed-index frame down to its LIVE rows: a row is
     dead iff some tombstone names its ``_id`` AND the row's batch was
@@ -899,13 +923,7 @@ def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataF
         return full
     t = tomb.select(F.col("_id").alias("_t_id"), "del_seq")
     if len(markers) > _MARKER_MAP_MAX:
-        mdf = full.sparkSession.createDataFrame(
-            [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
-        )
-        # metadata-sized dim (one tiny row per batch marker)
-        with_seq = full.join(
-            F.broadcast(mdf), full["_batch"] == mdf["_mb"], "left"
-        ).drop("_mb")
+        with_seq = _marker_seq_join(full, markers, "left")
     else:
         pairs = []
         for r in markers:

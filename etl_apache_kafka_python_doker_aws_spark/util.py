@@ -37,6 +37,30 @@ def day_bucket(c: Column | str) -> Column:
     return col.cast("date").cast("timestamp_ntz")
 
 
+def sidecar_read(spark, path: str, fmt: str) -> DataFrame | None:
+    """Read a CORRECTNESS sidecar (tombstones, batch markers),
+    distinguishing ABSENT from UNREADABLE (review r12): the previous
+    ``try/except → None`` pattern swallowed transient read failures
+    (permission blip, corrupt footer, remote-FS hiccup) as "nothing
+    pending", which on a tombstone sidecar silently serves
+    GDPR-retracted rows and on a marker dir strips every row's seq so
+    retraction anti-joins nothing. Absence is an explicit Hadoop-FS
+    existence check; any error reading an EXISTING sidecar propagates.
+    A directory holding only write-temporary litter (``_temporary``
+    from a killed first append that never committed a file) reads as
+    absent — no committed data, nothing pending. Returns None when
+    absent, else the loaded DataFrame."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    names = [st.getPath().getName() for st in fs.listStatus(hpath)]
+    if not any(not n.startswith(("_", ".")) for n in names):
+        return None
+    return spark.read.format(fmt).load(path)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-parallelized for CPU-heavy work.
 

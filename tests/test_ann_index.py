@@ -415,9 +415,11 @@ def test_rebuild_upgrades_legacy_refine_tier(spark, tmp_path):
         f"{path}/_graft_vectors")
     m = ann_index_meta(spark, path)
     m.pop("vec_buckets")
+    m.pop("vec_batch")  # a true pre-r9 index predates BOTH fields
     spark.createDataFrame([m]).coalesce(1).write.mode("overwrite").json(
         f"{path}/_graft_meta")
     assert ann_index_meta(spark, path)["vec_buckets"] is None
+    assert ann_index_meta(spark, path)["vec_batch"] is False
 
     new = str(tmp_path / "ann_upgraded")
     ann_index_rebuild(spark, path, new)

@@ -135,10 +135,15 @@ def test_delete_empty_guard_and_auto_compact(spark, tmp_path):
     assert spark.read.parquet(path).count() == 40  # untouched physically
 
 
-def test_prune_auto_reads_post_delete_live_size(spark, tmp_path, monkeypatch):
-    """VERDICT r11 #3: prune="auto" must read the POST-DELETE size —
-    above the crossover the scan prunes; after a heavy retraction the
-    same index drops below it and auto returns to the streaming join."""
+def test_prune_auto_gates_on_physical_scan_size(spark, tmp_path, monkeypatch):
+    """prune="auto" reads the PHYSICAL tier size — the scan-cost
+    statistic (review r12, refining VERDICT r11 #3: tombstones shrink
+    no bytes until compaction, so a retracted-but-uncompacted index
+    still pays the full physical scan on the streaming path and must
+    KEEP pruning); COMPACTION is what shrinks the physical tier below
+    the crossover and flips auto to the streaming join. The LIVE size
+    (markers − dead tally) remains the shortlist/recall statistic —
+    covered by test_delete_accounting_and_idempotence."""
     import re
 
     from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
@@ -156,12 +161,18 @@ def test_prune_auto_reads_post_delete_live_size(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ann_index, "_PRUNE_MIN_ROWS", 50)
     assert has_vb_filter(
         ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
-    ), "60 live rows ≥ 50 → the pruned path"
-    # retract 15 (no auto-compact: stay on the tombstone accounting)
+    ), "60 physical rows ≥ 50 → the pruned path"
+    # retract 15 (no auto-compact: stay on the tombstone accounting) —
+    # physical tier unchanged at 60, so auto must KEEP pruning
     ann_index_delete(spark, path, list(range(15)), compact_threshold=2.0)
+    assert has_vb_filter(
+        ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
+    ), "tombstones don't shrink the scan: 60 physical ≥ 50 stays pruned"
+    # compaction shrinks the physical tier: 45 < 50 → streaming join
+    assert ann_index_compact(spark, path) == 15
     assert not has_vb_filter(
         ann_index_search(q, path, k=3, n_probe=4, shortlist=10)
-    ), "45 live rows < 50 → auto must fall back to the streaming join"
+    ), "45 physical rows < 50 → auto must fall back to the streaming join"
 
 
 def test_crash_windows_heal(spark, tmp_path):
@@ -212,6 +223,119 @@ def test_crash_windows_heal(spark, tmp_path):
     assert ann_index_compact(spark, path) == 0
     assert not os.path.exists(f"{path}/_graft_tombstones")
     assert snap() == pre
+
+
+def test_compact_rerun_heals_stale_markers(spark, tmp_path):
+    """review r12 #1: a compact killed AFTER its dir swaps but BEFORE
+    the marker rewrite leaves stale-high markers with both sidecars
+    still present; the re-run takes the zero-dead early exit and must
+    RE-VERIFY the markers against the physical survivors before
+    dropping the sidecars — dropping them around stale markers would
+    strand the overstatement forever (no tally left to subtract, so
+    the EMPTY guard and both auto statistics run off a phantom size)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _ann_marker_rows,
+        _index_size_from_markers,
+    )
+
+    corpus, rows, path = _build(spark, tmp_path)
+    marker_dir = os.path.join(path, "_graft_batches")
+    stale = str(tmp_path / "markers_stale")
+    shutil.copytree(marker_dir, stale)  # the pre-delete (60-row) markers
+    assert ann_index_delete(spark, path, [1, 2, 3], compact_threshold=2.0) == 3
+    tombs, dead = str(tmp_path / "tombs"), str(tmp_path / "dead")
+    shutil.copytree(f"{path}/_graft_tombstones", tombs)
+    shutil.copytree(f"{path}/_graft_dead", dead)
+    assert ann_index_compact(spark, path) == 3
+    # reconstruct the kill state: dirs already swapped (the compact
+    # above did that), markers STALE-high, both sidecars present
+    shutil.rmtree(marker_dir)
+    shutil.copytree(stale, marker_dir)
+    shutil.copytree(tombs, f"{path}/_graft_tombstones")
+    shutil.copytree(dead, f"{path}/_graft_dead")
+    assert _index_size_from_markers(_ann_marker_rows(spark, path)) == 60
+    meta = ann_index_meta(spark, path)
+    assert _ann_live_size(spark, path, meta) == 57  # tally still subtracts
+    assert ann_index_compact(spark, path) == 0  # the zero-dead early exit
+    assert not os.path.exists(f"{path}/_graft_tombstones")
+    assert not os.path.exists(f"{path}/_graft_dead")
+    assert _index_size_from_markers(_ann_marker_rows(spark, path)) == 57, \
+        "early exit must heal the stale markers before dropping the tally"
+    assert _ann_live_size(spark, path, meta) == 57
+
+
+def test_compact_sweeps_unmarked_crash_append_orphans(spark, tmp_path):
+    """review r12 #2: rows from an append killed before its marker
+    write carry no seq, so no tombstone can ever name them — search
+    serves them (conservative: data is never hidden mid-recovery),
+    ann_index_delete accounts 0 for them, and ann_index_compact is the
+    removal path: it physically sweeps them from BOTH tiers (rebuild
+    drops them too), after which the same batch_id can be re-appended
+    (the documented retry contract)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_rebuild,
+    )
+
+    corpus, rows, path = _build(spark, tmp_path)
+    marker_dir = os.path.join(path, "_graft_batches")
+    before = set(os.listdir(marker_dir))
+    ghost = spark.createDataFrame([(5000, rows[0][1])],
+                                  "vec_id long, embedding array<double>")
+    ann_index_append(ghost, "vec_id", "embedding", path, batch_id="ghost")
+    for f in set(os.listdir(marker_dir)) - before:  # un-mark the batch
+        os.remove(os.path.join(marker_dir, f))
+    assert ann_index_batches(spark, path) == ["base"]
+    # served (twin of vec 0 at dist 0), but unreachable by tombstones
+    top = ann_index_search(corpus.filter("vec_id = 0"), path, k=2,
+                           n_probe=4, shortlist=20).collect()
+    assert top[0].neighbor_id == 5000 and top[0].dist == 0.0
+    assert ann_index_delete(spark, path, [5000]) == 0
+    # rebuild never copies the orphan forward
+    new = str(tmp_path / "ann_rebuilt")
+    ann_index_rebuild(spark, path, new)
+    assert spark.read.parquet(new).filter(F.col("_id") == 5000).count() == 0
+    # compact physically sweeps it from both tiers of the live index
+    assert ann_index_compact(spark, path) == 1
+    assert spark.read.parquet(path).filter(F.col("_id") == 5000).count() == 0
+    assert spark.read.parquet(f"{path}/_graft_vectors").filter(
+        F.col("_id") == 5000).count() == 0
+    hits = ann_index_search(corpus.filter("vec_id = 0"), path, k=2,
+                            n_probe=4, shortlist=20).collect()
+    assert all(r.neighbor_id != 5000 for r in hits)
+    # retry contract: the batch_id is still unmarked → re-append works
+    ann_index_append(ghost, "vec_id", "embedding", path, batch_id="ghost")
+    assert ann_index_batches(spark, path) == ["base", "ghost"]
+    top2 = ann_index_search(corpus.filter("vec_id = 0"), path, k=2,
+                            n_probe=4, shortlist=20).collect()
+    assert top2[0].neighbor_id == 5000 and top2[0].dist == 0.0
+
+
+def test_sidecar_read_errors_propagate(spark, tmp_path):
+    """review r12 #4: a transient read failure on a correctness sidecar
+    (tombstones, batch markers) must PROPAGATE, not read as absence —
+    swallowing it would silently serve GDPR-retracted rows. Absence
+    stays clean (fresh index → no tombstones), and a dir holding only
+    write-temporary litter reads as absent."""
+    corpus, rows, path = _build(spark, tmp_path)
+    ann_index_delete(spark, path, [3], compact_threshold=2.0)
+    tomb_dir = f"{path}/_graft_tombstones"
+    part = [f for f in os.listdir(tomb_dir) if f.endswith(".parquet")][0]
+    with open(os.path.join(tomb_dir, part), "r+b") as fh:  # corrupt footer
+        fh.seek(-4, os.SEEK_END)
+        fh.write(b"XXXX")
+    crc = os.path.join(tomb_dir, "." + part + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(Exception):
+        ann_index_search(corpus.filter("vec_id = 7"), path, k=3,
+                         n_probe=4, shortlist=20).collect()
+    # litter-only sidecar dir reads as ABSENT (a killed first delete
+    # that never committed a file): searches serve normally
+    shutil.rmtree(tomb_dir)
+    os.makedirs(os.path.join(tomb_dir, "_temporary"))
+    got = ann_index_search(corpus.filter("vec_id = 7"), path, k=3,
+                           n_probe=4, shortlist=20).collect()
+    assert got
 
 
 def test_auto_vec_buckets_scaling(spark, tmp_path):
