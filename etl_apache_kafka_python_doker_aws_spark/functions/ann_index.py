@@ -142,14 +142,17 @@ _MAX_PUSHED_IDS = 4_096
 # COST-BASED plan choice, decided from marker metadata like a CBO
 # statistic: the pruned path pays ~2 fixed jobs (checkpoint + stats)
 # to avoid streaming the cold tier, so it only wins once the tier is
-# big — measured (quiet host, median of 3): 20k vectors join 2.3 s vs
-# pruned 3.2 s; 200k join 2.96 s vs pruned 5.18 s (probe); 2M join
-# 9.64 s vs pruned 10.09 s — PARITY, which is why the bound sits here:
-# the pruned path's cost is fixed while the join streams the ~512 B/
-# vector tier linearly, so past 2M rows pruning only gains. Explicit
-# prune=True/False overrides (the plan-pin tests and the scale probe
-# force the shapes).
-_PRUNE_MIN_ROWS = 2_000_000
+# big — measured FRESH-PROCESS, quiet host, median of 3 (the r12
+# probe found same-process-after-build timings 3-7× inflated — JVM
+# state from the corpus build pollutes subsequent serving runs, so the
+# r11 "parity at 2M" bracket was contaminated on both sides): 200k
+# join 2.34 s vs pruned 4.74; 2M join 7.38 vs pruned 9.93 (join still
+# wins 1.3×); 10M join 13.1-15.6 vs pruned 6.7-8.95 (pruned wins
+# 1.7-2×) — crossover between the brackets, bound at the geometric
+# middle. Worst case either side of the true crossover is ≤1.35×.
+# Explicit prune=True/False overrides (the plan-pin tests and the
+# scale probe force the shapes).
+_PRUNE_MIN_ROWS = 4_000_000
 
 
 def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
