@@ -95,6 +95,7 @@ from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
     _residual,
     _subspace_dists,
 )
+from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
 
 _META_DIR = "_graft_meta"
 _BATCH_DIR = "_graft_batches"
@@ -764,7 +765,7 @@ def ann_index_rebuild(
         }
         for r in markers
     ]
-    spark.createDataFrame(marks).coalesce(1).write.mode("append").json(
+    tiny_rows_df(spark, marks).coalesce(1).write.mode("append").json(
         f"{new_path}/{_BATCH_DIR}"
     )
     # meta LAST — the rebuild's commit marker, same rule as the build
@@ -855,8 +856,8 @@ def _write_batch(
     )
     _write_vec_tier(vecs, path, meta, wide)
     n_rows = df.count()
-    spark.createDataFrame(
-        [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
+    tiny_rows_df(
+        spark, [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
     ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
 
 
@@ -1301,8 +1302,8 @@ def ann_index_delete(
     if gone is not None:
         tomb_rows = gone.select(F.col("_id").cast(id_type).alias("_id"))
     else:
-        tomb_rows = spark.createDataFrame(
-            [(i,) for i in dict.fromkeys(ids)], codes.select("_id").schema
+        tomb_rows = tiny_rows_df(
+            spark, [(i,) for i in dict.fromkeys(ids)], codes.select("_id").schema
         )
     # one file per delete (request-sized frames; the GDPR shape) —
     # tombstones first, tally second: a kill between the two appends
@@ -1312,7 +1313,7 @@ def ann_index_delete(
     tomb_rows.withColumn("del_seq", F.lit(del_seq)).coalesce(1).write.mode(
         "append"
     ).parquet(f"{path}/{_TOMB_DIR}")
-    spark.createDataFrame([{"del_seq": del_seq, "n_dead": removed}]).coalesce(
+    tiny_rows_df(spark, [{"del_seq": del_seq, "n_dead": removed}]).coalesce(
         1
     ).write.mode("append").json(f"{path}/{_DEAD_DIR}")
     if n_total and (dead_prev + removed) / n_total > compact_threshold:
@@ -1388,8 +1389,8 @@ def _ann_delete_rewrite(spark: SparkSession, path: str, ids, meta: dict) -> int:
         if gone is not None:
             id_df = gone
         else:
-            id_df = spark.createDataFrame(
-                [(i,) for i in ids], vecs.select("_id").schema
+            id_df = tiny_rows_df(
+                spark, [(i,) for i in ids], vecs.select("_id").schema
             )
         vb = sorted(
             r._vb
@@ -1456,7 +1457,7 @@ def _rewrite_markers(spark: SparkSession, path: str, markers: list) -> bool:
     marker_dir = os.path.join(path, _BATCH_DIR)
     staging = marker_dir + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
-    spark.createDataFrame(marks).coalesce(1).write.json(staging)
+    tiny_rows_df(spark, marks).coalesce(1).write.json(staging)
     _swap_in(staging, marker_dir)
     return True
 

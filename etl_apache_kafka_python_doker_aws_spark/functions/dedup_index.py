@@ -84,6 +84,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
 from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
     banded_minhash_signatures,
     estimate_jaccard_pairs,
@@ -377,7 +379,8 @@ def minhash_index_append(
         banded.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
         ).withColumn("_batch", F.lit(batch_id)).unionByName(
-            spark.createDataFrame(
+            tiny_rows_df(
+                spark,
                 [(-1, 0, 0, batch_id)],
                 "band_idx int, band_hash long, cnt long, _batch string",
             )
@@ -386,8 +389,8 @@ def minhash_index_append(
         banded.unpersist()
     # counted=True is only ever written AFTER the counts write above —
     # a marked batch with the flag provably has its guard counts
-    spark.createDataFrame(
-        [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
+    tiny_rows_df(
+        spark, [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
     ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
 
 
@@ -653,7 +656,8 @@ def minhash_table_append(
             F.count("*").alias("cnt")
         ).withColumn("_batch", F.lit(batch_id)).unionByName(
             # zero-count sentinel (ADVICE r8) — see minhash_index_append
-            spark.createDataFrame(
+            tiny_rows_df(
+                spark,
                 [(-1, 0, 0, batch_id)],
                 "band_idx int, band_hash long, cnt long, _batch string",
             )
@@ -662,8 +666,8 @@ def minhash_table_append(
         ).format("parquet").saveAsTable(f"{table}_counts")
     finally:
         banded.unpersist()
-    spark.createDataFrame(
-        [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
+    tiny_rows_df(
+        spark, [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
     ).write.mode("append").saveAsTable(f"{table}_batches")
 
 
@@ -900,8 +904,10 @@ def _marker_seq_join(df: DataFrame, markers, how: str) -> DataFrame:
     (crashed-append) rows with a NULL seq; ``how="inner"`` restricts to
     marked rows. The broadcast hint is structural: the build side is
     one row per batch marker, metadata-bounded at any corpus size."""
-    mdf = df.sparkSession.createDataFrame(
-        [(r.batch_id, int(r.seq)) for r in markers], "_mb string, _seq int"
+    mdf = tiny_rows_df(
+        df.sparkSession,
+        [(r.batch_id, int(r.seq)) for r in markers],
+        "_mb string, _seq int",
     )
     return df.join(F.broadcast(mdf), df["_batch"] == mdf["_mb"], how).drop("_mb")
 
@@ -1027,7 +1033,7 @@ def minhash_table_delete(
     tomb_rows = (
         gone.select(F.col("_id").cast(id_type).alias("_id"))
         if gone is not None
-        else spark.createDataFrame([(i,) for i in ids], full.select("_id").schema)
+        else tiny_rows_df(spark, [(i,) for i in ids], full.select("_id").schema)
     ).withColumn("del_seq", F.lit(del_seq))
     tomb_rows.write.mode("append").format("parquet").saveAsTable(
         f"{table}_tombstones"
@@ -1120,7 +1126,8 @@ def minhash_table_compact(spark: SparkSession, table: str) -> int:
         .agg(F.count("*").alias("cnt"))
         .select("band_idx", "band_hash", "cnt", "_batch")
         .unionByName(
-            spark.createDataFrame(
+            tiny_rows_df(
+                spark,
                 [(-1, 0, 0, b) for b in minhash_table_batches(spark, table)],
                 "band_idx int, band_hash long, cnt long, _batch string",
             )
@@ -1424,7 +1431,8 @@ def _minhash_delete_full_rewrite(spark: SparkSession, path: str, ids) -> int:
     counts = survivors.groupBy("band_idx", "band_hash", "_batch").agg(
         F.count("*").alias("cnt")
     ).select("band_idx", "band_hash", "cnt", "_batch")
-    sentinels = spark.createDataFrame(
+    sentinels = tiny_rows_df(
+        spark,
         [(-1, 0, 0, b) for b in minhash_index_batches(spark, path)],
         "band_idx int, band_hash long, cnt long, _batch string",
     )

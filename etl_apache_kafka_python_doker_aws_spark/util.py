@@ -61,6 +61,36 @@ def sidecar_read(spark, path: str, fmt: str) -> DataFrame | None:
     return spark.read.format(fmt).load(path)
 
 
+def tiny_rows_df(spark, rows, schema=None) -> DataFrame:
+    """Arrow local-relation frame for METADATA-SIZED row sets (markers,
+    tombstones, tallies, count sentinels — review r12).
+    ``createDataFrame`` over plain Python rows parallelizes into
+    ``defaultParallelism`` Python-RDD partitions, so a coalesce(1)
+    sidecar write of a 25-row frame pays ~4 s of Python-worker plumbing
+    per call (measured; 0.15 s via the pandas/Arrow local-relation
+    path, 26×), and every union/join against such a frame drags Python
+    workers into an otherwise JVM-side job. ``rows``: a list of dicts
+    sharing one key set, or a list of tuples with an explicit
+    ``schema`` (DDL string or StructType)."""
+    import pandas as pd
+
+    if schema is None:
+        names = None
+    elif isinstance(schema, str):
+        names = [f.strip().split()[0] for f in schema.split(",")]
+    else:
+        names = schema.fieldNames()
+    if rows and isinstance(rows[0], dict):
+        pdf = pd.DataFrame(rows, columns=names or list(rows[0].keys()))
+    else:
+        if names is None:
+            raise ValueError("tiny_rows_df: tuple rows need a schema")
+        pdf = pd.DataFrame(rows, columns=names)
+    if schema is None:
+        return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, schema)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input is under-parallelized for CPU-heavy work.
 
