@@ -922,11 +922,13 @@ def ann_index_search(
     (default "auto"): the pruned path pays ~2 fixed jobs (checkpoint +
     stats) to avoid streaming the tier, so below ``_PRUNE_MIN_ROWS``
     (marker metadata — no counting job) the single-job streaming
-    broadcast join is simply faster and "auto" keeps it (measured:
-    2.96 s vs 5.18 s at 200k vectors; parity at 2M; pruned wins at 10M
-    — 49.0 vs 53.0 s at 10k candidates, 15.2 vs 24.1 for a true
-    ≤``_MAX_PUSHED_IDS`` point lookup where the ``_id IN`` row-group
-    skip bites; SCALING.md r11). ``prune=True`` forces the
+    broadcast join is simply faster and "auto" keeps it (measured
+    FRESH-PROCESS, r12 — the r11 bracket was timed in the build's own
+    JVM and read 3-7× inflated: join wins 2.34 vs 4.74 s at 200k and
+    7.38 vs 9.93 at 2M; pruned wins at 10M — 8.95 vs 15.6 s at 10k
+    candidates, 6.7 vs 13.1 for a true ≤``_MAX_PUSHED_IDS`` point
+    lookup where the ``_id IN`` row-group skip bites; SCALING.md
+    r12). ``prune=True`` forces the
     pruned scan (the plan-pin tests and the scale probe);
     ``prune=False`` forces the streaming join, which is also the
     fully-LAZY form — no synchronous job at construction time, for

@@ -346,7 +346,7 @@ def minhash_index_append(
         row = dict(params)
         if g:
             row["bgroups"] = g
-        spark.createDataFrame([row]).coalesce(1).write.mode("overwrite").json(
+        tiny_rows_df(spark, [row]).coalesce(1).write.mode("overwrite").json(
             f"{path}/{_META_DIR}"
         )
     banded = banded_minhash_signatures(
@@ -637,7 +637,7 @@ def minhash_table_append(
             f"to {table} — use a fresh batch_id per delivery"
         )
     if meta is None:
-        spark.createDataFrame([params]).coalesce(1).write.mode(
+        tiny_rows_df(spark, [params]).coalesce(1).write.mode(
             "overwrite"
         ).saveAsTable(f"{table}_meta")
     banded = banded_minhash_signatures(
@@ -1390,7 +1390,7 @@ def minhash_index_relayout(
     ).json(f"{new_path}/{_BATCH_DIR}")
     row = {k: meta[k] for k in _PARAMS}
     row["bgroups"] = g
-    spark.createDataFrame([row]).coalesce(1).write.mode("overwrite").json(
+    tiny_rows_df(spark, [row]).coalesce(1).write.mode("overwrite").json(
         f"{new_path}/{_META_DIR}"
     )
 

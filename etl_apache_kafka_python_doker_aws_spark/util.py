@@ -77,7 +77,12 @@ def tiny_rows_df(spark, rows, schema=None) -> DataFrame:
     if schema is None:
         names = None
     elif isinstance(schema, str):
-        names = [f.strip().split()[0] for f in schema.split(",")]
+        # real DDL parse, not a comma split (review r12: nested types —
+        # map<string,int>, decimal(10,2) — would shred under a naive
+        # split and silently mis-assign dict values)
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = _parse_datatype_string(schema).fieldNames()
     else:
         names = schema.fieldNames()
     if rows and isinstance(rows[0], dict):

@@ -83,18 +83,33 @@ def main() -> None:
         )
         print(json.dumps(out), flush=True)
 
-    # (2) 10M legacy dir-rewrite vs the (already-measured) tombstone path
+    # (2) 10M legacy dir-rewrite vs the (already-measured) tombstone
+    # path. Delete legs MUTATE the index, so a rerun would silently
+    # time a no-op (removed==0 after one scan) — assert loudly instead
+    # (the CLAUDE.md r11 probe rule; review r12): rerun with fresh id
+    # ranges via SPARK_GRAFT_PROBE_ID_BASE.
+    base = int(os.environ.get("SPARK_GRAFT_PROBE_ID_BASE", "7000"))
     meta = ann_index_meta(spark, apath10m)
     t0 = time.time()
-    _ann_delete_rewrite(spark, apath10m, list(range(7000, 7025)), meta)
+    n = _ann_delete_rewrite(spark, apath10m, list(range(base, base + 25)), meta)
     out["legacy_rewrite_delete_10m_sec"] = round(time.time() - t0, 2)
+    if n != 25:
+        raise RuntimeError(
+            f"legacy leg removed {n}/25 — ids already deleted by a prior "
+            "run; rerun with SPARK_GRAFT_PROBE_ID_BASE past the used range"
+        )
     print(json.dumps(out), flush=True)
 
     # (3) steady-state tombstone delete at 10M, fresh process
     t0 = time.time()
-    ann_index_delete(spark, apath10m, list(range(8000, 8025)),
-                     compact_threshold=2.0)
+    n = ann_index_delete(spark, apath10m, list(range(base + 1000, base + 1025)),
+                         compact_threshold=2.0)
     out["tombstone_delete_10m_fresh_sec"] = round(time.time() - t0, 2)
+    if n != 25:
+        raise RuntimeError(
+            f"tombstone leg removed {n}/25 — stale ids; rerun with "
+            "SPARK_GRAFT_PROBE_ID_BASE past the used range"
+        )
     print(json.dumps(out), flush=True)
 
 
