@@ -205,10 +205,12 @@ def _op_index_delete(spark, sf_dir: str):
                 f"{i} passes — lower SPARK_GRAFT_BENCH_REPEATS or raise "
                 "the 500-id reservation in _op_index_delete"
             )
+        from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
         nd = minhash_index_delete(spark, mh_path, dchunk)
         nv = ann_index_delete(spark, ann_path, vchunk)
-        return spark.createDataFrame(
-            [(nd, nv)], "mh_removed long, ann_removed long"
+        return tiny_rows_df(
+            spark, [(nd, nv)], "mh_removed long, ann_removed long"
         )
 
     return run
@@ -247,8 +249,10 @@ def _op_table_delete(spark, sf_dir: str):
                 f"{i} passes — lower SPARK_GRAFT_BENCH_REPEATS or raise "
                 "the 500-id reservation in _op_table_delete"
             )
+        from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
         n = minhash_table_delete(spark, tbl, chunk, compact_threshold=2.0)
-        return spark.createDataFrame([(n,)], "tbl_removed long")
+        return tiny_rows_df(spark, [(n,)], "tbl_removed long")
 
     return run
 

@@ -544,7 +544,7 @@ def ann_index_build(
     _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0, wide=True)
     # meta LAST: its presence is the build's commit marker — search and
     # retry-build treat meta-less leftovers as a failed build, loudly
-    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+    tiny_rows_df(spark, [meta]).coalesce(1).write.mode("overwrite").json(
         f"{path}/{_META_DIR}"
     )
 
@@ -769,7 +769,7 @@ def ann_index_rebuild(
         f"{new_path}/{_BATCH_DIR}"
     )
     # meta LAST — the rebuild's commit marker, same rule as the build
-    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+    tiny_rows_df(spark, [meta]).coalesce(1).write.mode("overwrite").json(
         f"{new_path}/{_META_DIR}"
     )
 
@@ -1100,7 +1100,7 @@ def ann_index_search(
                     StructField("rk", IntegerType(), False),
                 ]
             )
-            return spark.createDataFrame([], empty)
+            return tiny_rows_df(spark, [], empty)
         buckets = sorted(r._vb for r in hist)
         if n_cand <= _MAX_PUSHED_IDS:
             # true point lookup (few queries): also push the ids — the

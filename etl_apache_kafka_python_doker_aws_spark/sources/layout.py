@@ -16,6 +16,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
 
 def write_partitioned(
     df: DataFrame,
@@ -216,9 +218,10 @@ def compact_small_files(
         }
         n_files = max(1, sum(splits.values()))
         pv_cols = [f"_pv_{i}" for i in range(len(part_cols))]
-        nmap = spark.createDataFrame(
+        nmap = tiny_rows_df(
+            spark,
             [(*vals, n) for vals, n in splits.items()],
-            schema=pv_cols + ["_n_split"],
+            pv_cols + ["_n_split"],
         )
         # Join on the dir-rendered string form of each partition value
         # (NULL renders as the hive default-partition sentinel); a

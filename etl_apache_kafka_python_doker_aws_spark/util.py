@@ -76,6 +76,8 @@ def tiny_rows_df(spark, rows, schema=None) -> DataFrame:
 
     if schema is None:
         names = None
+    elif isinstance(schema, list):  # bare column names (types inferred)
+        names = list(schema)
     elif isinstance(schema, str):
         # real DDL parse, not a comma split (review r12: nested types —
         # map<string,int>, decimal(10,2) — would shred under a naive

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
 from etl_apache_kafka_python_doker_aws_spark.operators.joins import asof_join, interval_join
 from etl_apache_kafka_python_doker_aws_spark.workloads.money import money, money_sum, one_minus
@@ -201,7 +203,8 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin is fine exactly because the build side is
     3 rows; a large keyless range join would be bucketized instead."""
     o = load_table(spark, sf_dir, "orders")
-    tiers = spark.createDataFrame(
+    tiers = tiny_rows_df(
+        spark,
         [("low", 0, 100000), ("mid", 100000, 300000), ("high", 300000, 1000000)],
         "tier string, lo int, hi int",
     )
