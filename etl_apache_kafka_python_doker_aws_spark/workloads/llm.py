@@ -47,6 +47,153 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l1_incremental_exact_dedup",
+    oracle="""
+    SELECT doc_id AS id_a,
+           doc_id + 200000 AS id_b,
+           TRUE AS dup_found,
+           TRUE AS keeper_ok,
+           TRUE AS novel_is_new,
+           TRUE AS same_after_compact
+    FROM documents d1
+    WHERE doc_id % 25 = 0 AND text IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM documents d2
+                      WHERE d2.text = d1.text AND d2.doc_id <> d1.doc_id)
+    """,
+)
+def l1_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 INCREMENTAL exact dedup against a persisted content-hash
+    table (r12, ``functions/exact_index.py`` — the L1 analog of
+    l2_incremental_dedup/l2_incremental_semdedup, completing the
+    lifecycle symmetry across all three dedup tiers): each crawl
+    snapshot appends its sha256 hashes once and asks "which of MY
+    documents duplicate something already ingested" at
+    batch-proportional cost; retraction is a request-sized tombstone.
+
+    Script: index the corpus (b0) and verbatim copies of every 25th
+    unique-text doc under id+100000 (b1); TOMBSTONE-DELETE the even
+    SOURCES (doc_id % 50 == 0) via ``sha_table_delete``; append b2 =
+    fresh copies under id+200000 plus NOVEL texts under id+300000;
+    verdict b2 with ``sha_table_dedup_batch``; compact; verdict again.
+
+    Contract (oracle enumerates every unique-text plant): (a)
+    ``dup_found`` — every b2 copy is flagged (its content survives:
+    the b1 copy is never retracted); (b) ``keeper_ok`` — first
+    occurrence wins AND respects retraction: the keeper is the source
+    doc d itself unless d was retracted, in which case it falls to the
+    earliest LIVE copy d+100000; (c) ``novel_is_new`` — suffixed texts
+    are not flagged; (d) ``same_after_compact`` — the CTAS fold-in
+    (which also recomputes nothing per-row: hashes are content-pure)
+    changes no verdict, compared between the eagerly-pinned pre-compact
+    snapshot and the post-compact run (the r11 swap-vs-laziness rule).
+    The unique-text restriction (both sides) keeps the expected keeper
+    well-defined if the corpus carries natural exact dupes."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.exact_index import (
+        drop_sha_table,
+        sha_table_append,
+        sha_table_compact,
+        sha_table_dedup_batch,
+        sha_table_delete,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_texts = (
+        d.groupBy("text").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1).select("text")
+    )
+    eligible = (
+        d.filter(
+            (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+            & F.col("text").isNotNull()
+        )
+        .join(dup_texts, "text", "left_anti")
+    )
+    b1 = eligible.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    retract = eligible.filter(
+        F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) == 0
+    ).select("doc_id")
+    b2 = eligible.select(
+        (F.col("doc_id") + 2 * _PLANT_OFFSET).alias("doc_id"), "text"
+    ).unionByName(
+        eligible.select(
+            (F.col("doc_id") + 3 * _PLANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" __r12novel__"), F.col("doc_id")
+            ).alias("text"),
+        )
+    )
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    tbl = f"l1_sha_incr_{app}"
+    drop_sha_table(spark, tbl)
+    sha_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
+    sha_table_append(b1, "doc_id", "text", tbl, batch_id="b1", buckets=8)
+    sha_table_delete(spark, tbl, retract, compact_threshold=2.0)
+    sha_table_append(b2, "doc_id", "text", tbl, batch_id="b2", buckets=8)
+    pre = sha_table_dedup_batch(spark, tbl, "b2").localCheckpoint(eager=True)
+    sha_table_compact(spark, tbl)
+    post = sha_table_dedup_batch(spark, tbl, "b2")
+    n_diff = (
+        pre.select(
+            "doc_id",
+            F.col("is_dup").alias("_pd"),
+            F.col("keeper_id").alias("_pk"),
+        )
+        .join(
+            post.select(
+                "doc_id",
+                F.col("is_dup").alias("_qd"),
+                F.col("keeper_id").alias("_qk"),
+            ),
+            "doc_id",
+        )
+        .filter(
+            ~(
+                (F.col("_pd") == F.col("_qd"))
+                & F.col("_pk").eqNullSafe(F.col("_qk"))
+            )
+        )
+        .agg(F.count("*").alias("_nd"))
+    )
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 2 * _PLANT_OFFSET).alias("id_b"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) == 0,
+            F.col("doc_id") + _PLANT_OFFSET,
+        ).otherwise(F.col("doc_id")).alias("_want_keeper"),
+        (F.col("doc_id") + 3 * _PLANT_OFFSET).alias("_novel_id"),
+    )
+    return (
+        expected.join(post, expected["id_b"] == post["doc_id"], "left")
+        .join(
+            post.select(
+                F.col("doc_id").alias("_nid"),
+                F.col("is_dup").alias("_novel_dup"),
+            ),
+            F.col("_novel_id") == F.col("_nid"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("dup_found"),
+            F.coalesce(
+                F.col("keeper_id") == F.col("_want_keeper"), F.lit(False)
+            ).alias("keeper_ok"),
+            F.coalesce(~F.col("_novel_dup"), F.lit(False)).alias(
+                "novel_is_new"
+            ),
+            (F.col("_nd") == 0).alias("same_after_compact"),
+        )
+    )
+
+
 #: Planted-duplicate scaffold shared by the near-dup contract queries:
 #: copy every 25th document verbatim under doc_id + 100000 (far above the
 #: fixture id range). A verbatim copy has Jaccard 1.0 with its original
