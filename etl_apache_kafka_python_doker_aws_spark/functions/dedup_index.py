@@ -950,6 +950,75 @@ def _apply_tombstones(full: DataFrame, tomb: DataFrame | None, markers) -> DataF
     )
 
 
+def _tombstone_delete(
+    spark: SparkSession,
+    table: str,
+    ids,
+    *,
+    who: str,
+    drop_hint: str,
+    markers: list,
+    live: DataFrame,
+    full: DataFrame,
+    n_total_fn,
+    compact_fn,
+    compact_threshold: float,
+) -> int:
+    """Shared tombstone-retraction core for the catalog-table tiers
+    (band ``minhash_table_delete`` and exact ``sha_table_delete`` —
+    review r12: the two bodies were drifting clones, the exact failure
+    mode ``_retraction_forms`` was factored out to prevent). ONE index
+    scan computes both statistics (live rows + requested live rows);
+    the EMPTY guard, seq-scoped del_seq, id-type-pinned sidecar write
+    and threshold'd auto-compaction are identical across tiers.
+    ``n_total_fn`` is only invoked when auto-compaction is possible
+    (``compact_threshold`` ≤ 1) — a deferred-compaction delete pays no
+    corpus-proportional accounting beyond the single stats scan."""
+    if not isinstance(ids, DataFrame):
+        ids = list(ids)  # one-shot-iterable lesson (ADVICE r10)
+    hit, _, gone = _retraction_forms(live, ids, who)
+    if gone is not None:
+        marked_live = live.join(
+            gone.withColumn("_dead", F.lit(1)), "_id", "left"
+        )
+    else:
+        marked_live = live.withColumn(
+            "_dead", F.when(F.col("_id").isin(ids), F.lit(1))
+        )
+    stats = marked_live.agg(
+        F.count(F.lit(1)).alias("n_live"), F.count("_dead").alias("removed")
+    ).first()
+    n_live, removed = int(stats.n_live), int(stats.removed)
+    if removed == 0:
+        # nothing LIVE matches — ids unknown, already tombstoned, or
+        # stranded in unmarked crash-append rows (compact sweeps those)
+        return 0
+    if n_live == removed:
+        raise ValueError(
+            f"{who}: deleting these ids would EMPTY the index table "
+            f"{table} — drop it ({drop_hint}) instead"
+        )
+    del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
+    # pin the sidecar's _id to the INDEX's id type (second review r11):
+    # the first delete's request form must not fix a schema a later,
+    # differently-typed request fails to append under
+    id_type = full.schema["_id"].dataType
+    tomb_rows = (
+        gone.select(F.col("_id").cast(id_type).alias("_id"))
+        if gone is not None
+        else tiny_rows_df(spark, [(i,) for i in ids], full.select("_id").schema)
+    ).withColumn("del_seq", F.lit(del_seq))
+    tomb_rows.write.mode("append").format("parquet").saveAsTable(
+        f"{table}_tombstones"
+    )
+    if compact_threshold <= 1:
+        n_total = n_total_fn()
+        dead = n_total - (n_live - removed)
+        if n_total and dead / n_total > compact_threshold:
+            compact_fn()
+    return removed
+
+
 def minhash_table_delete(
     spark: SparkSession, table: str, ids, *, compact_threshold: float = 0.2
 ) -> int:
@@ -985,8 +1054,6 @@ def minhash_table_delete(
     meta = minhash_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"minhash_table_delete: no index table {table}")
-    if not isinstance(ids, DataFrame):
-        ids = list(ids)  # the one-shot-iterable lesson (ADVICE r10, ann side)
     markers = _table_marker_rows(spark, table)
     # marked batches only: unmarked crash rows are invisible to pairs
     # (crash containment) and a seq-scoped tombstone can never kill
@@ -996,67 +1063,36 @@ def minhash_table_delete(
         F.col("_batch").isin([r.batch_id for r in markers])
     )
     live = _apply_tombstones(full, _tombstones(spark, table), markers)
-    hit, _, gone = _retraction_forms(live, ids, "minhash_table_delete")
-    # ONE index scan for both numbers (review r11 — the first cut paid
-    # three corpus scans per "request-proportional" delete): mark the
-    # requested rows inside the live frame, count rows and marks in a
-    # single aggregate
-    if gone is not None:
-        marked_live = live.join(
-            gone.withColumn("_dead", F.lit(1)), "_id", "left"
-        )
-    else:
-        marked_live = live.withColumn(
-            "_dead", F.when(F.col("_id").isin(ids), F.lit(1))
-        )
-    stats = marked_live.agg(
-        F.count(F.lit(1)).alias("n_live"), F.count("_dead").alias("removed")
-    ).first()
-    n_live, removed = int(stats.n_live), int(stats.removed)
-    if removed == 0:
-        # nothing LIVE matches — ids unknown, already tombstoned, or
-        # stranded in unmarked crash-append rows (invisible to pairs;
-        # run minhash_table_compact to physically sweep those)
-        return 0
-    if n_live == removed:
-        raise ValueError(
-            f"minhash_table_delete: deleting these ids would EMPTY the "
-            f"index table {table} — drop it (drop_minhash_table) instead"
-        )
-    del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
-    # pin the sidecar's _id to the INDEX's id type (second review r11):
-    # the first delete's request form would otherwise fix the table
-    # schema, and a later delete whose DataFrame carries a narrower /
-    # wider id type fails the append under ANSI store assignment —
-    # retraction reported by exception, not applied
-    id_type = full.schema["_id"].dataType
-    tomb_rows = (
-        gone.select(F.col("_id").cast(id_type).alias("_id"))
-        if gone is not None
-        else tiny_rows_df(spark, [(i,) for i in ids], full.select("_id").schema)
-    ).withColumn("del_seq", F.lit(del_seq))
-    tomb_rows.write.mode("append").format("parquet").saveAsTable(
-        f"{table}_tombstones"
+
+    def n_total_fn():
+        # dead-mass fraction from the METADATA-sized counts sidecar
+        # when complete (tombstones never change the physical row
+        # count); incomplete counts fall back to one real count
+        if _counts_complete(markers):
+            return (
+                spark.table(f"{table}_counts")
+                .filter(F.col("band_idx") >= 0)
+                .filter(F.col("_batch").isin([r.batch_id for r in markers]))
+                .agg(F.sum("cnt").alias("s"))
+                .first()
+                .s
+                or 0
+            )
+        return full.count()
+
+    return _tombstone_delete(
+        spark,
+        table,
+        ids,
+        who="minhash_table_delete",
+        drop_hint="drop_minhash_table",
+        markers=markers,
+        live=live,
+        full=full,
+        n_total_fn=n_total_fn,
+        compact_fn=lambda: minhash_table_compact(spark, table),
+        compact_threshold=compact_threshold,
     )
-    # dead-mass fraction from the METADATA-sized counts sidecar when
-    # complete (tombstones never change the physical row count) — no
-    # third index scan; incomplete counts fall back to one real count
-    if _counts_complete(markers):
-        n_total = (
-            spark.table(f"{table}_counts")
-            .filter(F.col("band_idx") >= 0)
-            .filter(F.col("_batch").isin([r.batch_id for r in markers]))
-            .agg(F.sum("cnt").alias("s"))
-            .first()
-            .s
-            or 0
-        )
-    else:
-        n_total = full.count()
-    dead = n_total - (n_live - removed)
-    if n_total and dead / n_total > compact_threshold:
-        minhash_table_compact(spark, table)
-    return removed
 
 
 def minhash_table_compact(spark: SparkSession, table: str) -> int:

@@ -44,7 +44,6 @@ from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
     _apply_tombstones,
     _drop_table_and_location,
     _marker_seq_join,
-    _retraction_forms,
     _table_exists,
     _table_marker_rows,
     _tombstones,
@@ -58,6 +57,22 @@ def sha_table_meta(spark: SparkSession, table: str) -> dict | None:
         return None
     row = spark.table(f"{table}_meta").first()
     return None if row is None else {"buckets": int(row.buckets)}
+
+
+def _require_data_table(spark: SparkSession, table: str, who: str) -> None:
+    """Meta exists (the caller checked) but the DATA table might not:
+    a first append killed between its meta write and its data write
+    leaves exactly that state (review r12 — the enumerated-crash-state
+    sweep). ``spark.table`` would throw a raw TABLE_OR_VIEW_NOT_FOUND
+    with no recovery guidance; name the state and the heal instead."""
+    if sha_table_meta(spark, table) is None:
+        raise ValueError(f"{who}: no index table {table}")
+    if not _table_exists(spark, table):
+        raise ValueError(
+            f"{who}: {table}_meta exists but the data table does not — a "
+            "first append crashed between its meta and data writes; retry "
+            f"sha_table_append (same batch_id) or drop_sha_table({table!r})"
+        )
 
 
 def sha_table_batches(spark: SparkSession, table: str) -> list[str]:
@@ -157,8 +172,7 @@ def sha_table_dedup_batch(
     GDPR-deleted reads as NEW again, and the keeper is always a LIVE
     row."""
     _sha_recover(spark, table)
-    if sha_table_meta(spark, table) is None:
-        raise ValueError(f"sha_table_dedup_batch: no index table {table}")
+    _require_data_table(spark, table, "sha_table_dedup_batch")
     markers = _table_marker_rows(spark, table)
     marked = [r.batch_id for r in markers]
     if batch_id not in marked:
@@ -201,54 +215,36 @@ def sha_table_delete(
     ``ids`` is a Python list or a DataFrame whose FIRST column holds
     the ids. Appends the request to ``<t>_tombstones`` (seq-scoped: a
     re-appended id lives, retracted history stays dead; the data table
-    stays byte-untouched) — WRITE side request-proportional, accounting
-    is the band tier's single-aggregate scan. Auto-compacts past
-    ``compact_threshold`` dead mass (0 forces, >1 defers — the
-    latency-sensitive endpoint pattern). Returns live rows retracted."""
+    stays byte-untouched) — WRITE side request-proportional; accounting
+    is the shared single-aggregate scan (``_tombstone_delete``), plus
+    one columnar count only when auto-compaction is armed (threshold
+    ≤ 1). Auto-compacts past ``compact_threshold`` dead mass (0 forces,
+    >1 defers — the latency-sensitive endpoint pattern). Returns live
+    rows retracted."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _tombstone_delete,
+    )
+
     _sha_recover(spark, table)
-    if sha_table_meta(spark, table) is None:
-        raise ValueError(f"sha_table_delete: no index table {table}")
-    if not isinstance(ids, DataFrame):
-        ids = list(ids)  # one-shot-iterable lesson (ADVICE r10)
+    _require_data_table(spark, table, "sha_table_delete")
     markers = _table_marker_rows(spark, table)
     full = spark.table(table).filter(
         F.col("_batch").isin([r.batch_id for r in markers])
     )
     live = _apply_tombstones(full, _tombstones(spark, table), markers)
-    hit, _, gone = _retraction_forms(live, ids, "sha_table_delete")
-    # ONE scan for both statistics (the r11 band-tier trick)
-    if gone is not None:
-        marked_live = live.join(gone.withColumn("_dead", F.lit(1)), "_id", "left")
-    else:
-        marked_live = live.withColumn(
-            "_dead", F.when(F.col("_id").isin(ids), F.lit(1))
-        )
-    stats = marked_live.agg(
-        F.count(F.lit(1)).alias("n_live"), F.count("_dead").alias("removed")
-    ).first()
-    n_live, removed = int(stats.n_live), int(stats.removed)
-    if removed == 0:
-        return 0  # unknown, already tombstoned, or unmarked-orphan-only
-    if n_live == removed:
-        raise ValueError(
-            f"sha_table_delete: deleting these ids would EMPTY the index "
-            f"table {table} — drop it (drop_sha_table) instead"
-        )
-    del_seq = 1 + max((int(r.seq) for r in markers), default=-1)
-    id_type = full.schema["_id"].dataType  # pin sidecar schema (r11)
-    tomb_rows = (
-        gone.select(F.col("_id").cast(id_type).alias("_id"))
-        if gone is not None
-        else tiny_rows_df(spark, [(i,) for i in ids], full.select("_id").schema)
-    ).withColumn("del_seq", F.lit(del_seq))
-    tomb_rows.write.mode("append").format("parquet").saveAsTable(
-        f"{table}_tombstones"
+    return _tombstone_delete(
+        spark,
+        table,
+        ids,
+        who="sha_table_delete",
+        drop_hint="drop_sha_table",
+        markers=markers,
+        live=live,
+        full=full,
+        n_total_fn=full.count,
+        compact_fn=lambda: sha_table_compact(spark, table),
+        compact_threshold=compact_threshold,
     )
-    n_total = full.count()
-    dead = n_total - (n_live - removed)
-    if n_total and dead / n_total > compact_threshold:
-        sha_table_compact(spark, table)
-    return removed
 
 
 def sha_table_compact(spark: SparkSession, table: str) -> int:
@@ -268,6 +264,7 @@ def sha_table_compact(spark: SparkSession, table: str) -> int:
     meta = sha_table_meta(spark, table)
     if meta is None:
         raise ValueError(f"sha_table_compact: no index table {table}")
+    _require_data_table(spark, table, "sha_table_compact")
     markers = _table_marker_rows(spark, table)
     tomb = _tombstones(spark, table)
     survivors = _apply_tombstones(
@@ -279,18 +276,24 @@ def sha_table_compact(spark: SparkSession, table: str) -> int:
     )
     before = spark.table(table).count()
     after = survivors.count()
-    if after == 0:
+    if after == 0 and markers:
         raise ValueError(
             f"sha_table_compact: pending tombstones would EMPTY the index "
             f"table {table} — drop it (drop_sha_table) instead"
         )
+    # with NO markers, after==0 is the crashed-first-append state (only
+    # unmarked orphans exist) — sweeping to an empty table IS the
+    # documented recovery, not data loss (review r12)
     if after == before:
         if tomb is not None:
             spark.sql(f"DROP TABLE {table}_tombstones")
         return 0
     twin = f"{table}_deleting"
     _drop_table_and_location(spark, twin)  # clear any crashed staging
-    survivors.repartition(F.col("content_hash")).write.bucketBy(
+    # repartition WITH the bucket count (review r12 / the r10 lesson:
+    # repartition(col) alone uses shuffle.partitions tasks, and bucketBy
+    # then writes one file per (task, bucket) — files = tasks × buckets)
+    survivors.repartition(meta["buckets"], F.col("content_hash")).write.bucketBy(
         meta["buckets"], "content_hash"
     ).format("parquet").saveAsTable(twin)
     spark.sql(f"DROP TABLE {table}")

@@ -102,12 +102,16 @@ def l1_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("text").agg(F.count("*").alias("_c"))
         .filter(F.col("_c") > 1).select("text")
     )
+    # persisted: the corpus-wide dup-text anti-join would otherwise be
+    # re-evaluated by every append/delete/expected lineage below
+    # (review r12 — ~6 separate evaluations)
     eligible = (
         d.filter(
             (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
             & F.col("text").isNotNull()
         )
         .join(dup_texts, "text", "left_anti")
+        .persist()
     )
     b1 = eligible.select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
@@ -125,10 +129,7 @@ def l1_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    app = "".join(
-        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
-    ).lower()
-    tbl = f"l1_sha_incr_{app}"
+    tbl = _session_table(spark, "l1_sha_incr")
     drop_sha_table(spark, tbl)
     sha_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
     sha_table_append(b1, "doc_id", "text", tbl, batch_id="b1", buckets=8)
@@ -137,25 +138,18 @@ def l1_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = sha_table_dedup_batch(spark, tbl, "b2").localCheckpoint(eager=True)
     sha_table_compact(spark, tbl)
     post = sha_table_dedup_batch(spark, tbl, "b2")
+    # SYMMETRIC anti-join diff (review r12 — an inner join on doc_id
+    # would hide rows compaction wrongly dropped or duplicated, passing
+    # the invariance contract exactly when compaction corrupted the
+    # index); keeper_id is nullable and anti-join keys never match
+    # NULL, so it is coalesced to a sentinel outside the id space
+    norm = lambda df: df.select(  # noqa: E731
+        "doc_id", "is_dup", F.coalesce("keeper_id", F.lit(-1)).alias("_k")
+    )
     n_diff = (
-        pre.select(
-            "doc_id",
-            F.col("is_dup").alias("_pd"),
-            F.col("keeper_id").alias("_pk"),
-        )
-        .join(
-            post.select(
-                "doc_id",
-                F.col("is_dup").alias("_qd"),
-                F.col("keeper_id").alias("_qk"),
-            ),
-            "doc_id",
-        )
-        .filter(
-            ~(
-                (F.col("_pd") == F.col("_qd"))
-                & F.col("_pk").eqNullSafe(F.col("_qk"))
-            )
+        norm(pre).join(norm(post), ["doc_id", "is_dup", "_k"], "left_anti")
+        .unionByName(
+            norm(post).join(norm(pre), ["doc_id", "is_dup", "_k"], "left_anti")
         )
         .agg(F.count("*").alias("_nd"))
     )
@@ -393,10 +387,7 @@ def l2_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     # applicationId suffix (ADVICE r8, the _scratch_dir rule applied to
     # the table tier): two concurrent sessions sharing a warehouse dir
     # would otherwise drop each other's live table mid-query
-    app = "".join(
-        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
-    ).lower()
-    tbl = f"l2_band_index_bucketed_{app}"
+    tbl = _session_table(spark, "l2_band_index_bucketed")
     # drops locations too: a fresh session's catalog no-ops the DROP
     # while the warehouse dir persists → LOCATION_ALREADY_EXISTS
     drop_minhash_table(spark, tbl)
@@ -484,10 +475,7 @@ def l2_bucketed_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     retract = eligible.filter(
         F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) == 0
     ).select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"))
-    app = "".join(
-        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
-    ).lower()
-    tbl = f"l2_band_retraction_{app}"
+    tbl = _session_table(spark, "l2_band_retraction")
     drop_minhash_table(spark, tbl)
     minhash_table_append(d, "doc_id", "text", tbl, batch_id="b0", buckets=8)
     minhash_table_append(new, "doc_id", "text", tbl, batch_id="b1", buckets=8)
@@ -835,6 +823,18 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
     )
+
+
+def _session_table(spark: SparkSession, tag: str) -> str:
+    """Session-scoped CATALOG TABLE name (the table twin of
+    _scratch_dir): applicationId-suffixed so concurrent sessions
+    sharing a warehouse dir never drop each other's live tables —
+    one definition for every table-tier contract query (review r12:
+    the sanitization snippet had been pasted per query)."""
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    return f"{tag}_{app}"
 
 
 def _scratch_dir(spark: SparkSession, tag: str) -> str:

@@ -507,6 +507,43 @@ def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
     assert "SelectedBucketsCount" in plan, "bucketed scan not used"
 
 
+def test_sha_table_dedup_batch_has_no_shuffle(spark):
+    """Round-12 exact-dedup tier: with the content-hash table bucketed
+    on the join/agg key, the per-batch verdict must plan with ZERO
+    shuffle Exchanges — the keeper aggregation and the batch join both
+    sit on the bucket key (broadcasts of the metadata-sized marker
+    frames and stats-elected small sides are fine; a hash-partitioning
+    Exchange of the corpus is the regression this pins against)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.exact_index import (
+        drop_sha_table,
+        sha_table_append,
+        sha_table_dedup_batch,
+    )
+
+    tbl = "t_sha_plan"
+    drop_sha_table(spark, tbl)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    sha_table_append(docs, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+    # a SECOND batch, so the prior-batches keeper side is non-empty —
+    # against a single batch Catalyst folds the whole corpus join to
+    # literals and the plan proves nothing
+    from pyspark.sql import functions as F
+
+    sha_table_append(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"),
+        "doc_id", "text", tbl, batch_id="b1", buckets=4,
+    )
+    plan = (
+        sha_table_dedup_batch(spark, tbl, "b1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    drop_sha_table(spark, tbl)
+    exchanges = re.findall(r"Exchange (?:hash|range)partitioning\(([^)]*)\)", plan)
+    assert not exchanges, f"corpus shuffle crept into the sha tier: {exchanges}"
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, \
+        "bucketed scan not used"
+
+
 def test_every_broadcast_hint_site_is_classified():
     """VERDICT r10 #3: the fact-scan guard above only inspects hinted
     SCANS — a derived frame (e.g. the ann re-rank candidate set) could
