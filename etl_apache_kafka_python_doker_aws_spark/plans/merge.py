@@ -41,10 +41,24 @@ def _recover(target_path: str) -> None:
     finish the swap) or .old (the pre-merge table — roll back), restore
     it. Without this, the next merge would treat the table as absent and
     silently rebuild it from updates only, dropping all survivor rows."""
-    if os.path.exists(target_path):
-        return
     old = target_path.rstrip("/") + ".old"
     staging = target_path.rstrip("/") + ".staging"
+    if os.path.exists(target_path):
+        if _is_complete(target_path):
+            return
+        # a TORN live dir (no _SUCCESS — a write killed mid-commit that
+        # bypassed or half-finished the swap) must not be trusted as the
+        # table (review r12): restore the complete twin if one exists,
+        # refuse loudly otherwise
+        if _is_complete(staging) or _is_complete(old):
+            shutil.rmtree(target_path)
+        else:
+            raise RuntimeError(
+                f"merge target {target_path!r} exists but carries no "
+                "_SUCCESS marker and no complete .staging/.old copy "
+                "survives — refusing to treat a torn directory as the "
+                "live table; inspect/restore manually"
+            )
     if _is_complete(staging):
         os.rename(staging, target_path)
         if os.path.exists(old):
@@ -149,10 +163,18 @@ def scd2_apply(
     )
 
     if not os.path.exists(target_path):
-        upd.write.mode("overwrite").parquet(target_path)
+        # staging + swap even for the FIRST write (review r12): a direct
+        # write killed mid-commit would leave a torn dir that a later
+        # run trusts as the live table
+        staging = target_path.rstrip("/") + ".staging"
+        upd.write.mode("overwrite").parquet(staging)
+        _swap_in(staging, target_path)
         return spark.read.parquet(target_path)
 
-    target = spark.read.parquet(target_path)
+    # persisted: the anti/semi/closing splits below are three lineages
+    # over the same target scan, and upd feeds four (review r12)
+    target = spark.read.parquet(target_path).persist()
+    upd = upd.persist()
     changed_keys = upd.select(*key_cols)
     untouched = target.join(changed_keys, key_cols, "left_anti")
     closing = (
@@ -162,7 +184,30 @@ def scd2_apply(
         .join(
             upd.select(*key_cols, F.col("valid_from").alias("_new_from")), key_cols
         )
-        .withColumn("valid_to", F.col("_new_from"))
+        # out-of-order/redelivered batches fail LOUDLY (review r12): a
+        # new ts at or before the open version's valid_from would write
+        # a zero/negative-length interval and install stale history as
+        # current — silent corruption of every as-of read. raise_error
+        # rides the staging write (zero extra jobs, the cdc_apply rule).
+        .withColumn(
+            "valid_to",
+            F.when(F.col("_new_from") > F.col("valid_from"), F.col("_new_from"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "scd2_apply: update ts is not after the open "
+                            "version's valid_from for key(s) — out-of-order "
+                            "or redelivered batch (got "
+                        ),
+                        F.col("_new_from").cast("string"),
+                        F.lit(" vs open "),
+                        F.col("valid_from").cast("string"),
+                        F.lit("); apply batches in event-time order, once"),
+                    )
+                )
+            ),
+        )
         .drop("_new_from")
     )
     already_closed = (
@@ -171,7 +216,11 @@ def scd2_apply(
     merged = untouched.unionByName(already_closed).unionByName(closing).unionByName(upd)
 
     staging = target_path.rstrip("/") + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+    finally:
+        target.unpersist()
+        upd.unpersist()
     _swap_in(staging, target_path)
     return spark.read.parquet(target_path)
 
@@ -244,10 +293,15 @@ def cdc_apply(
     if validate:
         change_op = _guarded(
             change_op,
-            _key_ok() & F.col(op_col).isin("I", "U", "D"),
-            f"cdc_apply: NULL key in {key_cols} or {op_col!r} outside "
-            "'I'/'U'/'D' (NULL/unknown ops would silently drop their key; "
-            "NULL keys can never match)",
+            _key_ok()
+            & F.col(op_col).isin("I", "U", "D")
+            & F.col(seq_col).isNotNull(),
+            f"cdc_apply: NULL key in {key_cols}, {op_col!r} outside "
+            "'I'/'U'/'D', or NULL "
+            f"{seq_col!r} (a NULL seq has no position in the per-key "
+            "order — it would silently out-rank or be out-ranked; "
+            "NULL/unknown ops would silently drop their key; NULL keys "
+            "can never match)",
         )
         base_tag = _guarded(
             base_tag,

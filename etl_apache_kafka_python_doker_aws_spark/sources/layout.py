@@ -126,6 +126,12 @@ def write_zordered(
     range-partition on the Morton key (balanced files regardless of data
     distribution — range, not hash, so key-adjacent rows land together),
     then sort within each file so row-group stats are tight too."""
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "write_zordered: input already carries a '_zkey' column — the "
+            "internal sort key would silently clobber and drop it; rename "
+            "the column first"
+        )
     keyed = df.withColumn("_zkey", zorder_key(zorder_cols, bits))
     (
         keyed.repartitionByRange(n_files, "_zkey")
@@ -159,7 +165,14 @@ def compact_small_files(
     # twice).
     dir_bytes: dict[str, int] = {}
     total = 0
-    for root, _, files in os.walk(path):
+    for root, dirnames, files in os.walk(path):
+        # prune '_'/'.'-prefixed dirs IN PLACE — Spark's own listing rule
+        # (review r12: the walk descended into sidecars like the ANN
+        # index's _graft_vectors, whose _vbucket= dirs then masqueraded
+        # as partition values and mis-sized the splits)
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
         b = sum(
             os.path.getsize(os.path.join(root, f))
             for f in files
@@ -296,6 +309,23 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
 
     Zero-Exchange joins still plan after compaction — pinned in
     tests/test_dedup_index.py::test_compact_bucketed_table."""
+    if "." in table:
+        # the staging twin's warehouse-location cleanup assumes a
+        # default-database bare name (review r12 — the same rule
+        # drop_minhash_table enforces: a naive '{warehouse}/{name}'
+        # concat would delete the wrong, or no, directory for db.tbl)
+        raise ValueError(
+            f"compact_bucketed_table: qualified name {table!r} is not "
+            "supported — the staging-twin location cleanup only handles "
+            "default-database tables"
+        )
+    # heal a compact killed between its DROP and RENAME (review r12 —
+    # without this arm the only copy sits stranded in <t>_compacting and
+    # every retry throws TABLE_OR_VIEW_NOT_FOUND before reaching a heal)
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        f"{table}_compacting"
+    ):
+        spark.sql(f"ALTER TABLE {table}_compacting RENAME TO {table}")
     desc = {
         r.col_name.strip(): (r.data_type or "").strip()
         for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
@@ -310,6 +340,14 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     bucket_cols = [
         c.strip().strip("`")
         for c in desc["Bucket Columns"].strip("[]").split(",")
+    ]
+    # carry the sort spec too (review r12: rewriting a sorted bucketed
+    # table without it silently drops per-bucket sorting from the
+    # catalog spec — downstream plans re-plan a Sort forever after)
+    sort_cols = [
+        c.strip().strip("`")
+        for c in desc.get("Sort Columns", "").strip("[]").split(",")
+        if c.strip().strip("`")
     ]
     tmp = f"{table}_compacting"
     # drop the staging twin's warehouse LOCATION too (ADVICE r11 #3): a
@@ -332,13 +370,14 @@ def compact_bucketed_table(spark: SparkSession, table: str) -> int:
     old_auto = spark.conf.get(auto_key)
     spark.conf.set(auto_key, "false")
     try:
-        (
+        w = (
             spark.table(table)
             .repartition(n_buckets, *[F.col(c) for c in bucket_cols])
             .write.bucketBy(n_buckets, *bucket_cols)
-            .format("parquet")
-            .saveAsTable(tmp)
         )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.format("parquet").saveAsTable(tmp)
     finally:
         spark.conf.set(auto_key, old_auto)
     after = spark.table(tmp).count()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
@@ -244,3 +245,88 @@ def test_compact_small_files_splits_big_partitions(spark):
     assert back.count() == 40100
     assert back.select("k").distinct().count() == 40100
     assert back.filter(F.col("bucket") == "small").count() == 100
+
+
+def test_compact_bucketed_table_r12_hardening(spark):
+    """review r12: (a) a compact killed between its DROP and RENAME
+    strands the only copy in <t>_compacting — the entry point must
+    complete the rename; (b) a sorted bucketed table keeps its sortBy
+    spec through compaction; (c) qualified names are rejected (the
+    staging-twin location cleanup assumes default-database names)."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _drop_table_and_location,
+    )
+
+    tbl = "t_cbt_r12"
+    for n in (tbl, f"{tbl}_compacting"):
+        _drop_table_and_location(spark, n)  # the r8 lesson: bare DROP
+        # no-ops cross-session while the warehouse dir persists
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_bucketed(df, tbl, "k", n_buckets=4, sort_col="v")
+    desc = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        if r.col_name
+    }
+    assert "v" in desc.get("Sort Columns", "")
+    # (b) sort spec survives a compact
+    assert compact_bucketed_table(spark, tbl) == 4
+    desc2 = {
+        r.col_name.strip(): (r.data_type or "").strip()
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        if r.col_name
+    }
+    assert "v" in desc2.get("Sort Columns", ""), "sortBy dropped by compact"
+    assert spark.table(tbl).count() == 2000
+    # (a) simulate the DROP→RENAME kill window: live table gone, only
+    # copy under <t>_compacting — the next compact heals then compacts
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}_compacting")
+    assert compact_bucketed_table(spark, tbl) == 4
+    assert spark.table(tbl).count() == 2000
+    # (c) qualified names rejected loudly
+    with pytest.raises(ValueError, match="qualified"):
+        compact_bucketed_table(spark, "db.tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_small_files_ignores_sidecar_dirs(spark):
+    """review r12: the byte walk must not descend into '_'/'.'-prefixed
+    sidecar dirs Spark ignores — an ANN-index-style '_sidecar' holding
+    its own hive-partitioned tier would otherwise charge its bytes to
+    phantom partition values and mis-size the splits."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "with_sidecar")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # a sidecar tier, itself hive-partitioned with a DIFFERENT column
+    spark.range(0, 500).select(
+        F.col("id").alias("x"), (F.col("id") % 5).alias("vb")
+    ).write.partitionBy("vb").parquet(os.path.join(path, "_sidecar"))
+    side_before = sorted(
+        glob.glob(os.path.join(path, "_sidecar", "**", "*.parquet"),
+                  recursive=True)
+    )
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    # main layout intact, sidecar untouched byte-for-byte
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert sorted(
+        glob.glob(os.path.join(path, "_sidecar", "**", "*.parquet"),
+                  recursive=True)
+    ) == side_before
+    assert spark.read.parquet(os.path.join(path, "_sidecar")).count() == 500
