@@ -46,19 +46,27 @@ def _recover(target_path: str) -> None:
     if os.path.exists(target_path):
         if _is_complete(target_path):
             return
-        # a TORN live dir (no _SUCCESS — a write killed mid-commit that
-        # bypassed or half-finished the swap) must not be trusted as the
-        # table (review r12): restore the complete twin if one exists,
-        # refuse loudly otherwise
+        # a live dir with no _SUCCESS is only provably TORN when a
+        # .staging/.old twin exists — that pair is this module's own
+        # crash signature (a write killed mid-commit / mid-swap).
+        # Restore the complete twin if one exists, refuse loudly if a
+        # twin exists but is itself incomplete. A markerless dir with
+        # NO twin is legitimate external data (parquet copied/produced
+        # by tools that drop _SUCCESS — rsync, DuckDB, committers with
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=false) and
+        # must stay mergeable (ADVICE r12: the r12 blanket refusal
+        # permanently bricked such tables).
         if _is_complete(staging) or _is_complete(old):
             shutil.rmtree(target_path)
-        else:
+        elif os.path.exists(staging) or os.path.exists(old):
             raise RuntimeError(
-                f"merge target {target_path!r} exists but carries no "
-                "_SUCCESS marker and no complete .staging/.old copy "
-                "survives — refusing to treat a torn directory as the "
-                "live table; inspect/restore manually"
+                f"merge target {target_path!r} carries no _SUCCESS marker "
+                "and a .staging/.old twin exists but is incomplete — a "
+                "swap was interrupted and no complete copy survives; "
+                "inspect/restore manually"
             )
+        else:
+            return  # markerless but twin-free: external table, trust it
     if _is_complete(staging):
         os.rename(staging, target_path)
         if os.path.exists(old):
@@ -110,6 +118,12 @@ def merge_upsert(
     never matches NULL = NULL, so a NULL-key update would APPEND on
     every re-delivery — the exact duplicate-growth bug this sink exists
     to fix (r5 third review, verified live).
+
+    Pre-existing targets: a dir WITHOUT a _SUCCESS marker is accepted
+    as the live table as long as no .staging/.old twin exists (external
+    writers legitimately drop the marker); a markerless dir WITH an
+    incomplete twin is a provable torn swap and raises. Same rule for
+    scd2_apply (shared `_recover`).
     """
     _recover(target_path)
     _reject_null_keys(updates, key_cols, "merge_upsert")

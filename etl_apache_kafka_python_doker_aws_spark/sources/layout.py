@@ -166,12 +166,19 @@ def compact_small_files(
     dir_bytes: dict[str, int] = {}
     total = 0
     for root, dirnames, files in os.walk(path):
-        # prune '_'/'.'-prefixed dirs IN PLACE — Spark's own listing rule
-        # (review r12: the walk descended into sidecars like the ANN
-        # index's _graft_vectors, whose _vbucket= dirs then masqueraded
-        # as partition values and mis-sized the splits)
+        # prune '_'/'.'-prefixed dirs IN PLACE — mirror Spark's actual
+        # listing rule (shouldFilterOutPathName): hidden dirs are
+        # skipped UNLESS they are `name=value` hive partition dirs,
+        # which Spark keeps even when underscore-prefixed. The r12
+        # predicate dropped those too and the hygiene job then walked
+        # ZERO bytes on the engine's own `_vbucket=` / `_bgroup=`
+        # tiers while partition discovery (below) still found the
+        # columns → empty splits → crash (VERDICT r12 #1).
+        # (review r12 origin: the walk descended into sidecars like the
+        # ANN index's _graft_vectors, whose _vbucket= dirs then
+        # masqueraded as partition values and mis-sized the splits)
         dirnames[:] = [
-            d for d in dirnames if not d.startswith(("_", "."))
+            d for d in dirnames if "=" in d or not d.startswith(("_", "."))
         ]
         b = sum(
             os.path.getsize(os.path.join(root, f))
@@ -181,6 +188,11 @@ def compact_small_files(
         if b:
             dir_bytes[root] = b
             total += b
+    if total == 0:
+        # No listable parquet bytes (empty dir, or sidecar-only tree):
+        # nothing to compact. Return 0 instead of letting the rewrite
+        # crash on an empty splits map (VERDICT r12 #2).
+        return 0
     n_files = max(1, math.ceil(total / target_file_bytes))
     staging = path.rstrip("/") + ".staging"
     # Preserve a hive-partitioned layout: partition discovery folds the

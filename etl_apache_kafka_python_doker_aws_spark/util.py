@@ -87,8 +87,26 @@ def tiny_rows_df(spark, rows, schema=None) -> DataFrame:
         names = _parse_datatype_string(schema).fieldNames()
     else:
         names = schema.fieldNames()
+    if not rows and (schema is None or isinstance(schema, list)):
+        # Fail HERE, not as CANNOT_INFER_EMPTY_SCHEMA deep inside Spark
+        # with no hint of the caller (VERDICT r12 #2 — an empty-splits
+        # bug surfaced as an unreadable Arrow error). Empty metadata
+        # frames are legal only with a TYPED schema (DDL/StructType).
+        raise ValueError(
+            "tiny_rows_df: empty rows need a typed schema (DDL string or"
+            " StructType), got "
+            + ("no schema" if schema is None else "bare column names")
+        )
     if rows and isinstance(rows[0], dict):
         pdf = pd.DataFrame(rows, columns=names or list(rows[0].keys()))
+        # pandas coerces a None in an otherwise-numeric column to a
+        # float64 NaN, which Spark keeps as NaN — NOT a typed NULL
+        # (ADVICE r12). Without a typed schema to pin intent, that
+        # silently changes semantics vs the createDataFrame([dict])
+        # path this replaces; convert back to None so Arrow emits NULL.
+        if schema is None or isinstance(schema, list):
+            for c in pdf.columns[pdf.isna().any().values]:
+                pdf[c] = pdf[c].astype(object).where(pd.notna(pdf[c]), None)
     else:
         if names is None:
             raise ValueError("tiny_rows_df: tuple rows need a schema")

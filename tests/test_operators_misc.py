@@ -553,3 +553,35 @@ def test_model_lit_bit_identical_to_lit(spark):
     for bad in (float("nan"), float("inf"), float("-inf")):
         with pytest.raises(ValueError, match="non-finite"):
             _model_lit([[1.0, bad]])
+
+
+def test_tiny_rows_df_empty_rows_need_typed_schema(spark):
+    """VERDICT r12 #2: an empty metadata frame must fail loudly at the
+    call site (named ValueError) when untyped, and build cleanly when
+    a typed schema is given."""
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    with pytest.raises(ValueError, match="empty rows need a typed schema"):
+        tiny_rows_df(spark, [])
+    with pytest.raises(ValueError, match="empty rows need a typed schema"):
+        tiny_rows_df(spark, [], ["a", "b"])
+    df = tiny_rows_df(spark, [], "a bigint, b string")
+    assert df.count() == 0
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "string",
+    ]
+
+
+def test_tiny_rows_df_none_in_dict_rows_stays_null(spark):
+    """ADVICE r12: pandas coerces None in a numeric column to float64
+    NaN, which Spark keeps as NaN — not a typed NULL. The dict path
+    must emit a real NULL so sidecar anti-joins and isNull checks see
+    what the caller wrote."""
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    df = tiny_rows_df(spark, [{"k": 1, "n": 10}, {"k": 2, "n": None}])
+    rows = {r.k: r.n for r in df.collect()}
+    assert rows[1] == 10
+    assert rows[2] is None, f"expected NULL, got {rows[2]!r}"
+    assert df.filter(F.col("n").isNull()).count() == 1

@@ -330,3 +330,96 @@ def test_compact_small_files_ignores_sidecar_dirs(spark):
                   recursive=True)
     ) == side_before
     assert spark.read.parquet(os.path.join(path, "_sidecar")).count() == 500
+
+
+def test_compact_small_files_on_underscore_keyed_partition_dir(spark):
+    """VERDICT r12 #1 regression: Spark's listing rule KEEPS
+    underscore-prefixed `name=value` partition dirs, so compacting the
+    ANN refine tier's `_vbucket=N` layout directly must work — the r12
+    prune dropped them and crashed on an empty splits map."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "refine_tier")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("_id"), (F.col("id") % 4).alias("_vbucket")
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("_vbucket").parquet(path)
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before > 4
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.select("_vbucket").distinct().count() == 4
+    after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert after <= 4  # one file per _vbucket at a huge target
+
+
+def test_compact_small_files_on_mixed_underscore_partition_layout(spark):
+    """VERDICT r12 #1 regression, band-index shape: a two-level
+    `band_idx=N/_bgroup=M` layout (plain key above, underscore key
+    below) must size BOTH levels — the r12 predicate silently walked
+    zero bytes for every `_bgroup=` subtree."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "band_tier")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc"),
+        (F.col("id") % 3).alias("band_idx"),
+        (F.col("id") % 2).alias("_bgroup"),
+    )
+    (
+        df.repartition(6)
+        .write.mode("overwrite")
+        .partitionBy("band_idx", "_bgroup")
+        .parquet(path)
+    )
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert back.select("band_idx", "_bgroup").distinct().count() == 6
+    after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert after <= 6
+
+
+def test_compact_small_files_empty_dir_is_a_clean_noop(spark):
+    """VERDICT r12 #2: zero listable parquet bytes → return 0, no crash."""
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "empty_tree")
+    os.makedirs(os.path.join(path, "_sidecar_only"))
+    assert compact_small_files(spark, path, target_file_bytes=1 << 20) == 0
+
+
+def test_merge_accepts_markerless_external_table(spark):
+    """ADVICE r12: a pre-existing parquet dir with no _SUCCESS and no
+    .staging/.old twin is legitimate external data (rsync'd copies,
+    non-Spark writers) — merge must treat it as the live table, not
+    brick it. Only the twin-present case proves a torn swap."""
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "ext")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    base.coalesce(1).write.parquet(path)
+    os.remove(os.path.join(path, "_SUCCESS"))  # external-tool signature
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    out = merge_upsert(spark, path, upd, ["id"])
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}, got
+
+    # but markerless + an INCOMPLETE twin is a provable torn swap: raise
+    os.makedirs(path + ".staging")
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="twin exists but is incomplete"):
+        merge_upsert(spark, path, upd, ["id"])
