@@ -90,6 +90,9 @@ HEADLINE = [
     # tombstone append (minhash_table_delete), compaction outside the
     # timer, so the r11 flagship's cost is regression-tracked too.
     "l2_table_delete",
+    # r13: the exact tier's per-batch verdict (third dedup tier gets
+    # the same operator-path regression tracking as L2/L3).
+    "l1_sha_dedup_batch",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -257,6 +260,35 @@ def _op_table_delete(spark, sf_dir: str):
     return run
 
 
+def _op_sha_dedup_batch(spark, sf_dir: str):
+    """Operator path (r13): the EXACT tier's per-snapshot verdict —
+    sha_table_dedup_batch of one pre-appended planted-copy batch vs the
+    persisted sha256 content-hash table (functions/exact_index.py), the
+    L1 analog of l2_index_dedup_batch. Both the batch join and the
+    keeper agg sit on the content_hash bucket key (zero corpus
+    shuffle). Setup (untimed): append corpus as b0, planted copies
+    (every 25th doc verbatim under id+100000) as b1."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.exact_index import (
+        sha_table_append,
+        sha_table_dedup_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    app = "".join(
+        c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+    ).lower()
+    tbl = f"bench_sha_dedup_{app}"
+    _BENCH_SHA_TABLES.append(tbl)
+    sha_table_append(docs, "doc_id", "text", tbl, batch_id="b0", buckets=32)
+    b1 = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    sha_table_append(b1, "doc_id", "text", tbl, batch_id="b1", buckets=32)
+    return lambda: sha_table_dedup_batch(spark, tbl, "b1")
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
@@ -264,6 +296,7 @@ OPERATOR_OPS = {
     "l3_ann_index_search": _op_ann_index_search,
     "l2l3_index_delete": _op_index_delete,
     "l2_table_delete": _op_table_delete,
+    "l1_sha_dedup_batch": _op_sha_dedup_batch,
 }
 
 # persisted-index fixtures built by the setups — removed after the run
@@ -272,6 +305,7 @@ OPERATOR_OPS = {
 # maintenance op the tombstone path defers) and are then dropped
 _BENCH_TMP: list[str] = []
 _BENCH_TABLES: list[str] = []
+_BENCH_SHA_TABLES: list[str] = []
 
 
 def main() -> None:
@@ -332,6 +366,18 @@ def main() -> None:
                 pass
             finally:
                 drop_minhash_table(spark, t)
+        from etl_apache_kafka_python_doker_aws_spark.functions.exact_index import (
+            drop_sha_table,
+            sha_table_compact,
+        )
+
+        for t in _BENCH_SHA_TABLES:
+            try:
+                sha_table_compact(spark, t)
+            except Exception:
+                pass
+            finally:
+                drop_sha_table(spark, t)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -102,6 +102,9 @@ _BATCH_DIR = "_graft_batches"
 _VEC_DIR = "_graft_vectors"
 _TOMB_DIR = "_graft_tombstones"
 _DEAD_DIR = "_graft_dead"
+# fold the per-delete tally files into one row once this many pile up
+# (VERDICT r12 #6: auto-shortlist searches list this dir per call)
+_DEAD_FOLD_FILES = 32
 
 # Corpus-scaled refine-tier bucketing (r12, VERDICT r11 #2): the r11
 # 10M-vector probe showed the fixed default of 64 `_vbucket`s loses its
@@ -391,6 +394,12 @@ def _ann_recover(path: str) -> None:
     _recover_partition_dirs(path)
     _recover_partition_dirs(f"{path}/{_VEC_DIR}")
     _recover(f"{path}/{_BATCH_DIR}")
+    # dead-tally fold swap (VERDICT r12 #6): a kill between the fold's
+    # paired renames leaves the tally only in .staging/.old — restore
+    # it (reads in the unhealed window merely UNDERSTATE dead, which is
+    # recall-safe, but the next delete's running total builds on
+    # dead_prev and must see the full tally)
+    _recover(f"{path}/{_DEAD_DIR}")
 
 
 def _dim_guarded(vec: "F.Column", dim: int, who: str) -> "F.Column":
@@ -702,11 +711,21 @@ def ann_index_rebuild(
     markers = _ann_marker_rows(spark, path)
     tomb = _ann_tombstones(spark, path) if old.get("vec_batch") else None
     raw_vecs = spark.read.parquet(f"{path}/{_VEC_DIR}")
-    # column-guarded like compact's _vbucket check: a hand-stripped or
-    # inconsistent fixture whose meta claims r12 but whose refine tier
-    # lacks lineage must not fail analysis — the codes-side live filter
-    # below still drops retracted/orphan ids from the corpus join
-    if old.get("vec_batch") and "_batch" in raw_vecs.columns:
+    if old.get("vec_batch"):
+        if "_batch" not in raw_vecs.columns:
+            # ADVICE r12: meta claims the r12 lineage layout but the
+            # refine tier carries no _batch column — on such a layout
+            # the min(_v) fold below could silently carry a RETRACTED
+            # version's embedding forward for a retracted-then-
+            # re-appended id (seq-scoped tombstones can't pair rows
+            # that lack lineage). An inconsistent index is a repair
+            # job, not a degrade: refuse loudly.
+            raise ValueError(
+                f"ann_index_rebuild: meta at {path} claims vec_batch "
+                "but the refine tier has no _batch column — "
+                "inconsistent layout (hand-stripped or torn); restore "
+                "the refine tier or rebuild from the source vectors"
+            )
         raw_vecs = _ann_live_rows(raw_vecs, tomb, markers)
     vecs = (
         raw_vecs.select("_id", "_v")
@@ -872,6 +891,7 @@ def ann_index_search(
     shortlist: int | str | None = "auto",
     probe_cells: list[int] | None = None,
     prune: bool | str = "auto",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
     ivf_pq_topk plan over stored codes and pinned models: per-query ADC
@@ -945,6 +965,19 @@ def ann_index_search(
     outside the whitelist still probes its nearest whitelisted cells
     instead of silently getting fewer (or zero) candidates.
 
+    ``allowed`` (r13): optional attribute filter — a DataFrame whose
+    FIRST column holds the ids the search may return (the caller
+    evaluates the predicate on its own attribute table:
+    ``docs.filter("lang = 'en'").select("doc_id")``). Applied as a
+    PRE-filter semi-join on the slim codes projection, before the
+    shortlist window, so the shortlist fills with allowed rows only —
+    filtered-ANN recall is per-FILTERED-corpus, not "top-k then filter"
+    (which returns < k rows under any selective predicate). Cost: a
+    selective allowed set broadcasts (AQE — zero corpus shuffle); a
+    broad one shuffles only the ~10-byte codes rows. NULL ids in
+    ``allowed`` match nothing. Composes with tombstones (retraction
+    filter runs first) and ``probe_cells``.
+
     Returns (query_id, neighbor_id, dist, rk); self-matches excluded by
     id (shared-id-space rule, see pq_topk)."""
     from pyspark.sql.window import Window
@@ -1004,6 +1037,23 @@ def ann_index_search(
     ).select(F.col("_id").alias("neighbor_id"), "_codes", "cell")
     if probe_cells is not None:
         coded = coded.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+    if allowed is not None:
+        # PRE-filter (the recall-preserving side of the filtered-ANN
+        # fork): restricting the slim codes frame BEFORE the cell join
+        # and shortlist window means the shortlist fills with ALLOWED
+        # rows only — a post-filter of the top-k would return < k (or
+        # zero) rows for any selective predicate. Semi-join on the slim
+        # (id, codes, cell) projection: a selective allowed set becomes
+        # a broadcast semi-join under AQE (zero corpus shuffle); a
+        # broad one shuffles only these ~10-byte rows. NULL ids in
+        # ``allowed`` match nothing (null-rejecting equality) — they
+        # neither widen nor narrow the filter.
+        akey = allowed.columns[0]
+        coded = coded.join(
+            allowed.select(F.col(akey).alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         _dim_guarded(
@@ -1223,9 +1273,16 @@ def ann_index_delete(
     (``_ann_apply_tombstones`` — request-sized build side, seq-scoped
     so a RE-APPENDED id lives while its retracted history stays dead).
     The WRITE side is request-proportional: both data tiers stay
-    byte-untouched (mtime-pinned in tests); the accounting is one
-    pushed-filter scan of the codes tier restricted to the requested
-    ids. The physical rewrite is demoted to ``ann_index_compact``, run
+    byte-untouched (mtime-pinned in tests). The accounting is ONE scan
+    of the codes tier either way, but its cost depends on the request
+    form (VERDICT r12 #7 — say which side is bounded): a Python LIST of
+    ids plans an ``_id IN (…)`` predicate PUSHED to the parquet reader
+    (row-group stats skip most of the tier — plan-pinned in
+    tests/test_ann_tombstones.py); a DataFrame request plans a
+    LeftSemi join, i.e. one full columnar scan of the codes tier with a
+    request-sized build side. Prefer the list form for small GDPR
+    requests; the DataFrame form is for bulk retractions where the
+    request itself is distributed. The physical rewrite is demoted to ``ann_index_compact``, run
     automatically once dead rows exceed ``compact_threshold`` of the
     index (pass 0 to force, or a value > 1 to never auto-compact —
     the explicit/async pattern for latency-sensitive delete
@@ -1318,10 +1375,36 @@ def ann_index_delete(
     tiny_rows_df(spark, [{"del_seq": del_seq, "n_dead": removed}]).coalesce(
         1
     ).write.mode("append").json(f"{path}/{_DEAD_DIR}")
-    if n_total and (dead_prev + removed) / n_total > compact_threshold:
-        from urllib.parse import urlparse
+    from urllib.parse import urlparse
 
-        if urlparse(path).scheme in ("", "file"):
+    _local = urlparse(path).scheme in ("", "file")
+    if _local:
+        # fold the tally once the per-delete files pile up (VERDICT r12
+        # #6): every ``shortlist="auto"`` search lists + collects this
+        # dir, so thousands of small deletes between compactions would
+        # tax serving with a file-listing job. The running total is
+        # already in hand (dead_prev + removed) — rewrite the dir to ONE
+        # row via the staged swap (healed by ``_ann_recover``; the
+        # unhealed read window only UNDERSTATES dead → live overstated →
+        # auto shortlist larger, recall-safe).
+        import os
+
+        dead_dir = f"{path}/{_DEAD_DIR}"
+        n_tally_files = sum(
+            not e.startswith(("_", ".")) for e in os.listdir(dead_dir)
+        )
+        if n_tally_files > _DEAD_FOLD_FILES:
+            from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
+                _swap_in,
+            )
+
+            staging = dead_dir + ".staging"
+            tiny_rows_df(
+                spark, [{"del_seq": del_seq, "n_dead": dead_prev + removed}]
+            ).coalesce(1).write.mode("overwrite").json(staging)
+            _swap_in(staging, dead_dir)
+    if n_total and (dead_prev + removed) / n_total > compact_threshold:
+        if _local:
             ann_index_compact(spark, path)
         # remote index: the fold-in needs a local mount (dir swaps) —
         # run ann_index_compact there, or fold via ann_index_rebuild

@@ -145,9 +145,15 @@ def sha_table_append(
         F.col(id_col).alias("_id"),
         F.lit(batch_id).alias("_batch"),
     )
-    rows.write.mode("append").bucketBy(buckets, "content_hash").format(
-        "parquet"
-    ).saveAsTable(table)
+    # repartition ON the bucket column first (ADVICE r12, the r10
+    # files=tasks×buckets trap): bucketBy writes one file per (task,
+    # bucket) pair, so a many-partition crawl batch would fragment the
+    # table by tasks× per snapshot; repartition uses the same Murmur3
+    # hash as bucket assignment, so each task holds exactly one bucket
+    # → ≤ buckets files per append.
+    rows.repartition(buckets, F.col("content_hash")).write.mode(
+        "append"
+    ).bucketBy(buckets, "content_hash").format("parquet").saveAsTable(table)
     tiny_rows_df(
         spark, [{"batch_id": batch_id, "seq": len(existing)}]
     ).write.mode("append").saveAsTable(f"{table}_batches")

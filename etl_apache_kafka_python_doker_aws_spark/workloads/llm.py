@@ -728,6 +728,131 @@ def l3_ann_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_filtered_ann",
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           (vec_id % 50 = 0) AS twin_allowed,
+           TRUE AS hit_iff_allowed,
+           TRUE AS all_hits_allowed,
+           TRUE AS broad_hit_iff_even
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l3_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: ATTRIBUTE-FILTERED ANN search (r13) — the production serving
+    shape "nearest neighbors among documents satisfying a predicate"
+    (lang = 'en', license = permissive, date range). The engine's
+    ``ann_index_search(..., allowed=)`` applies the filter as a
+    PRE-filter semi-join on the slim codes projection, BEFORE the
+    shortlist window — so top-k is per-FILTERED-corpus (a post-filter
+    of an unfiltered top-k returns < k rows under any selective
+    predicate, the classic filtered-ANN failure).
+
+    Script: index the corpus (b0) + verbatim copies of every 25th
+    vector under id+100000 (b1). Two filter shapes: NARROW — allowed =
+    copies whose source id % 50 == 0 (a request-sized set; AQE
+    broadcast semi-join, zero corpus shuffle); BROAD — allowed = all
+    EVEN ids (half the index; shuffled semi-join on ~10-byte rows).
+
+    Contract (oracle enumerates every plant): (a) ``hit_iff_allowed``
+    — under the narrow filter a source pairs with its copy at dist 0
+    iff the copy is in the allowed set (identical vector ⇒ found when
+    permitted; filtered out when not, even though it is the GLOBAL
+    nearest neighbor — the pre-filter at work); (b)
+    ``all_hits_allowed`` — zero narrow-leg hits name a neighbor
+    outside the allowed set (exact filter semantics, engine-side
+    anti-join); (c) ``broad_hit_iff_even`` — under the broad filter
+    the copy (parity = source's parity) is found iff the source id is
+    even. dist ≤ 0.25 is the planted-vs-natural separation bound (the
+    l3_ann_retraction rule)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    new = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    path = _scratch_dir(spark, "ann_idx_filtered")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    ann_index_append(new, "vec_id", "embedding", path, batch_id="b1")
+    shortlist = _ann_shortlist(e)
+    narrow_allowed = planted.filter(
+        F.pmod(F.col("vec_id"), F.lit(2 * _PLANT_STEP)) == 0
+    ).select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"))
+    narrow = (
+        ann_index_search(
+            planted, path, "vec_id", "embedding", k=5,
+            n_probe=8, shortlist=shortlist, allowed=narrow_allowed,
+        )
+        .filter(F.col("dist") <= F.lit(0.25))
+        .localCheckpoint(eager=True)  # two consumers below (pair join +
+        # outside-allowed audit): pin one evaluation (the r10
+        # dropDuplicates/multi-consumer determinism rule)
+    )
+    n_outside = (
+        narrow.join(
+            narrow_allowed.select(F.col("vec_id").alias("neighbor_id")),
+            "neighbor_id",
+            "left_anti",
+        ).agg(F.count("*").alias("_no"))
+    )
+    broad_allowed = e.select("vec_id").unionByName(
+        new.select("vec_id")
+    ).filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    broad = ann_index_search(
+        planted, path, "vec_id", "embedding", k=5,
+        n_probe=8, shortlist=shortlist, allowed=broad_allowed,
+    ).filter(F.col("dist") <= F.lit(0.25))
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    n_pair = narrow.select(
+        F.col("query_id").alias("_nq"), F.col("neighbor_id").alias("_nn")
+    )
+    b_pair = broad.select(
+        F.col("query_id").alias("_bq"), F.col("neighbor_id").alias("_bn")
+    )
+    return (
+        expected.join(
+            n_pair,
+            (F.col("id_a") == F.col("_nq")) & (F.col("id_b") == F.col("_nn")),
+            "left",
+        )
+        .join(
+            b_pair,
+            (F.col("id_a") == F.col("_bq")) & (F.col("id_b") == F.col("_bn")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_outside))
+        .select(
+            "id_a",
+            "id_b",
+            (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0).alias(
+                "twin_allowed"
+            ),
+            (
+                F.col("_nn").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0)
+            ).alias("hit_iff_allowed"),
+            (F.col("_no") == 0).alias("all_hits_allowed"),
+            (
+                F.col("_bn").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2)) == 0)
+            ).alias("broad_hit_iff_even"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (
@@ -822,6 +947,86 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"
+    )
+
+
+@query(
+    "l3_grouped_maxsim",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id % 100 AS doc_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos_sim
+      FROM embeddings c, q
+      WHERE c.vec_id != q.vec_id
+    ),
+    pooled AS (
+      SELECT query_id, doc_id, MAX(cos_sim) AS max_sim
+      FROM scored GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, max_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY max_sim DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM pooled
+    )
+    SELECT query_id, doc_id, ROUND(max_sim, 6) AS max_sim, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def l3_grouped_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: MULTI-VECTOR (grouped) retrieval with max-pooling (r13) — the
+    late-interaction-lite serving shape: documents are represented by
+    MANY chunk vectors, a document's score for a query is the MAX
+    cosine over its chunks, and retrieval returns top-k DOCUMENTS.
+    Here the embeddings fixture plays the chunk tier with doc_id =
+    vec_id % 100 (chunks of one doc scattered across the corpus —
+    the worst case for locality, so the groupBy is a real shuffle).
+
+    Plan: broadcast the 5 query vectors ⋈ corpus chunks (one pass, HOF
+    dot products — chunk scoring is embarrassingly parallel), partial
+    max per (query, doc) map-side, one shuffle on the (query, doc)
+    group key, window top-3. At 100 TB the chunk scan dominates and
+    never re-shuffles the corpus: the only exchange carries one row
+    per (query, doc) pair. Exact-hash oracle: cosine is +,×,÷,sqrt on
+    both engines (correctly rounded IEEE, identical parenthesization),
+    MAX of exact doubles is exact, round once at the end (the r6
+    float-oracle discipline). Self-chunk (the query vector itself)
+    excluded; its doc may still score via its other chunks."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    cos = dot(F.col("_q"), F.col("embedding")) / (
+        F.sqrt(dot(F.col("_q"), F.col("_q")))
+        * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.pmod(F.col("vec_id"), F.lit(100)).alias("doc_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    pooled = scored.groupBy("query_id", "doc_id").agg(
+        F.max("cos_sim").alias("max_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("max_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pooled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "doc_id", F.round("max_sim", 6).alias("max_sim"), "rk")
     )
 
 

@@ -397,3 +397,130 @@ def test_legacy_index_falls_back_to_physical_delete(spark, tmp_path):
     got = ann_index_search(corpus.filter("vec_id = 6"), path, k=10,
                            n_probe=4, shortlist=30).collect()
     assert got and all(r.neighbor_id != 5 for r in got)
+
+
+def test_dead_tally_folds_after_many_small_deletes(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #6: one tiny JSON file per delete is listed+collected
+    by every auto-shortlist search — past _DEAD_FOLD_FILES the tally
+    folds into ONE row (running total already in hand), so serving
+    latency stays flat across thousands of small deletes between
+    compactions. The fold must preserve the exact dead total."""
+    from etl_apache_kafka_python_doker_aws_spark.functions import ann_index
+
+    monkeypatch.setattr(ann_index, "_DEAD_FOLD_FILES", 5)
+    corpus, rows, path = _build(spark, tmp_path)
+    # never auto-compact: the tally (and tombstones) must survive the loop
+    for i in range(8):
+        assert ann_index_delete(
+            spark, path, [i], compact_threshold=2.0
+        ) == 1
+    assert _ann_dead_total(spark, path) == 8
+    dead_dir = os.path.join(path, "_graft_dead")
+    tally_files = [
+        e for e in os.listdir(dead_dir) if not e.startswith(("_", "."))
+    ]
+    # 5 appends, fold at the 6th, then 2 more appends → ≤ 3 data files
+    assert len(tally_files) <= 3, tally_files
+    # retraction semantics intact through the fold
+    q = corpus.filter("vec_id = 2")
+    hits = ann_index_search(q, path, k=3, n_probe=4, shortlist=20).collect()
+    assert all(not (r.neighbor_id == 2 and r.dist == 0.0) for r in hits)
+    # live-size statistic reads the folded tally
+    assert _ann_live_size(spark, path, ann_index_meta(spark, path)) == 60 - 8
+
+
+def test_delete_list_form_plans_pushed_id_filter(spark, tmp_path):
+    """VERDICT r12 #7: the LIST request form's accounting scan must push
+    the `_id IN (…)` predicate to the parquet reader (row-group skip);
+    the DataFrame form legitimately plans a LeftSemi join instead. Pins
+    the exact composition ann_index_delete builds (_retraction_forms →
+    _with_seq)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _ann_marker_rows,
+        _with_seq,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        _retraction_forms,
+    )
+
+    corpus, rows, path = _build(spark, tmp_path)
+    codes = spark.read.parquet(path)
+    markers = _ann_marker_rows(spark, path)
+    hit, _, gone = _retraction_forms(codes, [1, 2, 3], "test")
+    assert gone is None, "list form must keep the pushed-In shape"
+    live_hit = _with_seq(hit, markers, "inner")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = live_hit._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters" in plan and "In(_id" in plan, plan
+
+
+def test_rebuild_refuses_stripped_refine_lineage(spark, tmp_path):
+    """ADVICE r12: meta claims vec_batch but the refine tier lacks
+    _batch — rebuild's min(_v) fold could silently carry a RETRACTED
+    embedding forward; the inconsistent layout must raise, not degrade."""
+    import shutil as _sh
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_rebuild,
+    )
+
+    corpus, rows, path = _build(spark, tmp_path)
+    vec_dir = os.path.join(path, "_graft_vectors")
+    stripped = spark.read.parquet(vec_dir).drop("_batch")
+    tmp_out = str(tmp_path / "stripped_vecs")
+    stripped.write.partitionBy("_vbucket").parquet(tmp_out)
+    _sh.rmtree(vec_dir)
+    os.rename(tmp_out, vec_dir)
+    with pytest.raises(ValueError, match="no _batch column"):
+        ann_index_rebuild(spark, path, str(tmp_path / "ann_rebuilt"))
+
+
+def test_filtered_search_composes_with_tombstones(spark, tmp_path):
+    """r13 `allowed=` filtered search: only allowed ids are returned,
+    the pre-filter fills top-k from the ALLOWED corpus (not a
+    post-filter of the global top-k), and a tombstoned id stays dead
+    even when the filter allows it."""
+    corpus, rows, path = _build(spark, tmp_path)
+    q = corpus.filter("vec_id = 3")
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    allow = tiny_rows_df(
+        spark, [(i,) for i in (10, 11, 12, 13)], "vec_id long"
+    )
+    hits = ann_index_search(
+        q, path, k=4, n_probe=4, shortlist=20, allowed=allow
+    ).collect()
+    assert {r.neighbor_id for r in hits} == {10, 11, 12, 13}, hits
+    assert len(hits) == 4, "pre-filter must fill k from the allowed corpus"
+    # global top-1 (the unfiltered nearest) is NOT in the result set
+    g = ann_index_search(q, path, k=1, n_probe=4, shortlist=20).collect()
+    if g[0].neighbor_id not in (10, 11, 12, 13):
+        assert all(r.neighbor_id != g[0].neighbor_id for r in hits)
+    # tombstone wins over the filter: delete 11, it must vanish
+    assert ann_index_delete(spark, path, [11], compact_threshold=2.0) == 1
+    hits2 = ann_index_search(
+        q, path, k=4, n_probe=4, shortlist=20, allowed=allow
+    ).collect()
+    assert {r.neighbor_id for r in hits2} == {10, 12, 13}, hits2
+
+
+def test_filtered_search_null_and_empty_allowed(spark, tmp_path):
+    """NULL ids in `allowed` match nothing; an all-excluding filter
+    returns an empty frame with the search's stable schema."""
+    corpus, rows, path = _build(spark, tmp_path)
+    q = corpus.filter("vec_id = 3")
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    allow = tiny_rows_df(spark, [(None,), (10,)], "vec_id long")
+    hits = ann_index_search(
+        q, path, k=4, n_probe=4, shortlist=20, allowed=allow
+    ).collect()
+    assert {r.neighbor_id for r in hits} == {10}
+    none_allowed = tiny_rows_df(spark, [], "vec_id long")
+    out = ann_index_search(
+        q, path, k=4, n_probe=4, shortlist=20, allowed=none_allowed
+    )
+    assert out.columns == ["query_id", "neighbor_id", "dist", "rk"]
+    assert out.count() == 0

@@ -185,3 +185,29 @@ def test_drop_purges_twins(spark, tbl):
     # the name is immediately reusable (locations purged too)
     _base(spark, tbl)
     assert sha_table_batches(spark, tbl) == ["b0"]
+
+
+def test_append_writes_at_most_buckets_files(spark, tbl):
+    """ADVICE r12: without a repartition on the bucket column, bucketBy
+    writes one file per (task, bucket) pair — a many-partition crawl
+    batch fragments the table by tasks× per snapshot."""
+    import glob
+    import os
+
+    b0 = _docs(spark, [(i, f"doc number {i} content") for i in range(200)])
+    sha_table_append(
+        b0.repartition(16), "doc_id", "text", tbl, batch_id="b0", buckets=4
+    )
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter(F.col("col_name") == "Location")
+        .first()
+        .data_type
+    )
+    loc = loc.removeprefix("file:")
+    files = [
+        f
+        for f in glob.glob(os.path.join(loc, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+    assert 0 < len(files) <= 4, files

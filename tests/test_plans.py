@@ -584,6 +584,8 @@ def test_every_broadcast_hint_site_is_classified():
         ("workloads/llm.py", "n_extra"): ONE_ROW,
         ("workloads/llm.py", "n_diff"): ONE_ROW,
         ("workloads/llm.py", "n_excluded"): ONE_ROW,
+        ("workloads/llm.py", "n_outside"): ONE_ROW,    # r13 l3_filtered_ann audit count
+        ("workloads/llm.py", "q"): DIM,                # r13 l3_grouped_maxsim: ≤5 query vectors (literal vec_id < 5 bound)
         ("workloads/llm.py", "comp_var"): ONE_ROW,
         ("workloads/llm.py", "n_q"): ONE_ROW,
         ("workloads/llm.py", "n_tw"): ONE_ROW,
