@@ -234,20 +234,60 @@ def _index_size_from_markers(markers: list) -> int | None:
     return sum(int(r.n_rows) for r in markers)
 
 
+def _drop_dead_tally(path: str) -> None:
+    """Remove the dead-tally dir AND its fold-swap twins (review r13,
+    the r11 'drop ALL twins upfront' rule): a fold killed before/mid
+    `_swap_in` leaves a complete `.staging`/`.old` twin holding the
+    PRE-compact tally; dropping only the live dir would let the next
+    write entry point's ``_ann_recover`` rename that stale twin back in,
+    re-counting rows compaction already removed — live size understated
+    forever-until-next-compact (auto shortlist shrinks → recall loss,
+    spurious auto-compacts, false 'would EMPTY' refusals)."""
+    import os
+    import shutil
+
+    base = os.path.join(path, _DEAD_DIR)
+    for d in (base, base + ".staging", base + ".old"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _ann_dead_total(spark: SparkSession, path: str) -> int:
     """Tombstoned-row tally: sum of the per-delete ``n_dead`` markers
-    (``_graft_dead``, one tiny JSON row per delete). 0 when no delete is
-    pending — compaction drops the tally with the tombstones."""
+    (``_graft_dead``, one tiny JSON row per delete, folded to one row
+    past ``_DEAD_FOLD_FILES``). 0 when no delete is pending —
+    compaction drops the tally with the tombstones.
+
+    Retried once on a listing/read race (review r13): the fold in
+    ``ann_index_delete`` swaps the dir via paired renames, and deletes
+    are the documented latency-sensitive-endpoint path — i.e. searches
+    legitimately run concurrently, and pre-r13 this dir was
+    append-only. A search whose exists-check or file listing straddles
+    the (millisecond) swap window would otherwise die mid-job with
+    PATH_NOT_FOUND; one re-read lands after the swap. A genuinely
+    unreadable sidecar still propagates (the r12 ABSENT-vs-UNREADABLE
+    rule) — the retry only absorbs the rename race, not corruption."""
     from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
 
-    df = sidecar_read(spark, f"{path}/{_DEAD_DIR}", "json")
-    if df is None:
-        return 0
-    return sum(
-        int(r.n_dead)
-        for r in df.collect()
-        if "n_dead" in r.__fields__ and r.n_dead is not None
-    )
+    def _read() -> int:
+        df = sidecar_read(spark, f"{path}/{_DEAD_DIR}", "json")
+        if df is None:
+            return 0
+        return sum(
+            int(r.n_dead)
+            for r in df.collect()
+            if "n_dead" in r.__fields__ and r.n_dead is not None
+        )
+
+    try:
+        return _read()
+    except Exception as first:
+        import time
+
+        time.sleep(0.2)
+        try:
+            return _read()
+        except Exception:
+            raise first
 
 
 def _ann_live_size(
@@ -1637,7 +1677,7 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
         # then finish the drops
         if tomb is not None or os.path.isdir(os.path.join(path, _DEAD_DIR)):
             _rewrite_markers(spark, path, markers)
-        shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
+        _drop_dead_tally(path)
         shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
         return 0
     if n_dead and codes.count() - n_dead <= 0:
@@ -1681,6 +1721,6 @@ def ann_index_compact(spark: SparkSession, path: str) -> int:
         _swap_in(staging, vec_dir)
     _rewrite_markers(spark, path, markers)
     # sidecars LAST — tally before tombstones (see the crash table)
-    shutil.rmtree(os.path.join(path, _DEAD_DIR), ignore_errors=True)
+    _drop_dead_tally(path)
     shutil.rmtree(os.path.join(path, _TOMB_DIR), ignore_errors=True)
     return n_dead

@@ -177,8 +177,13 @@ def compact_small_files(
         # (review r12 origin: the walk descended into sidecars like the
         # ANN index's _graft_vectors, whose _vbucket= dirs then
         # masqueraded as partition values and mis-sized the splits)
+        # (review r13: Spark's rule keeps underscore-prefixed `name=value`
+        # dirs but ALWAYS drops dot-prefixed ones, '=' or not —
+        # `(startsWith("_") && !contains("=")) || startsWith(".")`)
         dirnames[:] = [
-            d for d in dirnames if "=" in d or not d.startswith(("_", "."))
+            d
+            for d in dirnames
+            if not d.startswith(".") and ("=" in d or not d.startswith("_"))
         ]
         b = sum(
             os.path.getsize(os.path.join(root, f))
@@ -203,10 +208,15 @@ def compact_small_files(
     part_cols: list[str] = []
     probe = path
     while True:
+        # same listing rule as the byte walk above (review r13): a
+        # dot-prefixed `name=value` dir is invisible to Spark and must
+        # not be discovered as a partition column either
         subdirs = [
             d
             for d in os.listdir(probe)
-            if os.path.isdir(os.path.join(probe, d)) and "=" in d
+            if os.path.isdir(os.path.join(probe, d))
+            and "=" in d
+            and not d.startswith(".")
         ]
         if not subdirs:
             break

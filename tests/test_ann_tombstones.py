@@ -524,3 +524,35 @@ def test_filtered_search_null_and_empty_allowed(spark, tmp_path):
     )
     assert out.columns == ["query_id", "neighbor_id", "dist", "rk"]
     assert out.count() == 0
+
+
+def test_compact_drops_stale_fold_twins(spark, tmp_path):
+    """review r13 (the r11 'drop ALL twins upfront' rule on the dead
+    tally): a fold killed before its swap leaves a complete
+    _graft_dead.staging twin holding the PRE-compact tally; compact
+    must drop the twins too, or the next write entry point's
+    _ann_recover resurrects the stale tally — live size understated,
+    spurious auto-compacts, false 'would EMPTY' refusals."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _ann_recover,
+    )
+
+    corpus, rows, path = _build(spark, tmp_path)
+    assert ann_index_delete(spark, path, [0, 1, 2], compact_threshold=2.0) == 3
+    dead_dir = os.path.join(path, "_graft_dead")
+    # simulate a fold crash: a COMPLETE staging twin with a stale total
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    tiny_rows_df(spark, [{"del_seq": 0, "n_dead": 999}]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(dead_dir + ".staging")
+    assert ann_index_compact(spark, path) == 3
+    for suffix in ("", ".staging", ".old"):
+        assert not os.path.exists(dead_dir + suffix), suffix
+    # the next write entry point's recover must find nothing to restore
+    _ann_recover(path)
+    assert not os.path.exists(dead_dir)
+    assert _ann_dead_total(spark, path) == 0
+    # accounting stays truthful afterwards
+    assert ann_index_delete(spark, path, [3], compact_threshold=2.0) == 1
+    assert _ann_dead_total(spark, path) == 1

@@ -423,3 +423,36 @@ def test_merge_accepts_markerless_external_table(spark):
     os.remove(os.path.join(path, "_SUCCESS"))
     with pytest.raises(RuntimeError, match="twin exists but is incomplete"):
         merge_upsert(spark, path, upd, ["id"])
+
+
+def test_compact_small_files_ignores_dot_prefixed_eq_dirs(spark):
+    """review r13: Spark's listing rule ALWAYS drops dot-prefixed dirs,
+    '=' or not — a '.bak=1' dir holding parquet must neither be sized
+    by the byte walk nor discovered as a partition column."""
+    import glob
+
+    from etl_apache_kafka_python_doker_aws_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    wd = tempfile.mkdtemp()
+    path = os.path.join(wd, "with_dot_eq")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("bucket")
+    )
+    df.repartition(6).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # a dot-prefixed name=value dir with real parquet bytes inside
+    spark.range(0, 500).select(F.col("id").alias("x")).coalesce(1).write.parquet(
+        os.path.join(path, ".bak=1")
+    )
+    side_before = sorted(
+        glob.glob(os.path.join(path, ".bak=1", "**", "*.parquet"), recursive=True)
+    )
+    compact_small_files(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert sorted(back.columns) == ["bucket", "k"], back.columns
+    # dot-dir untouched byte-for-byte (carried as a sidecar, not data)
+    assert sorted(
+        glob.glob(os.path.join(path, ".bak=1", "**", "*.parquet"), recursive=True)
+    ) == side_before
