@@ -211,3 +211,24 @@ def test_append_writes_at_most_buckets_files(spark, tbl):
         if not os.path.basename(f).startswith(("_", "."))
     ]
     assert 0 < len(files) <= 4, files
+
+
+def test_delete_writes_one_tombstone_file_per_request(spark, tbl):
+    """review r13: the Arrow local-relation frame parallelizes a list
+    request into one partition PER ID — without coalesce(1) a 5-id
+    delete appended 5 files, so 1000 GDPR requests of 25 ids would put
+    25k tiny files on every pairs query's anti-join read path."""
+    import glob
+    import os
+
+    _base(spark, tbl)
+    sha_table_delete(spark, tbl, [1, 2, 3, 4, 5], compact_threshold=2.0)
+    sha_table_delete(spark, tbl, [6, 7, 8], compact_threshold=2.0)
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}_tombstones")
+        .filter(F.col("col_name") == "Location")
+        .first()
+        .data_type.removeprefix("file:")
+    )
+    files = glob.glob(os.path.join(loc, "*.parquet"))
+    assert len(files) == 2, files  # one request-sized file per delete
