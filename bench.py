@@ -93,6 +93,9 @@ HEADLINE = [
     # r13: the exact tier's per-batch verdict (third dedup tier gets
     # the same operator-path regression tracking as L2/L3).
     "l1_sha_dedup_batch",
+    # r14 (VERDICT r13 #1): index-backed multi-vector retrieval — the
+    # grouped serving shape (chunk search → doc pool → top-k docs).
+    "l3_grouped_ann_search",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -289,6 +292,44 @@ def _op_sha_dedup_batch(spark, sf_dir: str):
     return lambda: sha_table_dedup_batch(spark, tbl, "b1")
 
 
+def _op_grouped_ann_search(spark, sf_dir: str):
+    """Operator path (r14, VERDICT r13 #1): index-backed MULTI-VECTOR
+    retrieval — ann_grouped_topk over a pre-built chunk index (doc =
+    vec_id % 100, the l3_grouped_ann shape without its contract
+    overhead). Timed path: chunk search (LUT projection + cell
+    equi-join + shortlist re-rank) + size-gated-hinted doc_map join +
+    min-pool + top-k documents. Setup (untimed): one ann_index_build
+    over the embeddings corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="bench_ann_grouped_")
+    _BENCH_TMP.append(path)
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    doc_map = e.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.pmod(F.col("vec_id"), F.lit(100)).alias("doc_id"),
+    )
+    q = e.filter(F.col("vec_id") < 100)
+    return lambda: ann_grouped_topk(
+        q, path, doc_map, k=5, chunk_k=20, n_probe=8, shortlist=200
+    )
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
@@ -297,6 +338,7 @@ OPERATOR_OPS = {
     "l2l3_index_delete": _op_index_delete,
     "l2_table_delete": _op_table_delete,
     "l1_sha_dedup_batch": _op_sha_dedup_batch,
+    "l3_grouped_ann_search": _op_grouped_ann_search,
 }
 
 # persisted-index fixtures built by the setups — removed after the run

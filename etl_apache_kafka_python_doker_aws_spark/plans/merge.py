@@ -58,11 +58,23 @@ def _recover(target_path: str) -> None:
         # permanently bricked such tables).
         if _is_complete(staging) or _is_complete(old):
             shutil.rmtree(target_path)
-        elif os.path.exists(staging) or os.path.exists(old):
+        elif os.path.exists(staging) and not os.path.exists(old):
+            # markerless EXTERNAL target + incomplete .staging, no .old
+            # (ADVICE r13): the state a kill leaves when the FIRST merge
+            # over an external table dies mid-staging-write. It is
+            # provably not a torn swap — module-internal staging crashes
+            # always leave the target WITH _SUCCESS (the target is only
+            # ever (re)created by a completed swap), and _swap_in cannot
+            # have run without leaving .old while the target exists. The
+            # staging dir holds a disposable partial merge; drop it and
+            # keep serving the external table.
+            shutil.rmtree(staging)
+            return
+        elif os.path.exists(old):
             raise RuntimeError(
                 f"merge target {target_path!r} carries no _SUCCESS marker "
-                "and a .staging/.old twin exists but is incomplete — a "
-                "swap was interrupted and no complete copy survives; "
+                "and an incomplete .old twin exists — a swap was "
+                "interrupted and no complete copy survives; "
                 "inspect/restore manually"
             )
         else:

@@ -338,6 +338,92 @@ def l2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_filtered_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           (doc_id % 50 = 0) AS pair_allowed,
+           TRUE AS hit_iff_allowed,
+           TRUE AS all_pairs_allowed
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
+def l2_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: ATTRIBUTE-FILTERED near-dup pairs over the persisted band
+    index (r14, VERDICT r13 #3 — the l3_filtered_ann shape on the
+    dedup tier): "near-duplicates among the licensed/English subset".
+    ``minhash_index_pairs_vs_batch(..., allowed=)`` semi-joins the
+    caller's id set onto the index frame BEFORE the band self-join, so
+    BOTH pair sides are allowed and candidate enumeration is
+    per-FILTERED-corpus (a post-filter would pay the full m² candidate
+    mass first — the r8 blowup).
+
+    Script: index corpus + verbatim copies of every 25th eligible doc
+    under id+100000 as one batch. allowed = BOTH endpoints of every
+    SECOND planted pair (source id % 50 == 0). Contract (oracle
+    enumerates every plant): (a) ``hit_iff_allowed`` — the planted pair
+    appears iff both endpoints are allowed (identical signature ⇒
+    found when permitted; filtered out when not, despite being a
+    certain candidate); (b) ``all_pairs_allowed`` — zero emitted pairs
+    name ANY id outside the allowed set, either side (engine-side
+    anti-join audit)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+        & (F.size(tx.tokenize("text")) >= 3)
+    )
+    aug = _with_planted_copies(d, min_tokens=3)
+    path = _scratch_dir(spark, "mh_idx_filtered")
+    minhash_index_append(aug, "doc_id", "text", path, batch_id="b0")
+    sel = eligible.filter(F.pmod(F.col("doc_id"), F.lit(2 * _PLANT_STEP)) == 0)
+    allowed = sel.select("doc_id").unionByName(
+        sel.select((F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"))
+    )
+    pairs = minhash_index_pairs_vs_batch(
+        spark, path, "b0", allowed=allowed
+    ).localCheckpoint(eager=True)  # two consumers (pair join + audit):
+    # pin one evaluation (the r10 multi-consumer determinism rule)
+    out_a = pairs.join(
+        allowed.select(F.col("doc_id").alias("id_a")), "id_a", "left_anti"
+    )
+    out_b = pairs.join(
+        allowed.select(F.col("doc_id").alias("id_b")), "id_b", "left_anti"
+    )
+    n_outside = out_a.unionByName(out_b).agg(F.count("*").alias("_no"))
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(pairs, ["id_a", "id_b"], "left")
+        .crossJoin(F.broadcast(n_outside))
+        .select(
+            "id_a",
+            "id_b",
+            (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0).alias(
+                "pair_allowed"
+            ),
+            (
+                F.col("est_jaccard").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0)
+            ).alias("hit_iff_allowed"),
+            (F.col("_no") == 0).alias("all_pairs_allowed"),
+        )
+    )
+
+
+@query(
     "l2_incremental_dedup_bucketed",
     scale_form="bounded",
     oracle="""
@@ -1027,6 +1113,177 @@ def l3_grouped_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         pooled.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("query_id", "doc_id", F.round("max_sim", 6).alias("max_sim"), "rk")
+    )
+
+
+# grouped-retrieval twin-doc id space: doc ids live in 0..99 (vec_id %
+# 100) — twins park far above, well clear of both real docs and the
+# chunk-id plant space semantics (doc ids never mix with chunk ids)
+_GDOC_OFFSET = 5000
+
+
+@query(
+    "l3_grouped_ann",
+    oracle="""
+    SELECT vec_id AS query_id,
+           TRUE AS twin_top1,
+           TRUE AS twin_hit_iff_allowed,
+           TRUE AS recall_ok,
+           TRUE AS k_bound_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: INDEX-BACKED multi-vector retrieval (r14, VERDICT r13 #1) —
+    the serving form of l3_grouped_maxsim: chunk vectors live in the
+    persisted IVF-PQ index, `functions/similarity.ann_grouped_topk`
+    searches the chunks (`ann_index_search`, all index machinery
+    composing), maps hits to documents, min-pools squared-L2 per
+    (query, doc) and returns top-k DOCUMENTS — the exact form scans the
+    whole chunk tier per query batch and cannot serve at 100 TB.
+
+    Script: embeddings play the chunk tier with doc_id = vec_id % 100;
+    index the corpus (b0), then append a verbatim TWIN DOC of each of
+    docs 0-4 — every chunk copied under chunk id + 100000, grouped
+    under doc id + 5000 (b1). Queries are the 5 chunks vec_id < 5 (one
+    per source doc).
+
+    Contract (oracle enumerates the 5 queries): (a) ``twin_top1`` —
+    query q's twin doc (5000+q) ranks 1 at dist exactly 0: the twin
+    holds a verbatim copy of the query chunk under a DIFFERENT chunk id
+    (the query's own chunk is excluded by the shared-id-space rule, so
+    rank-1-at-zero can only come from the copy — identical vector ⇒
+    identical cell+codes under pinned models ⇒ exact re-rank 0);
+    (b) ``twin_hit_iff_allowed`` — under a DOC-level filter allowing
+    only the twins of EVEN sources, the twin pair appears iff q is even
+    (the doc→chunk filter translation + per-filtered-corpus semantics,
+    mirroring l3_filtered_ann); (c) ``recall_ok`` — grouped top-3 docs
+    vs the ENGINE-COMPUTED exact grouped min-squared-L2 top-3 over
+    corpus∪twins, recall ≥ 0.6 (the l3_pq_search pattern); (d)
+    ``k_bound_ok`` — at most k doc rows per query."""
+    from pyspark.sql.window import Window
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_append,
+        ann_index_build,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_topk,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doc_of = F.pmod(F.col("vec_id"), F.lit(100))
+    twins_src = e.filter(doc_of < 5)
+    twins = twins_src.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    doc_map = e.select(
+        F.col("vec_id").alias("chunk_id"), doc_of.alias("doc_id")
+    ).unionByName(
+        twins_src.select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("chunk_id"),
+            (doc_of + _GDOC_OFFSET).alias("doc_id"),
+        )
+    )
+    path = _scratch_dir(spark, "ann_idx_grouped")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    ann_index_append(twins, "vec_id", "embedding", path, batch_id="b1")
+    q = e.filter(F.col("vec_id") < 5)
+    shortlist = _ann_shortlist(e)
+    # three consumers below (twin check, recall join, k-bound) — pin one
+    # evaluation (the r10 multi-consumer determinism rule)
+    got = ann_grouped_topk(
+        q, path, doc_map, "vec_id", "embedding", k=3,
+        chunk_k=20, n_probe=8, shortlist=shortlist,
+    ).localCheckpoint(eager=True)
+    # engine-exact grouped min-squared-L2 top-3 (the recall reference):
+    # brute force over corpus∪twins, self-chunk excluded like the index
+    qn = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_q")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("embedding"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("doc_id").asc()
+    )
+    exact = (
+        e.unionByName(twins)
+        .join(F.broadcast(qn), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("chunk_id"), d2.alias("dist"))
+        .join(doc_map, "chunk_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("dist").alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+    recall = (
+        exact.select("query_id", "doc_id")
+        .join(
+            got.select("query_id", "doc_id").withColumn("_hit", F.lit(1)),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")
+                >= 0.6
+            ).alias("recall_ok")
+        )
+    )
+    k_ok = (
+        got.groupBy("query_id")
+        .agg(F.count("*").alias("_k"))
+        .agg((F.max("_k") <= 3).alias("k_bound_ok"))
+    )
+    # DOC-level filter: only the twins of EVEN sources are allowed
+    allowed_docs = tiny_rows_df(
+        spark,
+        [(_GDOC_OFFSET + d,) for d in range(5) if d % 2 == 0],
+        "doc_id long",
+    )
+    filt = ann_grouped_topk(
+        q, path, doc_map, "vec_id", "embedding", k=3,
+        chunk_k=20, n_probe=8, shortlist=shortlist, allowed=allowed_docs,
+    )
+    tw = got.filter((F.col("rk") == 1) & (F.col("dist") == 0.0)).select(
+        F.col("query_id").alias("_tq"), F.col("doc_id").alias("_td")
+    )
+    fp = filt.select(
+        F.col("query_id").alias("_fq"), F.col("doc_id").alias("_fd")
+    )
+    base = q.select(F.col("vec_id").alias("query_id"))
+    return (
+        base.join(
+            tw,
+            (F.col("query_id") == F.col("_tq"))
+            & (F.col("_td") == F.col("query_id") + _GDOC_OFFSET),
+            "left",
+        )
+        .join(
+            fp,
+            (F.col("query_id") == F.col("_fq"))
+            & (F.col("_fd") == F.col("query_id") + _GDOC_OFFSET),
+            "left",
+        )
+        .crossJoin(F.broadcast(recall))
+        .crossJoin(F.broadcast(k_ok))
+        .select(
+            "query_id",
+            F.col("_td").isNotNull().alias("twin_top1"),
+            (
+                F.col("_fd").isNotNull()
+                == (F.pmod(F.col("query_id"), F.lit(2)) == 0)
+            ).alias("twin_hit_iff_allowed"),
+            "recall_ok",
+            "k_bound_ok",
+        )
     )
 
 

@@ -78,6 +78,31 @@ def main() -> None:
         emb.filter(F.col("vec_id") < 3), ann, k=3, n_probe=8, shortlist=200
     ).orderBy("query_id", "rk").show(9)
 
+    print("== 3b. filtered + grouped serving (r13/r14) ==")
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_topk,
+    )
+
+    # attribute-filtered search: "nearest neighbors among the EVEN ids"
+    allowed = emb.select("vec_id").filter(F.col("vec_id") % 2 == 0)
+    print("filtered top-k (per-filtered-corpus; probes re-target to")
+    print("cells that actually hold allowed rows):")
+    ann_index_search(
+        emb.filter(F.col("vec_id") < 2), ann, k=3, n_probe=8,
+        shortlist=200, allowed=allowed,
+    ).orderBy("query_id", "rk").show(6)
+    # multi-vector retrieval: chunks grouped into documents, a doc
+    # scores by its best chunk, top-k DOCUMENTS come back
+    doc_map = emb.select(
+        F.col("vec_id").alias("chunk_id"),
+        F.pmod(F.col("vec_id"), F.lit(50)).alias("doc_id"),
+    )
+    print("grouped (multi-vector) retrieval — top docs per query:")
+    ann_grouped_topk(
+        emb.filter(F.col("vec_id") < 2), ann, doc_map, k=3, chunk_k=12,
+        n_probe=8, shortlist=200,
+    ).orderBy("query_id", "rk").show(6)
+
     print("== 4. right-to-be-forgotten: LOCALIZED retraction ==")
     # both deletes rewrite only the partition dirs the ids hash into
     # (band_idx/_bgroup and cell/_vbucket) — untouched dirs stay

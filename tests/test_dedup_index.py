@@ -1092,3 +1092,81 @@ def test_apply_tombstones_bounds_the_marker_map(spark):
     # id 3's batch is unmarked under the small list (NULL seq → lives)
     # and marked with seq 1050 under the big one (≥ del_seq → lives)
     assert {r._id for r in big.collect()} == {1, 3}
+
+
+def test_filtered_pairs_both_tiers(spark, tmp_path):
+    """r14 `allowed=` (VERDICT r13 #3): both pair SIDES must be allowed,
+    per-filtered-corpus semantics on the path AND bucketed tiers (shared
+    _pairs_for_batch), NULL ids match nothing."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+
+    b0, b1, full = _frames(spark)
+    path = str(tmp_path / "mh_filtered")
+    minhash_index_append(full, "doc_id", "text", path, batch_id="b0")
+    # unfiltered reference: the verbatim pairs (1,101) and (102,103)
+    ref = minhash_index_pairs_vs_batch(spark, path, "b0")
+    assert {(r.id_a, r.id_b) for r in ref.collect()} >= {(1, 101), (102, 103)}
+    allowed = spark.createDataFrame(
+        [(1,), (101,), (104,), (None,)], "doc_id long"
+    )
+    got = minhash_index_pairs_vs_batch(
+        spark, path, "b0", allowed=allowed
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 101)}, got
+    # only ONE side of (102,103) allowed → the pair is filtered out
+    half = spark.createDataFrame([(102,), (1,)], "doc_id long")
+    got2 = minhash_index_pairs_vs_batch(
+        spark, path, "b0", allowed=half
+    ).collect()
+    assert got2 == [], got2
+    # bucketed tier shares the semantics
+    tbl = "t_mh_filtered_pairs"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(full, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+    got3 = minhash_table_pairs_vs_batch(
+        spark, tbl, "b0", allowed=allowed
+    ).collect()
+    drop_minhash_table(spark, tbl)
+    assert {(r.id_a, r.id_b) for r in got3} == {(1, 101)}, got3
+
+
+def test_filtered_pairs_skew_guard_uses_unfiltered_counts(spark, tmp_path):
+    """review r14: the skew-guard statistic must not drift between the
+    counts-sidecar path and the per_batch=None recompute fallback when
+    `allowed=` narrows the corpus — a bucket over the cap UNFILTERED
+    must stay dropped even if the filtered bucket would fit, on BOTH
+    paths (identical query, identical pair set)."""
+    import shutil as _sh
+
+    # three verbatim copies share EVERY band bucket (count 3); cap 2
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_guard_drift")
+    minhash_index_append(docs, "doc_id", "text", path, batch_id="b0")
+    allowed = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    # sidecar path: unfiltered count 3 > 2 → bucket dropped → no pairs
+    got = minhash_index_pairs_vs_batch(
+        spark, path, "b0", max_bucket_size=2, allowed=allowed
+    ).collect()
+    assert got == [], got
+    # pre-r9 fallback (no counted flags, no counts sidecar): the
+    # recompute must count the UNFILTERED corpus too
+    _strip_counted_flags(path)
+    _sh.rmtree(f"{path}/_graft_counts")
+    got2 = minhash_index_pairs_vs_batch(
+        spark, path, "b0", max_bucket_size=2, allowed=allowed
+    ).collect()
+    assert got2 == [], got2
+    # sanity: without the filter and a non-binding cap the pairs exist
+    ref = minhash_index_pairs_vs_batch(
+        spark, path, "b0", max_bucket_size=10
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in ref} == {(1, 2), (1, 3), (2, 3)}

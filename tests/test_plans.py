@@ -479,6 +479,39 @@ def test_incremental_dedup_batch_side_prefiltered(spark, tmp_path):
     assert "_graft_counts" in plan
 
 
+def test_filtered_pairs_prefilter_lands_before_band_join(spark, tmp_path):
+    """r14 `allowed=` (VERDICT r13 #3): the id semi-join must restrict
+    the index frame BEFORE the band self-join — below it in the
+    optimized plan tree — so candidate enumeration is per-filtered-
+    corpus (a post-filter of the pair output would pay the full m²
+    candidate mass first, the r8 blowup). The pushed `_batch` scan
+    filter and the no-Window guard must survive the composition."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    path = str(tmp_path / "band_idx_filtered_plan")
+    minhash_index_append(docs, "doc_id", "text", path, batch_id="b0")
+    allowed = docs.select("doc_id").filter("doc_id % 2 = 0")
+    df = minhash_index_pairs_vs_batch(spark, path, "b0", allowed=allowed)
+    plan = plan_of_df(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(_batch,b0)" in p for p in pushed), plan
+    assert "Window" not in plan
+    # tree order: parents print above children, so the band inner join
+    # must appear BEFORE (above) the allowed LeftSemi in the optimized
+    # logical plan — i.e. the semi-join is inside the band join's inputs
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    band_at = opt.find("Join Inner")
+    semi_at = opt.find("Join LeftSemi")
+    assert band_at != -1 and semi_at != -1, opt
+    assert semi_at > band_at, (
+        "allowed semi-join planned ABOVE the band join (post-filter):\n" + opt
+    )
+
+
 def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
     """Round-8 bucketed-table tier: with the band index AND its counts
     sidecar bucketed on (band_idx, band_hash), the per-batch pairs
@@ -586,6 +619,9 @@ def test_every_broadcast_hint_site_is_classified():
         ("workloads/llm.py", "n_excluded"): ONE_ROW,
         ("workloads/llm.py", "n_outside"): ONE_ROW,    # r13 l3_filtered_ann audit count
         ("workloads/llm.py", "q"): DIM,                # r13 l3_grouped_maxsim: ≤5 query vectors (literal vec_id < 5 bound)
+        ("workloads/llm.py", "qn"): DIM,               # r14 l3_grouped_ann: ≤5 query vectors (literal vec_id < 5 bound)
+        ("workloads/llm.py", "recall"): ONE_ROW,       # r14 l3_grouped_ann
+        ("workloads/llm.py", "k_ok"): ONE_ROW,         # r14 l3_grouped_ann
         ("workloads/llm.py", "comp_var"): ONE_ROW,
         ("workloads/llm.py", "n_q"): ONE_ROW,
         ("workloads/llm.py", "n_tw"): ONE_ROW,

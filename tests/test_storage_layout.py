@@ -4,6 +4,7 @@ plan, bucketed joins must not shuffle, merge/SCD2 must upsert correctly."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -418,11 +419,26 @@ def test_merge_accepts_markerless_external_table(spark):
     got = {(r.id, r.v) for r in out.collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}, got
 
-    # but markerless + an INCOMPLETE twin is a provable torn swap: raise
+    # markerless + an INCOMPLETE .staging and NO .old (ADVICE r13): the
+    # state a kill leaves when the FIRST merge over an external table
+    # dies mid-staging-write — provably external + disposable staging
+    # (module-internal crashes always leave the target WITH _SUCCESS).
+    # Heal: drop the staging leftover and merge normally.
     os.makedirs(path + ".staging")
     os.remove(os.path.join(path, "_SUCCESS"))
-    with pytest.raises(RuntimeError, match="twin exists but is incomplete"):
-        merge_upsert(spark, path, upd, ["id"])
+    upd2 = spark.createDataFrame([(4, "d")], "id long, v string")
+    out2 = merge_upsert(spark, path, upd2, ["id"])
+    got2 = {(r.id, r.v) for r in out2.collect()}
+    assert got2 == got | {(4, "d")}, got2
+    assert not os.path.exists(path + ".staging")
+
+    # but markerless + an INCOMPLETE .old twin is a provable torn swap
+    # (the target was moved aside at some point): still raise
+    os.makedirs(path + ".old")
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="incomplete .old twin"):
+        merge_upsert(spark, path, upd2, ["id"])
+    shutil.rmtree(path + ".old")
 
 
 def test_compact_small_files_ignores_dot_prefixed_eq_dirs(spark):
