@@ -835,3 +835,33 @@ def test_grouped_topk_plan_pairs_shuffle_only(spark, tmp_path):
     assert "partial_min" in plan, plan
     assert "hashpartitioning(query_id" in plan, plan
     assert "hashpartitioning(neighbor_id" not in plan, plan
+
+
+def test_grouped_topk_composes_with_tombstones(spark, tmp_path):
+    """Retraction reaches the grouped path: deleting the twin doc's
+    chunks removes its zero-distance rank (the underlying
+    ann_index_search anti-joins tombstones before the shortlist), and
+    the doc ranking refills from live docs."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_delete,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_topk,
+    )
+
+    corpus, rows, path, doc_map = _grouped_fixture(spark, tmp_path)
+    q = corpus.filter("vec_id = 3")
+    before = ann_grouped_topk(
+        q, path, doc_map, k=3, chunk_k=12, n_probe=4, shortlist=30
+    ).collect()
+    assert before[0].doc_id == 103 and before[0].dist == 0.0
+    twin_chunk_ids = [i + 1000 for i, _ in rows if i % 10 == 3]
+    assert ann_index_delete(
+        spark, path, twin_chunk_ids, compact_threshold=2.0
+    ) == len(twin_chunk_ids)
+    after = ann_grouped_topk(
+        q, path, doc_map, k=3, chunk_k=12, n_probe=4, shortlist=30
+    ).collect()
+    assert len(after) == 3
+    assert all(r.doc_id != 103 for r in after), after
+    assert after[0].dist > 0.0
