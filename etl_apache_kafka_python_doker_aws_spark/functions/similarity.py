@@ -1191,6 +1191,103 @@ def ann_grouped_topk(
     )
 
 
+def ann_grouped_dedup_batch(
+    new_chunks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    doc_map: DataFrame,
+    *,
+    batch_id: str,
+    threshold: float,
+    chunk_k: int = 20,
+    n_probe: int = 8,
+    shortlist: int | str | None = "auto",
+) -> DataFrame:
+    """DOC-level semantic near-duplicate detection for a NEW batch of
+    multi-chunk documents against the persisted ANN index — the dedup
+    twin of ``ann_grouped_topk`` and the grouped analog of
+    ``ann_index_dedup_batch``: a crawl snapshot arrives as chunk
+    vectors grouped into documents, and the question is "which of my
+    NEW documents near-duplicate any document ever ingested?" — scored
+    at the document level (best chunk pair), not the chunk level, so a
+    doc re-crawled with reordered/renamed chunks still pairs.
+
+    Appends the batch first (encoded with the pinned models — it
+    becomes part of the index for the NEXT snapshot, the incremental
+    contract the minhash tier set in r7), searches each new chunk
+    (``chunk_k`` hits through all the index machinery: tombstones,
+    refine pruning, auto shortlist), maps BOTH hit sides to documents
+    via ``doc_map`` (first two columns = (chunk_id, doc_id); must cover
+    indexed AND new chunks — the caller owns doc lineage, the index
+    stores only vectors), drops same-document pairs, min-pools squared
+    L2 per (new doc, other doc) and keeps pairs with
+    ``dist <= threshold``. Cosine rule via L2-normalized embeddings:
+    ``threshold = 2*(1-tau)`` (the ann_index_dedup_batch note).
+
+    Cost shape per snapshot: one encode projection + one batch-sized
+    search + two doc_map joins with the SIZE-GATED broadcast hint on
+    the bounded hits side (the ann_grouped_topk rule — AQE's runtime
+    conversion would still shuffle-write the corpus-sized map) + one
+    (doc, doc) pair shuffle — batch-proportional, never re-scans or
+    re-shuffles the corpus. Approximate by construction; VERBATIM
+    chunk copies are exact (identical cell + codes ⇒ shortlisted ⇒
+    re-rank 0), so a verbatim-recrawled doc pairs at dist exactly 0.
+    Pairs where BOTH docs arrived in this batch are emitted in both
+    directions (provenance stays "new doc → matched doc").
+
+    Returns (query_doc, neighbor_doc, dist)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_dedup_batch,
+    )
+
+    chunk_col, doc_col = doc_map.columns[0], doc_map.columns[1]
+    # the threshold is applied AFTER doc-level min-pooling, so the chunk
+    # layer must hand over everything it shortlisted un-filtered —
+    # dist <= +inf is the always-true form of its filter (min-pooling
+    # commutes with <=, so passing `threshold` through would be
+    # output-identical; inf keeps the doc layer the single place the
+    # cutoff is applied)
+    hits = ann_index_dedup_batch(
+        new_chunks, id_col, vec_col, path,
+        batch_id=batch_id, threshold=float("inf"), k=chunk_k,
+        n_probe=n_probe, shortlist=shortlist,
+    )
+    n_new = new_chunks.select(id_col).count()
+    slim_map = doc_map.select(
+        F.col(chunk_col).alias("_chunk"), F.col(doc_col).alias("_doc")
+    )
+    mass = n_new * chunk_k * 4
+    # the query→doc lookup comes from the BATCH id projection, never
+    # from hits.select("query_id").distinct() (review r14): `hits` is
+    # an uncached search lineage, and a second consumer would re-run
+    # the whole encode + cell-join + shortlist subtree just to recover
+    # ids the caller already holds; the subsequent inner join drops
+    # hitless chunks identically
+    query_map = (
+        slim_map.withColumnRenamed("_chunk", "query_id")
+        .withColumnRenamed("_doc", "query_doc")
+        .join(
+            _hint_if_bounded(
+                new_chunks.select(F.col(id_col).alias("query_id")),
+                n_new * 2,
+            ),
+            "query_id",
+        )
+    )
+    pooled = (
+        slim_map.withColumnRenamed("_chunk", "neighbor_id")
+        .withColumnRenamed("_doc", "neighbor_doc")
+        .join(_hint_if_bounded(hits, mass), "neighbor_id")
+        .join(_hint_if_bounded(query_map, n_new * 2), "query_id")
+        .filter(F.col("query_doc") != F.col("neighbor_doc"))
+        .groupBy("query_doc", "neighbor_doc")
+        .agg(F.min("dist").alias("dist"))
+        .filter(F.col("dist") <= F.lit(float(threshold)))
+    )
+    return pooled.select("query_doc", "neighbor_doc", "dist")
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1123,6 +1123,90 @@ _GDOC_OFFSET = 5000
 
 
 @query(
+    "l2_grouped_semdedup",
+    oracle="""
+    SELECT vec_id + 5000 AS query_doc,
+           vec_id AS neighbor_doc,
+           TRUE AS found_at_zero,
+           TRUE AS no_extra
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def l2_grouped_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: DOC-level incremental semantic dedup for MULTI-CHUNK
+    documents (r14 — the dedup twin of l3_grouped_ann):
+    `similarity.ann_grouped_dedup_batch` appends a crawl snapshot's
+    chunk vectors to the persisted ANN index, searches only the new
+    chunks, maps both hit sides to documents and min-pools — "which of
+    my NEW documents near-duplicate anything ever ingested", scored by
+    best chunk pair. The chunk-level form (l2_incremental_semdedup)
+    misses a re-crawled doc whose chunk ids changed; this form pairs
+    the DOCUMENTS.
+
+    Script: embeddings = chunk tier, doc = vec_id % 100; index the
+    corpus (b0); the new snapshot is 5 verbatim TWIN DOCS — every chunk
+    of docs 0-4 copied under chunk id + 100000, doc id + 5000 (b1).
+    Contract (oracle enumerates the 5 new docs): (a) ``found_at_zero``
+    — each twin doc pairs its source doc at dist exactly 0 (verbatim
+    chunk ⇒ identical cell + codes ⇒ exact re-rank 0; min-pool keeps
+    it); (b) ``no_extra`` — zero pairs beyond the 5 planted ones at
+    threshold 0.25 (natural inter-doc distances far exceed it — the
+    planted-vs-natural separation rule), same-doc pairs excluded by
+    construction."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doc_of = F.pmod(F.col("vec_id"), F.lit(100))
+    twins_src = e.filter(doc_of < 5)
+    new = twins_src.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    doc_map = e.select(
+        F.col("vec_id").alias("chunk_id"), doc_of.alias("doc_id")
+    ).unionByName(
+        twins_src.select(
+            (F.col("vec_id") + _PLANT_OFFSET).alias("chunk_id"),
+            (doc_of + _GDOC_OFFSET).alias("doc_id"),
+        )
+    )
+    path = _scratch_dir(spark, "ann_idx_gsemdedup")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    pairs = ann_grouped_dedup_batch(
+        new, "vec_id", "embedding", path, doc_map,
+        batch_id="b1", threshold=0.25, chunk_k=20, n_probe=8,
+        shortlist=_ann_shortlist(e),
+    ).localCheckpoint(eager=True)  # two consumers (pair join + no-extra
+    # audit): pin one evaluation (the r10 multi-consumer rule)
+    expected = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + _GDOC_OFFSET).alias("query_doc"),
+        F.col("vec_id").alias("neighbor_doc"),
+    )
+    n_extra = pairs.join(
+        expected, ["query_doc", "neighbor_doc"], "left_anti"
+    ).agg(F.count("*").alias("_nx"))
+    return (
+        expected.join(pairs, ["query_doc", "neighbor_doc"], "left")
+        .crossJoin(F.broadcast(n_extra))
+        .select(
+            "query_doc",
+            "neighbor_doc",
+            (F.col("dist").isNotNull() & (F.col("dist") == 0.0)).alias(
+                "found_at_zero"
+            ),
+            (F.col("_nx") == 0).alias("no_extra"),
+        )
+    )
+
+
+@query(
     "l3_grouped_ann",
     oracle="""
     SELECT vec_id AS query_id,

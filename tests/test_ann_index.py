@@ -865,3 +865,51 @@ def test_grouped_topk_composes_with_tombstones(spark, tmp_path):
     assert len(after) == 3
     assert all(r.doc_id != 103 for r in after), after
     assert after[0].dist > 0.0
+
+
+def test_grouped_dedup_batch_incremental(spark, tmp_path):
+    """ann_grouped_dedup_batch (r14): doc-level pairs at the best chunk
+    pair; a batch is searchable by the NEXT batch (incremental
+    contract); same-document pairs never emitted."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+    )
+
+    corpus, rows = _corpus(spark)  # 60 chunks, doc = vec_id % 10
+    path = str(tmp_path / "ann_gdedup")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    # batch 1: a verbatim twin of doc 3 (chunk ids +1000, doc 103)
+    b1 = spark.createDataFrame(
+        [(i + 1000, v) for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>",
+    )
+    doc_map = spark.createDataFrame(
+        [(i, i % 10) for i, _ in rows]
+        + [(i + 1000, 103) for i, _ in rows if i % 10 == 3]
+        + [(i + 2000, 203) for i, _ in rows if i % 10 == 3],
+        "chunk_id long, doc_id long",
+    )
+    p1 = ann_grouped_dedup_batch(
+        b1, "vec_id", "embedding", path, doc_map,
+        batch_id="b1", threshold=0.25, chunk_k=12, n_probe=4, shortlist=30,
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in p1} == {(103, 3)}, p1
+    assert p1[0].dist == 0.0
+    # batch 2 duplicates doc 103 (introduced by batch 1, NOT the build):
+    # the incremental contract — b1 must be searchable now
+    b2 = spark.createDataFrame(
+        [(i + 2000, v) for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>",
+    )
+    p2 = ann_grouped_dedup_batch(
+        b2, "vec_id", "embedding", path, doc_map,
+        batch_id="b2", threshold=0.25, chunk_k=12, n_probe=4, shortlist=30,
+    ).collect()
+    got2 = {(r.query_doc, r.neighbor_doc) for r in p2}
+    assert got2 == {(203, 3), (203, 103)}, got2
+    assert all(r.dist == 0.0 for r in p2)
+    # same-doc pairs never appear (every query doc differs from itself)
+    assert all(r.query_doc != r.neighbor_doc for r in p1 + p2)
