@@ -1364,6 +1364,8 @@ def ann_index_dedup_batch(
     k: int = 5,
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
+    allowed: DataFrame | None = None,
+    retarget_probes: bool = True,
 ) -> DataFrame:
     """Semantic near-duplicate detection for a NEW embedding batch
     against a PERSISTED ANN index — the embedding analog of
@@ -1386,7 +1388,18 @@ def ann_index_dedup_batch(
     under the pinned models, always shortlists, and re-ranks to dist 0.
     Cost shape per batch: one encode projection + one cell equi-join
     against the codes tier + the pruned refine lookup — batch-
-    proportional, the property the minhash tier proved in r8."""
+    proportional, the property the minhash tier proved in r8.
+
+    ``allowed`` (r14 — the filtered-serving rule on the dedup shape):
+    restrict which INDEXED vectors the batch may pair with ("does this
+    batch duplicate anything in the LICENSED/English subset?"). Passes
+    straight to ``ann_index_search``: a PRE-filter semi-join before the
+    shortlist window (per-filtered-corpus candidates), with probes
+    re-targeted at cells that actually hold allowed rows
+    (``retarget_probes``, same default and opt-out). NOTE the batch is
+    APPENDED regardless — to exclude the batch's own rows from pairing
+    (or to keep within-batch pairs under a selective filter), include
+    or omit the new ids in ``allowed`` explicitly."""
     spark = new_df.sparkSession
     if ann_index_meta(spark, path) is None:
         raise ValueError(
@@ -1397,6 +1410,7 @@ def ann_index_dedup_batch(
     hits = ann_index_search(
         new_df, path, id_col, vec_col, k,
         n_probe=n_probe, shortlist=shortlist,
+        allowed=allowed, retarget_probes=retarget_probes,
     )
     return hits.filter(F.col("dist") <= F.lit(float(threshold)))
 

@@ -1203,6 +1203,8 @@ def ann_grouped_dedup_batch(
     chunk_k: int = 20,
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
+    allowed: DataFrame | None = None,
+    retarget_probes: bool = True,
 ) -> DataFrame:
     """DOC-level semantic near-duplicate detection for a NEW batch of
     multi-chunk documents against the persisted ANN index — the dedup
@@ -1236,12 +1238,25 @@ def ann_grouped_dedup_batch(
     Pairs where BOTH docs arrived in this batch are emitted in both
     directions (provenance stays "new doc → matched doc").
 
+    ``allowed`` filters at the DOCUMENT level, like ``ann_grouped_topk``
+    ("does this snapshot duplicate anything in the licensed subset?"):
+    translated to chunk ids via one ``doc_map`` semi-join and passed to
+    the underlying search as its pre-filter (probes re-target per
+    ``retarget_probes``). The batch's own docs pair only if listed in
+    ``allowed`` — the chunk-level NOTE above applies at doc granularity.
+
     Returns (query_doc, neighbor_doc, dist)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
         ann_index_dedup_batch,
     )
 
     chunk_col, doc_col = doc_map.columns[0], doc_map.columns[1]
+    chunk_allowed = None
+    if allowed is not None:
+        akey = allowed.columns[0]
+        chunk_allowed = doc_map.join(
+            allowed.select(F.col(akey).alias(doc_col)), doc_col, "left_semi"
+        ).select(chunk_col)
     # the threshold is applied AFTER doc-level min-pooling, so the chunk
     # layer must hand over everything it shortlisted un-filtered —
     # dist <= +inf is the always-true form of its filter (min-pooling
@@ -1252,6 +1267,7 @@ def ann_grouped_dedup_batch(
         new_chunks, id_col, vec_col, path,
         batch_id=batch_id, threshold=float("inf"), k=chunk_k,
         n_probe=n_probe, shortlist=shortlist,
+        allowed=chunk_allowed, retarget_probes=retarget_probes,
     )
     n_new = new_chunks.select(id_col).count()
     slim_map = doc_map.select(

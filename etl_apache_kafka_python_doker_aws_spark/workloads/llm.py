@@ -687,6 +687,85 @@ def l2_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_filtered_semdedup",
+    oracle="""
+    SELECT vec_id + 100000 AS query_id,
+           vec_id AS neighbor_id,
+           (vec_id % 50 = 0) AS src_allowed,
+           TRUE AS hit_iff_allowed,
+           TRUE AS all_hits_allowed
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l2_filtered_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: ATTRIBUTE-FILTERED incremental semantic dedup (r14 — the
+    l2_filtered_pairs / l3_filtered_ann rule on the embedding dedup
+    shape): "does this batch duplicate anything in the LICENSED
+    subset?" — ``ann_index_dedup_batch(..., allowed=)`` passes the
+    filter to the underlying search (pre-filter semi-join before the
+    shortlist window, probes re-targeted to cells holding allowed
+    rows), so the batch pairs per-FILTERED-corpus.
+
+    Script: index the corpus (b0); the new batch is a verbatim copy of
+    every 25th vector under id+100000; allowed = the SOURCE vectors of
+    every 50th only (the batch's own ids excluded — within-batch pairs
+    are filtered out by construction, the documented allowed contract).
+    Contract (oracle enumerates every plant): (a) ``hit_iff_allowed``
+    — the copy pairs its source at dist 0 iff the source is allowed
+    (found when permitted despite the filter, invisible when not,
+    though it is the global nearest); (b) ``all_hits_allowed`` — zero
+    emitted pairs name a neighbor outside the allowed set."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_dedup_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    new = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    path = _scratch_dir(spark, "ann_idx_fsemdedup")
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    allowed = planted.filter(
+        F.pmod(F.col("vec_id"), F.lit(2 * _PLANT_STEP)) == 0
+    ).select("vec_id")
+    pairs = ann_index_dedup_batch(
+        new, "vec_id", "embedding", path, batch_id="b1", threshold=0.25,
+        k=5, n_probe=8, shortlist=_ann_shortlist(e), allowed=allowed,
+    ).localCheckpoint(eager=True)  # two consumers (pair join + audit):
+    # pin one evaluation (the r10 multi-consumer rule)
+    n_outside = pairs.join(
+        allowed.select(F.col("vec_id").alias("neighbor_id")),
+        "neighbor_id",
+        "left_anti",
+    ).agg(F.count("*").alias("_no"))
+    expected = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    return (
+        expected.join(pairs, ["query_id", "neighbor_id"], "left")
+        .crossJoin(F.broadcast(n_outside))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.pmod(F.col("neighbor_id"), F.lit(2 * _PLANT_STEP)) == 0).alias(
+                "src_allowed"
+            ),
+            (
+                F.col("dist").isNotNull()
+                == (F.pmod(F.col("neighbor_id"), F.lit(2 * _PLANT_STEP)) == 0)
+            ).alias("hit_iff_allowed"),
+            (F.col("_no") == 0).alias("all_hits_allowed"),
+        )
+    )
+
+
+@query(
     "l3_ann_retraction",
     scale_form="bounded",
     oracle="""

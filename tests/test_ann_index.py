@@ -913,3 +913,54 @@ def test_grouped_dedup_batch_incremental(spark, tmp_path):
     assert all(r.dist == 0.0 for r in p2)
     # same-doc pairs never appear (every query doc differs from itself)
     assert all(r.query_doc != r.neighbor_doc for r in p1 + p2)
+
+
+def test_grouped_dedup_batch_doc_filter(spark, tmp_path):
+    """r14 `allowed=` on the grouped dedup shape: the DOC-level filter
+    translates to chunks before the search — a twin batch pairs its
+    source doc iff that doc is allowed, and never pairs outside the
+    allowed set."""
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+    )
+
+    corpus, rows = _corpus(spark)
+    path = str(tmp_path / "ann_gdedup_filtered")
+    ann_index_build(corpus, "vec_id", "embedding", path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    doc_map = spark.createDataFrame(
+        [(i, i % 10) for i, _ in rows]
+        + [(i + 1000, 103) for i, _ in rows if i % 10 == 3]
+        + [(i + 2000, 203) for i, _ in rows if i % 10 == 3],
+        "chunk_id long, doc_id long",
+    )
+    b1 = spark.createDataFrame(
+        [(i + 1000, v) for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>",
+    )
+    # source doc 3 NOT allowed → the verbatim twin finds nothing
+    not3 = spark.createDataFrame(
+        [(d,) for d in range(10) if d != 3], "doc_id long"
+    )
+    p1 = ann_grouped_dedup_batch(
+        b1, "vec_id", "embedding", path, doc_map,
+        batch_id="b1", threshold=0.25, chunk_k=12, n_probe=4, shortlist=30,
+        allowed=not3,
+    ).collect()
+    assert p1 == [], p1
+    # second twin batch, allowed = {3} only → pairs exactly (203, 3)
+    # (doc 103, equally a verbatim twin, is filtered out)
+    b2 = spark.createDataFrame(
+        [(i + 2000, v) for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>",
+    )
+    only3 = spark.createDataFrame([(3,)], "doc_id long")
+    p2 = ann_grouped_dedup_batch(
+        b2, "vec_id", "embedding", path, doc_map,
+        batch_id="b2", threshold=0.25, chunk_k=12, n_probe=4, shortlist=30,
+        allowed=only3,
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in p2} == {(203, 3)}, p2
+    assert p2[0].dist == 0.0
