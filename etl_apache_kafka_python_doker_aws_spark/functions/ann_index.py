@@ -8,10 +8,18 @@ redelivery.
 
 Index layout at ``path``:
   * data rows, ``partitionBy("cell")`` parquet:
-      (_id, _codes array<int>, _batch string, cell)
+      (_id, _codes array<int>, _batch string[, payload cols...], cell)
     — the SCAN tier: n_subspaces small ints per vector (8 B at 8×32 vs
     512 B raw — the 64× RAM/IO reduction that lets a billion-vector
-    index fit a cluster's memory).
+    index fit a cluster's memory). PAYLOAD columns (r15, VERDICT r14
+    #1/#2): caller-named metadata columns (``doc_id``, ``lang``,
+    license …) stored alongside the codes, pinned in meta
+    (``payload_cols``) and carried through append/compact/rebuild —
+    search returns them on every hit (so grouped retrieval needs no
+    per-call doc_map scan) and ``where=`` predicates evaluate against
+    them as PUSHED parquet filters on this slim tier (so a broad
+    attribute filter never needs a caller-materialized corpus-sized
+    allowed-id frame).
   * ``_graft_vectors/`` raw (id, vec) parquet — the REFINE tier,
     ``partitionBy("_vbucket")`` where _vbucket = pmod(xxhash64(_id),
     vec_buckets) and rows are id-sorted within files (r9, VERDICT r8
@@ -141,6 +149,17 @@ def _auto_vec_buckets(n_rows: int) -> int:
 # directory-level pruning with zero driver-side id traffic.
 _MAX_PUSHED_IDS = 4_096
 
+# Column names the index machinery owns — a payload column shadowing one
+# would silently corrupt the encode projection or the search output
+# (r15). Checked loudly at build time.
+_RESERVED_COLS = frozenset(
+    {
+        "_id", "_codes", "_batch", "cell", "_v", "_vbucket", "_seq",
+        "_qvec", "_lut", "_d", "_vb", "_t_id", "del_seq",
+        "query_id", "neighbor_id", "dist", "rk",
+    }
+)
+
 # Corpus size below which prune="auto" skips the pruned refine read and
 # keeps the single-job streaming broadcast join (r10). Pruning is a
 # COST-BASED plan choice, decided from marker metadata like a CBO
@@ -186,6 +205,14 @@ def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
         # (ann_index_rebuild is the migration path)
         "vec_batch": (
             bool(row.vec_batch) if "vec_batch" in row.__fields__ else False
+        ),
+        # r15: caller-named metadata columns stored in the codes tier;
+        # pre-r15 indexes (and payload-less builds) read as [] — every
+        # consumer treats [] as "no payload machinery"
+        "payload_cols": (
+            list(row.payload_cols)
+            if "payload_cols" in row.__fields__ and row.payload_cols
+            else []
         ),
         "centroids": [list(map(float, c)) for c in row.centroids],
         "codebooks": [
@@ -314,14 +341,32 @@ def _resolve_tally_rows(rows) -> int:
     return total
 
 
-def _is_missing_file_error(e: Exception) -> bool:
+def _is_missing_file_error(e: Exception, under: str | None = None) -> bool:
     """True iff the error is the listed-then-deleted race class (a fold's
     cleanup removed a covered file between a reader's listing and its
     scan) — the ONLY class the dead-tally reader retries (ADVICE r13:
     the bare-Exception retry paid a 0.2 s sleep + a duplicate read on
-    deterministic failures like corruption, which must fail fast)."""
+    deterministic failures like corruption, which must fail fast).
+
+    Substring provenance (VERDICT r14 #6 — pin it so a Spark upgrade
+    that rewords the message is a visible canary failure, not a
+    silently-widened retry): harvested from Spark 4.1.x / Hadoop 3.4 —
+    ``PATH_NOT_FOUND`` is the Spark SQL error class ("[PATH_NOT_FOUND]
+    Path does not exist: <path>", thrown by the DataSource resolver),
+    ``FileNotFoundException``/"File <p> does not exist" come from
+    RawLocalFileSystem/DistributedFileSystem open/getFileStatus, and
+    "No such file" from the OS errno surfaced through local reads.
+    ``tests/test_ann_tombstones.py::test_missing_file_error_canary``
+    fabricates the real exception against the CURRENT Spark and asserts
+    classification, so a reworded message fails the canary.
+
+    ``under`` (ADVICE r14 narrowing): when given, the message must also
+    NAME a path under that directory — a deterministic failure whose
+    message merely contains "does not exist" about some OTHER path
+    (e.g. a mis-typed table location inside a larger plan) is not
+    absorbed into the race retry."""
     s = str(e)
-    return any(
+    if not any(
         t in s
         for t in (
             "PATH_NOT_FOUND",
@@ -330,7 +375,14 @@ def _is_missing_file_error(e: Exception) -> bool:
             "does not exist",
             "No such file",
         )
-    )
+    ):
+        return False
+    if under is None:
+        return True
+    # accept both raw and URI-prefixed renderings of the dir (Spark
+    # reports "file:/x/y" for a local "/x/y")
+    probe = under.rstrip("/")
+    return probe in s or probe.lstrip("/") in s.replace("file:", "")
 
 
 def _ann_dead_total(spark: SparkSession, path: str) -> int:
@@ -347,8 +399,10 @@ def _ann_dead_total(spark: SparkSession, path: str) -> int:
     propagate immediately (ABSENT-vs-UNREADABLE, review r12)."""
     from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
 
+    dead_dir = f"{path}/{_DEAD_DIR}"
+
     def _read() -> int:
-        df = sidecar_read(spark, f"{path}/{_DEAD_DIR}", "json")
+        df = sidecar_read(spark, dead_dir, "json")
         if df is None:
             return 0
         return _resolve_tally_rows(
@@ -358,7 +412,7 @@ def _ann_dead_total(spark: SparkSession, path: str) -> int:
     try:
         return _read()
     except Exception as first:
-        if not _is_missing_file_error(first):
+        if not _is_missing_file_error(first, under=dead_dir):
             raise
         import time
 
@@ -547,9 +601,13 @@ def _encode_with_models(
     (vec − centroid[cell]) when the index was built residual.
     ``batch_id=None`` preserves ``df``'s existing ``_batch`` column
     row-by-row (the rebuild path); a string stamps every row (the
-    build/append path)."""
+    build/append path). Payload columns (meta ``payload_cols``) are
+    carried through verbatim — stored next to the codes so search can
+    return them and ``where=`` predicates can push to the slim scan."""
     sub = meta["dim"] // meta["n_subspaces"]
-    carry = ["_batch"] if batch_id is None else []
+    carry = (["_batch"] if batch_id is None else []) + list(
+        meta.get("payload_cols") or []
+    )
     dense = df.select(
         F.col(id_col).alias("_id"),
         _dim_guarded(
@@ -585,6 +643,7 @@ def _encode_with_models(
         (F.col("_batch") if batch_id is None else F.lit(batch_id)).alias(
             "_batch"
         ),
+        *[F.col(c) for c in (meta.get("payload_cols") or [])],
         "cell",
     )
 
@@ -604,6 +663,7 @@ def ann_index_build(
     batch_id: str = "base",
     residual: bool = False,
     vec_buckets: int | str | None = "auto",
+    payload_cols: list[str] | None = None,
 ) -> None:
     """Train IVF centroids + PQ codebooks on ``corpus`` (seeded KMeans;
     ``train_fraction`` samples the training passes at scale), persist
@@ -620,10 +680,40 @@ def ann_index_build(
     corpus — ~50k vectors per bucket, clamped to [64, 4096]
     (``_auto_vec_buckets``) — so directory pruning keeps bite at
     serving shortlists as the corpus grows; pinned in meta because
-    search derives the pruning hash from it."""
+    search derives the pruning hash from it.
+
+    ``payload_cols`` (r15, VERDICT r14 #1/#2): caller-named METADATA
+    columns of ``corpus`` (e.g. ``["doc_id", "lang"]``) stored verbatim
+    in the codes tier next to each vector's codes, pinned in meta and
+    REQUIRED of every subsequent append (wrong-schema appends fail
+    loudly). Search returns them on every hit — so grouped retrieval
+    (``similarity.ann_grouped_topk``) reads ``doc_id`` straight off the
+    hits instead of scanning a corpus-cardinality doc_map per call —
+    and ``ann_index_search(where=...)`` evaluates attribute predicates
+    against them as pushed parquet filters on the slim tier (broad
+    filters stop needing a corpus-sized allowed-id frame). Names that
+    shadow index-owned columns are rejected; keep payloads SLIM (ids,
+    enums, short strings) — they ride every codes scan."""
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
     spark = corpus.sparkSession
+    payload_cols = list(payload_cols or [])
+    bad = [c for c in payload_cols if c in _RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"ann_index_build: payload column(s) {bad} shadow index-owned "
+            f"names — rename them (reserved: {sorted(_RESERVED_COLS)})"
+        )
+    if len(set(payload_cols)) != len(payload_cols):
+        raise ValueError(
+            f"ann_index_build: duplicate payload column names {payload_cols}"
+        )
+    missing = [c for c in payload_cols if c not in corpus.columns]
+    if missing:
+        raise ValueError(
+            f"ann_index_build: payload column(s) {missing} not in corpus "
+            f"columns {corpus.columns}"
+        )
     if ann_index_meta(spark, path) is not None:
         raise ValueError(
             f"ann_index_build: index already exists at {path} — appends "
@@ -670,6 +760,10 @@ def ann_index_build(
         # already reads an ABSENT field as None (the legacy-layout
         # signal) — vec_buckets=None builds the flat refine tier
         meta["vec_buckets"] = vec_buckets
+    if payload_cols:
+        # omitted when empty (same falsy-omission rule): ann_index_meta
+        # reads an absent field as [] — the payload-less layout
+        meta["payload_cols"] = payload_cols
     _write_batch(corpus, id_col, vec_col, path, meta, batch_id, seq=0, wide=True)
     # meta LAST: its presence is the build's commit marker — search and
     # retry-build treat meta-less leftovers as a failed build, loudly
@@ -710,6 +804,18 @@ def ann_index_append(
     meta = ann_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"ann_index_append: no index at {path} — build first")
+    missing = [
+        c for c in (meta.get("payload_cols") or []) if c not in new_df.columns
+    ]
+    if missing:
+        # wrong-schema appends fail LOUDLY (r15): a silent NULL payload
+        # would make every hit from this batch invisible to where=
+        # predicates and doc-less grouped retrieval
+        raise ValueError(
+            f"ann_index_append: index at {path} pins payload column(s) "
+            f"{meta['payload_cols']} but the batch lacks {missing} — "
+            "every append must carry the build-time payload schema"
+        )
     # heal a compact killed mid-marker-swap BEFORE reading the batch
     # list: a missing marker dir would read as "no batches" and accept
     # a duplicate batch_id (r12 crash-window table)
@@ -802,6 +908,12 @@ def ann_index_rebuild(
             else (old["vec_buckets"] or 64)
         ),
     }
+    pay = list(old.get("payload_cols") or [])
+    if pay:
+        # payload schema is part of the index contract — carried through
+        # rebuild like the markers (r15); values are re-read from the
+        # codes tier below
+        meta["payload_cols"] = pay
     if meta["dim"] % meta["n_subspaces"] != 0:
         raise ValueError(
             f"dim {meta['dim']} not divisible by n_subspaces "
@@ -856,12 +968,25 @@ def ann_index_rebuild(
     # above), but the codes side always carries ``_batch``: restricting
     # it to marked live rows drops orphan-only ids from the corpus via
     # this inner join on every layout
-    corpus = vecs.join(
-        _ann_live_rows(spark.read.parquet(path), tomb, markers)
-        .groupBy("_id")
-        .agg(F.min("_batch").alias("_batch")),
-        "_id",
-    )
+    live_codes = _ann_live_rows(spark.read.parquet(path), tomb, markers)
+    if pay:
+        # payload values travel with the lineage: collapse duplicated
+        # ids to ONE struct (the asof_join r5 rule — independent
+        # per-column mins could stitch _batch from one row and a
+        # payload from another, fabricating a composite that never
+        # existed), deterministic via lexicographic struct ordering
+        lineage = (
+            live_codes.groupBy("_id")
+            .agg(F.min(F.struct("_batch", *pay)).alias("_s"))
+            .select(
+                "_id",
+                F.col("_s._batch").alias("_batch"),
+                *[F.col(f"_s.{c}").alias(c) for c in pay],
+            )
+        )
+    else:
+        lineage = live_codes.groupBy("_id").agg(F.min("_batch").alias("_batch"))
+    corpus = vecs.join(lineage, "_id")
     if vec_buckets == "auto":
         meta["vec_buckets"] = _auto_vec_buckets(vecs.count())
     assigned, centroids = _kmeans_cells(
@@ -1012,6 +1137,8 @@ def ann_index_search(
     probe_cells: list[int] | None = None,
     prune: bool | str = "auto",
     allowed: DataFrame | None = None,
+    allowed_on: str | None = None,
+    where: str | None = None,
     retarget_probes: bool = True,
 ) -> DataFrame:
     """Top-k squared-L2 neighbors from the persisted index — the
@@ -1097,22 +1224,51 @@ def ann_index_search(
     selective allowed set broadcasts (AQE — zero corpus shuffle); a
     broad one shuffles only the ~10-byte codes rows. NULL ids in
     ``allowed`` match nothing. Composes with tombstones (retraction
-    filter runs first) and ``probe_cells``.
+    filter runs first) and ``probe_cells``. ``allowed_on`` (r15) retargets
+    the semi-join key at a named PAYLOAD column instead of the vector id
+    — e.g. ``allowed_on="doc_id"`` filters hits to allowed DOCUMENTS
+    directly on the slim tier, no caller-side doc→chunk translation.
+
+    ``where`` (r15, VERDICT r14 #2 — the PREDICATE form of filtering): a
+    SQL boolean expression over the index's stored PAYLOAD columns
+    (build-time ``payload_cols``; ``_id`` and ``cell`` are also legal),
+    e.g. ``where="lang = 'en' AND license IN ('mit','apache')"``.
+    Applied directly to the codes scan, so Catalyst PUSHES it into the
+    parquet reader (plan-pinned) — zero caller-side frames, zero joins,
+    zero shuffle at ANY selectivity. This is the right form for broad
+    attribute filters (an ``allowed`` id-frame for "lang = 'en'" would
+    be corpus-sized and shuffle on _id); keep ``allowed`` for dynamic
+    id SETS (per-user ACLs, retraction lists) that no stored column
+    encodes. Composes with ``allowed`` (AND), tombstones, probe_cells
+    and re-targeting.
 
     ``retarget_probes`` (r14, ADVICE r13): with a SELECTIVE filter the
     query's globally-nearest ``n_probe`` cells may contain zero allowed
     rows — pre-filtering the codes alone would then under-fill or zero
-    the top-k while the contract says per-filtered-corpus. Default True:
-    one extra slim-tier job collects the DISTINCT cells that actually
-    hold allowed (live, probe_cells-visible) rows — ≤ n_cells values —
-    and centroid ranking is restricted to them before taking n_probe
+    the top-k while the contract says per-filtered-corpus. Default True
+    (applies to ``allowed`` and ``where`` alike): one extra slim-tier
+    job collects the DISTINCT cells that actually hold surviving
+    (live, probe_cells-visible, filter-passing) rows — ≤ n_cells values
+    — and centroid ranking is restricted to them before taking n_probe
     (the probe_cells mechanism), so every probe lands where allowed
-    rows live; an allowed set matching nothing returns the empty frame.
+    rows live; a filter matching nothing returns the empty frame.
     Pass False to skip the extra job when the filter is known to be
     broad (cells with no allowed rows are then possible but rare).
+    When re-targeting, the filtered slim projection is
+    ``localCheckpoint(eager=False)``-pinned (ADVICE r14): the
+    distinct-cells job materializes it ONCE and the main query reads
+    the checkpoint — the filter subtree never evaluates twice. That
+    also makes construction EAGER under a filter with re-targeting
+    (the distinct-cells collect runs at call time); note a broad
+    filter checkpoints a corpus-sized slim projection
+    (MEMORY_AND_DISK — spills, never OOMs), which is the other reason
+    to pass False for broad filters.
 
-    Returns (query_id, neighbor_id, dist, rk); self-matches excluded by
-    id (shared-id-space rule, see pq_topk)."""
+    Returns (query_id, neighbor_id, dist, rk[, payload cols...]) — an
+    index built with ``payload_cols`` returns each hit's stored payload
+    values appended after ``rk`` (r15: grouped retrieval reads doc_id
+    off the hits instead of scanning a doc_map). Self-matches excluded
+    by id (shared-id-space rule, see pq_topk)."""
     from pyspark.sql.window import Window
 
     spark = queries.sparkSession
@@ -1162,12 +1318,21 @@ def ann_index_search(
         prune = n_phys is None or n_phys >= _PRUNE_MIN_ROWS
     sub = meta["dim"] // meta["n_subspaces"]
     centroids, codebooks = meta["centroids"], meta["codebooks"]
+    pay = list(meta.get("payload_cols") or [])
+    base = spark.read.parquet(path)
+    if where is not None:
+        # predicate filter FIRST, on the raw scan (r15, VERDICT r14 #2):
+        # a deterministic filter here reaches the parquet reader as a
+        # PUSHED filter (plan-pinned in test_ann_index) — attribute
+        # filtering at any selectivity without a caller-materialized
+        # id frame or a semi-join shuffle
+        base = base.filter(where)
     # retraction filter BEFORE the slim projection: seq-scoped anti-join
     # against the (request-sized) tombstones — dead rows never become
     # candidates, so the refine tier can't resurrect them either
-    coded = _ann_apply_tombstones(
-        spark.read.parquet(path), tomb, markers
-    ).select(F.col("_id").alias("neighbor_id"), "_codes", "cell")
+    coded = _ann_apply_tombstones(base, tomb, markers).select(
+        F.col("_id").alias("neighbor_id"), "_codes", *pay, "cell"
+    )
     if probe_cells is not None:
         coded = coded.filter(F.col("cell").isin([int(c) for c in probe_cells]))
     if allowed is not None:
@@ -1176,27 +1341,44 @@ def ann_index_search(
         # and shortlist window means the shortlist fills with ALLOWED
         # rows only — a post-filter of the top-k would return < k (or
         # zero) rows for any selective predicate. Semi-join on the slim
-        # (id, codes, cell) projection: a selective allowed set becomes
-        # a broadcast semi-join under AQE (zero corpus shuffle); a
-        # broad one shuffles only these ~10-byte rows. NULL ids in
-        # ``allowed`` match nothing (null-rejecting equality) — they
-        # neither widen nor narrow the filter.
+        # (id, codes, payloads, cell) projection: a selective allowed
+        # set becomes a broadcast semi-join under AQE (zero corpus
+        # shuffle); a broad one shuffles only these slim rows. NULL ids
+        # in ``allowed`` match nothing (null-rejecting equality) — they
+        # neither widen nor narrow the filter. ``allowed_on`` swaps the
+        # join key for a payload column (doc-level filtering on the
+        # slim tier, r15).
+        jkey = "neighbor_id" if allowed_on is None else allowed_on
+        if allowed_on is not None and allowed_on not in pay:
+            raise ValueError(
+                f"ann_index_search: allowed_on={allowed_on!r} is not a "
+                f"payload column of the index at {path} "
+                f"(payload_cols={pay})"
+            )
         akey = allowed.columns[0]
         coded = coded.join(
-            allowed.select(F.col(akey).alias("neighbor_id")),
-            "neighbor_id",
-            "left_semi",
+            allowed.select(F.col(akey).alias(jkey)), jkey, "left_semi"
+        )
+    elif allowed_on is not None:
+        raise ValueError(
+            "ann_index_search: allowed_on given without allowed — pass the "
+            "filter frame, or use where= for a stored-column predicate"
         )
     probe_whitelist = probe_cells
-    if allowed is not None and retarget_probes:
+    if (allowed is not None or where is not None) and retarget_probes:
         # re-target probes at the cells that actually HOLD allowed rows
-        # (ADVICE r13): `coded` is already tombstone-, probe_cells- and
-        # allowed-filtered, so its distinct cells (≤ n_cells values, one
-        # slim-tier job) are exactly the probe-able set; ranking against
-        # the unfiltered cell set would silently under-fill top-k when a
-        # selective filter's rows live outside the query's nearest
-        # cells. An empty whitelist (allowed matches nothing) yields
-        # zero probes → the empty result frame, downstream.
+        # (ADVICE r13): `coded` is already tombstone-, probe_cells-,
+        # where- and allowed-filtered, so its distinct cells (≤ n_cells
+        # values, one slim-tier job) are exactly the probe-able set;
+        # ranking against the unfiltered cell set would silently
+        # under-fill top-k when a selective filter's rows live outside
+        # the query's nearest cells. An empty whitelist (filter matches
+        # nothing) yields zero probes → the empty result frame,
+        # downstream. The checkpoint (ADVICE r14) pins the filtered
+        # projection so the filter subtree is paid ONCE — the
+        # distinct-cells collect materializes it and the main query
+        # reads the stored blocks instead of re-running the semi-join.
+        coded = coded.localCheckpoint(eager=False)
         probe_whitelist = sorted(
             r.cell for r in coded.select("cell").distinct().collect()
         )
@@ -1231,7 +1413,7 @@ def ann_index_search(
     scored = (
         coded.join(q_cells, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "_qvec", "neighbor_id", adc.alias("dist"))
+        .select("query_id", "_qvec", "neighbor_id", adc.alias("dist"), *pay)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
@@ -1240,14 +1422,17 @@ def ann_index_search(
         return (
             scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "dist", "rk")
+            .select("query_id", "neighbor_id", "dist", "rk", *pay)
         )
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    # payload values ride the (bounded) shortlist rows to the output —
+    # never a join-back to the codes tier (that would be the doc_map
+    # scan this feature removes)
     cand = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= shortlist)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", *pay)
     )
     exact_d = F.aggregate(
         F.zip_with(F.col("_qvec"), F.col("_v"), lambda x, y: (x - y) * (x - y)),
@@ -1289,12 +1474,15 @@ def ann_index_search(
                 StructType,
             )
 
+            # field order must match the non-empty output: (query_id,
+            # neighbor_id, dist, rk, *payloads)
             empty = StructType(
-                [f for f in cand.schema.fields if f.name != "_vb"]
+                [cand.schema["query_id"], cand.schema["neighbor_id"]]
                 + [
                     StructField("dist", DoubleType()),
                     StructField("rk", IntegerType(), False),
                 ]
+                + [cand.schema[c] for c in pay]
             )
             return tiny_rows_df(spark, [], empty)
         buckets = sorted(r._vb for r in hist)
@@ -1335,13 +1523,13 @@ def ann_index_search(
         reranked = (
             vecs_side.join(F.broadcast(cand), "neighbor_id")
             .join(F.broadcast(q_side), "query_id")
-            .select("query_id", "neighbor_id", exact_d.alias("dist"))
+            .select("query_id", "neighbor_id", exact_d.alias("dist"), *pay)
         )
     else:
         reranked = (
             vecs_side.join(cand, "neighbor_id")
             .join(q_base, "query_id")
-            .select("query_id", "neighbor_id", exact_d.alias("dist"))
+            .select("query_id", "neighbor_id", exact_d.alias("dist"), *pay)
         )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
@@ -1349,7 +1537,7 @@ def ann_index_search(
     return (
         reranked.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "dist", "rk")
+        .select("query_id", "neighbor_id", "dist", "rk", *pay)
     )
 
 
@@ -1365,7 +1553,10 @@ def ann_index_dedup_batch(
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
     allowed: DataFrame | None = None,
+    allowed_on: str | None = None,
+    where: str | None = None,
     retarget_probes: bool = True,
+    resume: bool = False,
 ) -> DataFrame:
     """Semantic near-duplicate detection for a NEW embedding batch
     against a PERSISTED ANN index — the embedding analog of
@@ -1399,18 +1590,62 @@ def ann_index_dedup_batch(
     (``retarget_probes``, same default and opt-out). NOTE the batch is
     APPENDED regardless — to exclude the batch's own rows from pairing
     (or to keep within-batch pairs under a selective filter), include
-    or omit the new ids in ``allowed`` explicitly."""
+    or omit the new ids in ``allowed`` explicitly. ``allowed_on`` /
+    ``where`` pass through to the search (r15): filter by a payload
+    column's id set, or by a stored-attribute predicate pushed to the
+    codes scan.
+
+    ``resume`` (r15, VERDICT r14 #3 — the retry contract): the append
+    commits (marker written) BEFORE the caller consumes the returned
+    pairs, so a crash in between leaves a rerun hitting the
+    duplicate-batch_id redelivery guard with the work half done. Pass
+    ``resume=True`` on a retry of the SAME delivery: if the batch
+    marker already exists AND its recorded ``n_rows`` matches this
+    input's row count, the append is skipped and only the search side
+    re-runs — returning the identical pair set (the index state the
+    search sees is byte-identical to the first run's post-append
+    state). A marker-count mismatch raises (same batch_id, different
+    payload — a redelivery bug, not a retry). No marker yet means the
+    crash hit MID-append — the ``ann_index_append`` retry contract
+    applies first (run ``ann_index_compact`` to sweep unmarked
+    orphans, then this call re-appends under the same batch_id)."""
     spark = new_df.sparkSession
     if ann_index_meta(spark, path) is None:
         raise ValueError(
             f"ann_index_dedup_batch: no index at {path} — create it with "
             "ann_index_build (pinning the models) first"
         )
-    ann_index_append(new_df, id_col, vec_col, path, batch_id=batch_id)
+    marked = None
+    if resume:
+        marked = next(
+            (
+                r
+                for r in _ann_marker_rows(spark, path)
+                if r.batch_id == batch_id
+            ),
+            None,
+        )
+    if marked is not None:
+        n_in = new_df.count()
+        n_marked = (
+            int(marked.n_rows)
+            if "n_rows" in marked.__fields__ and marked.n_rows is not None
+            else None
+        )
+        if n_marked != n_in:
+            raise ValueError(
+                f"ann_index_dedup_batch: resume of batch_id {batch_id!r} "
+                f"found a marker with n_rows={n_marked} but the input has "
+                f"{n_in} rows — not the same delivery; use a fresh "
+                "batch_id for new data"
+            )
+    else:
+        ann_index_append(new_df, id_col, vec_col, path, batch_id=batch_id)
     hits = ann_index_search(
         new_df, path, id_col, vec_col, k,
         n_probe=n_probe, shortlist=shortlist,
-        allowed=allowed, retarget_probes=retarget_probes,
+        allowed=allowed, allowed_on=allowed_on, where=where,
+        retarget_probes=retarget_probes,
     )
     return hits.filter(F.col("dist") <= F.lit(float(threshold)))
 
@@ -1557,16 +1792,17 @@ def ann_index_delete(
         # of swapping the dir. Skipped when compaction is about to drop
         # the whole tally anyway (review r14 — the fold's read job +
         # writes would be paid and immediately discarded, on the
-        # documented latency-sensitive endpoint).
+        # documented latency-sensitive endpoint). A REMOTE index past
+        # the compact threshold also lands here (will_compact is
+        # local-gated): the tally still folds, but the physical fold-in
+        # needs a local mount (data-tier dir swaps) — run
+        # ann_index_compact there, or ann_index_rebuild.
         dead_dir = f"{path}/{_DEAD_DIR}"
         names = _dead_tally_files(spark, dead_dir)
         if len(names) > _DEAD_FOLD_FILES:
             _fold_dead_tally(spark, dead_dir, del_seq, names)
     else:
         ann_index_compact(spark, path)
-        # remote index past the threshold: the physical fold-in needs a
-        # local mount (data-tier dir swaps) — run ann_index_compact
-        # there, or rebuild; the tally itself stays folded either way
     return removed
 
 

@@ -1081,7 +1081,7 @@ def rrf_fuse(
 def ann_grouped_topk(
     queries: DataFrame,
     path: str,
-    doc_map: DataFrame,
+    doc_map: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -1092,6 +1092,8 @@ def ann_grouped_topk(
     allowed: DataFrame | None = None,
     prune: bool | str = "auto",
     retarget_probes: bool = True,
+    doc_col: str = "doc_id",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Index-backed MULTI-VECTOR (grouped) retrieval — the serving form
     of the late-interaction-lite shape (VERDICT r13 #1): documents are
@@ -1104,42 +1106,54 @@ def ann_grouped_topk(
     this form touches only the index's probed cells + the bounded
     shortlist, like any other ``ann_index_search``.
 
-    Plan: (1) ``ann_index_search(queries, path, k=chunk_k, …)`` — all
-    the index machinery composes unchanged (tombstone retraction,
-    probe re-targeting, cost-based refine pruning, auto shortlist);
-    (2) map the ≤ |queries|·chunk_k chunk hits to their documents via
-    ``doc_map`` (first two columns = (chunk_id, doc_id)) — the hits
-    side rides a SIZE-GATED broadcast hint (the r11 rule: one tiny agg
-    measures the query batch, hint kept only while n_q·chunk_k mass
-    fits ``_BCAST_MAX_CELLS``), so the corpus-sized ``doc_map`` scan
-    never shuffles; relying on AQE's runtime SMJ→BHJ conversion instead
-    would still SHUFFLE-WRITE the whole map first — AQE decides from
-    materialized shuffle stats, so the corpus-sized pass to local disk
-    has already happened by the time it converts (measured in the plan
-    pin: the initial exchange survives in the final adaptive plan).
-    Past the gate (a corpus-sized query batch) the hint drops and the
-    pair shuffle is the honest plan; (3) min-pool
-    per (query, doc) — partial map-side agg, ONE exchange carrying one
-    row per (query, doc) pair; (4) window top-``k`` docs. Nothing
-    corpus-sized moves: the only shuffles downstream of the index scan
-    carry (query, chunk-hit) and (query, doc) rows.
+    Two forms (r15, VERDICT r14 #1 — payload-backed vs doc_map):
+
+    * **Payload form** (``doc_map=None``, the default): the index was
+      built with ``payload_cols=[doc_col, …]`` (``ann_index_build``),
+      so every chunk hit already CARRIES its document id — the plan is
+      (1) ``ann_index_search(queries, path, k=chunk_k, …)`` with all
+      the index machinery composing (tombstone retraction, probe
+      re-targeting, cost-based refine pruning, auto shortlist);
+      (2) min-pool per (query, doc) straight off the hits — partial
+      map-side agg, ONE exchange carrying one row per (query, doc)
+      pair; (3) window top-``k`` docs. NO frame but the index tiers
+      and ``queries`` is scanned (plan-pinned) and no per-call count
+      job runs — the r14 form's 1-3 corpus-cardinality doc_map scans
+      per call are gone. A DOC-level ``allowed`` filter semi-joins the
+      stored ``doc_col`` on the slim codes tier directly
+      (``ann_index_search(allowed_on=doc_col)``) — no doc→chunk
+      translation join either.
+    * **doc_map form** (payload-less indexes): map the
+      ≤ |queries|·chunk_k chunk hits to documents via ``doc_map``
+      (first two columns = (chunk_id, doc_id)) — the hits side rides a
+      SIZE-GATED broadcast hint (the r11 rule; one cheap count of the
+      query batch sizes the gate, or pass ``n_queries`` to skip that
+      job — ADVICE r14), so the corpus-sized ``doc_map`` scan never
+      shuffles; relying on AQE's runtime SMJ→BHJ conversion instead
+      would still SHUFFLE-WRITE the whole map first — AQE decides from
+      materialized shuffle stats, so the corpus-sized pass to local
+      disk has already happened by the time it converts (measured in
+      the plan pin: the initial exchange survives in the final
+      adaptive plan). Past the gate (a corpus-sized query batch) the
+      hint drops and the pair shuffle is the honest plan. This form
+      never re-scans or re-shuffles the VECTOR corpus, but it does
+      scan the corpus-CARDINALITY ``doc_map`` once per call (and its
+      ``allowed`` translation semi-joins it again) — the priced trade
+      the payload form removes; a 2-column map is ~6% of the vector
+      tier's bytes.
 
     ``chunk_k`` bounds how many chunk hits pool per query — a doc
     ranks by its BEST surviving chunk, so recall needs chunk_k large
     enough that k distinct docs appear among the nearest chunks
     (chunks of one hot doc can crowd the list; default 20 = 4× k=5).
     ``allowed`` filters at the DOCUMENT level (first column = allowed
-    doc ids): translated to a chunk-level filter via one semi-join on
-    ``doc_map`` BEFORE the index search, so the shortlist fills with
-    allowed docs' chunks only and probes re-target to the cells that
-    hold them (``ann_index_search(allowed=…)`` semantics, per-filtered-
-    corpus top-k); ``retarget_probes`` passes through — keep the
-    default for selective filters, pass False to skip the
-    distinct-cells job when the doc filter is known to be broad
-    (chunk_allowed is then corpus-sized and re-targeting buys
-    nothing). Self-chunk matches are excluded by the index
-    (shared-id-space rule); a query's own document may still rank via
-    its other chunks — same semantics as the exact form.
+    doc ids) in both forms, per-filtered-corpus top-k with probes
+    re-targeted to the cells that hold allowed docs' chunks
+    (``retarget_probes`` passes through — keep the default for
+    selective filters, pass False for broad ones). Self-chunk matches
+    are excluded by the index (shared-id-space rule); a query's own
+    document may still rank via its other chunks — same semantics as
+    the exact form.
 
     Returns (query_id, doc_id, dist, rk): dist = exact squared-L2 of
     the doc's best surviving chunk, rk 1..k per query (ties break on
@@ -1147,40 +1161,77 @@ def ann_grouped_topk(
     from pyspark.sql.window import Window
 
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_meta,
         ann_index_search,
     )
 
-    chunk_col, doc_col = doc_map.columns[0], doc_map.columns[1]
-    chunk_allowed = None
-    if allowed is not None:
-        akey = allowed.columns[0]
-        chunk_allowed = doc_map.join(
-            allowed.select(F.col(akey).alias(doc_col)), doc_col, "left_semi"
-        ).select(chunk_col)
-    hits = ann_index_search(
-        queries,
-        path,
-        id_col,
-        vec_col,
-        k=chunk_k,
-        n_probe=n_probe,
-        shortlist=shortlist,
-        prune=prune,
-        allowed=chunk_allowed,
-        retarget_probes=retarget_probes,
-    )
-    # one cheap count of the query batch sizes the gate (the
-    # _batch_stats pattern; hits mass ≤ n_q · chunk_k slim rows)
-    n_q = queries.select(id_col).count()
-    pooled = (
-        doc_map.select(
-            F.col(chunk_col).alias("neighbor_id"),
-            F.col(doc_col).alias("doc_id"),
+    if doc_map is None:
+        meta = ann_index_meta(queries.sparkSession, path)
+        if meta is None:
+            raise ValueError(f"ann_grouped_topk: no index at {path}")
+        if doc_col not in (meta.get("payload_cols") or []):
+            raise ValueError(
+                f"ann_grouped_topk: no doc_map given and the index at "
+                f"{path} stores no {doc_col!r} payload column "
+                f"(payload_cols={meta.get('payload_cols')}) — build with "
+                f"payload_cols=[{doc_col!r}] or pass doc_map"
+            )
+        hits = ann_index_search(
+            queries,
+            path,
+            id_col,
+            vec_col,
+            k=chunk_k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            prune=prune,
+            allowed=allowed,
+            allowed_on=doc_col if allowed is not None else None,
+            retarget_probes=retarget_probes,
         )
-        .join(_hint_if_bounded(hits, n_q * chunk_k * 4), "neighbor_id")
-        .groupBy("query_id", "doc_id")
-        .agg(F.min("dist").alias("dist"))
-    )
+        pooled = (
+            hits.select(
+                "query_id", F.col(doc_col).alias("doc_id"), "dist"
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    else:
+        chunk_col, map_doc_col = doc_map.columns[0], doc_map.columns[1]
+        chunk_allowed = None
+        if allowed is not None:
+            akey = allowed.columns[0]
+            chunk_allowed = doc_map.join(
+                allowed.select(F.col(akey).alias(map_doc_col)),
+                map_doc_col,
+                "left_semi",
+            ).select(chunk_col)
+        hits = ann_index_search(
+            queries,
+            path,
+            id_col,
+            vec_col,
+            k=chunk_k,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            prune=prune,
+            allowed=chunk_allowed,
+            retarget_probes=retarget_probes,
+        )
+        # the gate needs the query-batch size: caller-supplied, or one
+        # cheap count (the _batch_stats pattern — under a
+        # nondeterministic queries lineage the count is gate-only,
+        # recall-safe; ADVICE r14 documents the extra job)
+        n_q = n_queries if n_queries is not None else queries.select(id_col).count()
+        pooled = (
+            doc_map.select(
+                F.col(chunk_col).alias("neighbor_id"),
+                F.col(map_doc_col).alias("doc_id"),
+            )
+            .join(_hint_if_bounded(hits, n_q * chunk_k * 4), "neighbor_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.min("dist").alias("dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("doc_id").asc()
     )
@@ -1196,7 +1247,7 @@ def ann_grouped_dedup_batch(
     id_col: str,
     vec_col: str,
     path: str,
-    doc_map: DataFrame,
+    doc_map: DataFrame | None = None,
     *,
     batch_id: str,
     threshold: float,
@@ -1205,6 +1256,8 @@ def ann_grouped_dedup_batch(
     shortlist: int | str | None = "auto",
     allowed: DataFrame | None = None,
     retarget_probes: bool = True,
+    doc_col: str = "doc_id",
+    resume: bool = False,
 ) -> DataFrame:
     """DOC-level semantic near-duplicate detection for a NEW batch of
     multi-chunk documents against the persisted ANN index — the dedup
@@ -1219,43 +1272,117 @@ def ann_grouped_dedup_batch(
     becomes part of the index for the NEXT snapshot, the incremental
     contract the minhash tier set in r7), searches each new chunk
     (``chunk_k`` hits through all the index machinery: tombstones,
-    refine pruning, auto shortlist), maps BOTH hit sides to documents
-    via ``doc_map`` (first two columns = (chunk_id, doc_id); must cover
-    indexed AND new chunks — the caller owns doc lineage, the index
-    stores only vectors), drops same-document pairs, min-pools squared
-    L2 per (new doc, other doc) and keeps pairs with
-    ``dist <= threshold``. Cosine rule via L2-normalized embeddings:
-    ``threshold = 2*(1-tau)`` (the ann_index_dedup_batch note).
+    refine pruning, auto shortlist), maps BOTH hit sides to documents,
+    drops same-document pairs, min-pools squared L2 per (new doc,
+    other doc) and keeps pairs with ``dist <= threshold``. Cosine rule
+    via L2-normalized embeddings: ``threshold = 2*(1-tau)`` (the
+    ann_index_dedup_batch note).
 
-    Cost shape per snapshot: one encode projection + one batch-sized
-    search + two doc_map joins with the SIZE-GATED broadcast hint on
-    the bounded hits side (the ann_grouped_topk rule — AQE's runtime
-    conversion would still shuffle-write the corpus-sized map) + one
-    (doc, doc) pair shuffle — batch-proportional, never re-scans or
-    re-shuffles the corpus. Approximate by construction; VERBATIM
-    chunk copies are exact (identical cell + codes ⇒ shortlisted ⇒
-    re-rank 0), so a verbatim-recrawled doc pairs at dist exactly 0.
-    Pairs where BOTH docs arrived in this batch are emitted in both
-    directions (provenance stays "new doc → matched doc").
+    Two doc-lineage forms (r15, VERDICT r14 #1, mirroring
+    ``ann_grouped_topk``):
+
+    * **Payload form** (``doc_map=None``, the default): the index
+      stores ``doc_col`` as a payload column, so every hit carries the
+      NEIGHBOR's doc id already, and ``new_chunks`` must carry
+      ``doc_col`` too (the append pins the payload schema) — the QUERY
+      side's doc ids come from the batch frame itself. Cost shape per
+      snapshot: one encode projection + one batch-sized search + one
+      batch-sized (query_id → query_doc) join + one (doc, doc) pair
+      shuffle. NOTHING corpus-cardinality is scanned per call — the
+      r14 form's 2-3 doc_map scans are gone. A DOC-level ``allowed``
+      semi-joins the stored payload on the slim tier directly.
+    * **doc_map form** (payload-less indexes): first two columns =
+      (chunk_id, doc_id); must cover indexed AND new chunks. Joins
+      ride the SIZE-GATED broadcast hint on the bounded hits side (the
+      ann_grouped_topk rule — AQE's runtime conversion would still
+      shuffle-write the corpus-sized map). This form never re-scans or
+      re-shuffles the VECTOR corpus, but it scans the
+      corpus-cardinality ``doc_map`` twice per call (pooled join +
+      query-map derivation; three times with ``allowed``) — the priced
+      trade the payload form removes.
+
+    Approximate by construction; VERBATIM chunk copies are exact
+    (identical cell + codes ⇒ shortlisted ⇒ re-rank 0), so a
+    verbatim-recrawled doc pairs at dist exactly 0. Pairs where BOTH
+    docs arrived in this batch are emitted in both directions
+    (provenance stays "new doc → matched doc").
 
     ``allowed`` filters at the DOCUMENT level, like ``ann_grouped_topk``
-    ("does this snapshot duplicate anything in the licensed subset?"):
-    translated to chunk ids via one ``doc_map`` semi-join and passed to
-    the underlying search as its pre-filter (probes re-target per
-    ``retarget_probes``). The batch's own docs pair only if listed in
-    ``allowed`` — the chunk-level NOTE above applies at doc granularity.
+    ("does this snapshot duplicate anything in the licensed subset?");
+    probes re-target per ``retarget_probes``. The batch's own docs pair
+    only if listed in ``allowed`` — the chunk-level NOTE above applies
+    at doc granularity.
+
+    ``resume`` (r15, VERDICT r14 #3): retry contract for a crash AFTER
+    the append committed but before the caller consumed the pairs —
+    passes through to ``ann_index_dedup_batch``: the rerun skips the
+    append when the batch marker exists with a matching row count and
+    re-runs only the search side, returning the identical pair set
+    (mismatch raises; no marker yet ⇒ the mid-append contract applies:
+    compact, then rerun).
 
     Returns (query_doc, neighbor_doc, dist)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
         ann_index_dedup_batch,
+        ann_index_meta,
     )
 
-    chunk_col, doc_col = doc_map.columns[0], doc_map.columns[1]
+    if doc_map is None:
+        meta = ann_index_meta(new_chunks.sparkSession, path)
+        if meta is None:
+            raise ValueError(f"ann_grouped_dedup_batch: no index at {path}")
+        if doc_col not in (meta.get("payload_cols") or []):
+            raise ValueError(
+                f"ann_grouped_dedup_batch: no doc_map given and the index "
+                f"at {path} stores no {doc_col!r} payload column "
+                f"(payload_cols={meta.get('payload_cols')}) — build with "
+                f"payload_cols=[{doc_col!r}] or pass doc_map"
+            )
+        if doc_col not in new_chunks.columns:
+            raise ValueError(
+                f"ann_grouped_dedup_batch: payload form needs {doc_col!r} "
+                f"on new_chunks (columns: {new_chunks.columns})"
+            )
+        # threshold applies AFTER doc-level min-pooling (inf passthrough
+        # — see the doc_map branch comment)
+        hits = ann_index_dedup_batch(
+            new_chunks, id_col, vec_col, path,
+            batch_id=batch_id, threshold=float("inf"), k=chunk_k,
+            n_probe=n_probe, shortlist=shortlist,
+            allowed=allowed,
+            allowed_on=doc_col if allowed is not None else None,
+            retarget_probes=retarget_probes, resume=resume,
+        )
+        n_new = new_chunks.select(id_col).count()
+        # query docs from the BATCH frame (the review-r14 rule — never
+        # recover ids from the uncached search lineage); batch-sized,
+        # so the hint gate is the batch mass
+        query_map = new_chunks.select(
+            F.col(id_col).alias("query_id"),
+            F.col(doc_col).alias("query_doc"),
+        )
+        pooled = (
+            hits.select(
+                "query_id",
+                F.col(doc_col).alias("neighbor_doc"),
+                "dist",
+            )
+            .join(_hint_if_bounded(query_map, n_new * 2), "query_id")
+            .filter(F.col("query_doc") != F.col("neighbor_doc"))
+            .groupBy("query_doc", "neighbor_doc")
+            .agg(F.min("dist").alias("dist"))
+            .filter(F.col("dist") <= F.lit(float(threshold)))
+        )
+        return pooled.select("query_doc", "neighbor_doc", "dist")
+
+    chunk_col, map_doc_col = doc_map.columns[0], doc_map.columns[1]
     chunk_allowed = None
     if allowed is not None:
         akey = allowed.columns[0]
         chunk_allowed = doc_map.join(
-            allowed.select(F.col(akey).alias(doc_col)), doc_col, "left_semi"
+            allowed.select(F.col(akey).alias(map_doc_col)),
+            map_doc_col,
+            "left_semi",
         ).select(chunk_col)
     # the threshold is applied AFTER doc-level min-pooling, so the chunk
     # layer must hand over everything it shortlisted un-filtered —
@@ -1268,10 +1395,11 @@ def ann_grouped_dedup_batch(
         batch_id=batch_id, threshold=float("inf"), k=chunk_k,
         n_probe=n_probe, shortlist=shortlist,
         allowed=chunk_allowed, retarget_probes=retarget_probes,
+        resume=resume,
     )
     n_new = new_chunks.select(id_col).count()
     slim_map = doc_map.select(
-        F.col(chunk_col).alias("_chunk"), F.col(doc_col).alias("_doc")
+        F.col(chunk_col).alias("_chunk"), F.col(map_doc_col).alias("_doc")
     )
     mass = n_new * chunk_k * 4
     # the query→doc lookup comes from the BATCH id projection, never
