@@ -96,6 +96,10 @@ HEADLINE = [
     # r14 (VERDICT r13 #1): index-backed multi-vector retrieval — the
     # grouped serving shape (chunk search → doc pool → top-k docs).
     "l3_grouped_ann_search",
+    # r15 (VERDICT r14 #5): the FILTERED serving path — allowed-set
+    # search with probe re-targeting default-on (one distinct-cells job
+    # + the allowed semi-join), previously untracked round-over-round.
+    "l3_filtered_ann_search",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -330,6 +334,39 @@ def _op_grouped_ann_search(spark, sf_dir: str):
     )
 
 
+def _op_filtered_ann_search(spark, sf_dir: str):
+    """Operator path (r15, VERDICT r14 #5): ATTRIBUTE-FILTERED top-k
+    search against the pre-built index — the allowed-set pre-filter
+    semi-join + probe RE-TARGETING (default-on since r14: one
+    distinct-cells job over the filtered slim frame) that the unfiltered
+    l3_ann_index_search entry never exercises. Selective filter (every
+    20th vector allowed — the serving ACL shape; broadcasts under AQE).
+    Setup (untimed): one ann_index_build + the allowed frame."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="bench_ann_filt_")
+    _BENCH_TMP.append(path)
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32,
+    )
+    allowed = e.filter(F.col("vec_id") % 20 == 0).select("vec_id")
+    q = e.filter(F.col("vec_id") < 100)
+    return lambda: ann_index_search(
+        q, path, k=5, n_probe=8, shortlist=200, allowed=allowed
+    )
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
@@ -339,6 +376,7 @@ OPERATOR_OPS = {
     "l2_table_delete": _op_table_delete,
     "l1_sha_dedup_batch": _op_sha_dedup_batch,
     "l3_grouped_ann_search": _op_grouped_ann_search,
+    "l3_filtered_ann_search": _op_filtered_ann_search,
 }
 
 # persisted-index fixtures built by the setups — removed after the run

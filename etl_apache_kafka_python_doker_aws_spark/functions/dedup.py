@@ -101,6 +101,8 @@ def minhash_signatures_df(
     num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    *,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """MinHash signatures as a pure projection: hash tokens once, build
     the shingle-hash array ONCE as its own materialized column, then take
@@ -119,8 +121,12 @@ def minhash_signatures_df(
         computed once per row and the 32 array_min passes scan it
         in-place. Zero shuffles; per-doc memory is O(doc length).
 
-    Returns (id_col, _sig array<long>). Docs with no shingles (shorter
-    than shingle_n words) get the sentinel all-p signature.
+    Returns (id_col, _sig array<long>[, carry_cols...]). Docs with no
+    shingles (shorter than shingle_n words) get the sentinel all-p
+    signature. ``carry_cols`` (r15) names input columns to pass through
+    unchanged — the zero-shuffle way to keep per-doc attributes (index
+    payload columns) next to their signatures; a join-back would cost a
+    batch-sized shuffle per append.
     """
     from etl_apache_kafka_python_doker_aws_spark.util import ensure_parallelism
 
@@ -131,11 +137,13 @@ def minhash_signatures_df(
     # combine consecutive token hashes polynomially into shingle hashes —
     # no shingle strings are ever built. Coefficients keep values < 2^62
     # under ANSI mode (token hashes are 31-bit).
+    carry = [F.col(c) for c in carry_cols]
     tok_hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(
             tokenize(text_col), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
         ).alias("_th"),
+        *carry,
     )
     n_sh = F.size("_th") - (shingle_n - 1)
     shingle_hash = F.when(n_sh <= 0, F.array().cast("array<long>")).otherwise(
@@ -153,7 +161,7 @@ def minhash_signatures_df(
             ),
         )
     )
-    shingled = tok_hashed.select("_id", shingle_hash.alias("_sh"))
+    shingled = tok_hashed.select("_id", shingle_hash.alias("_sh"), *carry)
     return shingled.select(
         F.col("_id").alias(id_col),
         F.array(
@@ -169,6 +177,7 @@ def minhash_signatures_df(
                 for (a, b) in params
             ]
         ).alias("_sig"),
+        *carry,
     )
 
 
@@ -180,14 +189,18 @@ def banded_minhash_signatures(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    *,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """The shared signature→band stage of the LSH pipeline: filter to
     shingle-eligible docs, compute MinHash signatures, and explode each
     into ``bands`` (band_idx, band_hash) bucket keys. Zero shuffles —
     pure projection + generate over the input partitioning.
 
-    Returns (_id, _sig array<long>, band_idx int, band_hash long), one
-    row per (doc, band). This is both the self-join input of
+    Returns (_id, _sig array<long>[, carry_cols...], band_idx int,
+    band_hash long), one row per (doc, band) — ``carry_cols`` (r15)
+    passes per-doc attribute columns through for the payload-column
+    index layout. This is both the self-join input of
     ``minhash_near_dup_pairs`` and the PERSISTED row format of the
     incremental band index (``functions/dedup_index.py``) — one shape,
     so a corpus indexed yesterday and a batch signed today can never
@@ -200,12 +213,14 @@ def banded_minhash_signatures(
     # would pair every short doc with every other at est_jaccard 1.0 and
     # silently delete them in dedup_corpus_near)
     eligible = df.filter(F.size(tokenize(text_col)) >= shingle_n)
-    sig = minhash_signatures_df(eligible, id_col, text_col, num_hashes, shingle_n, seed).select(
-        F.col(id_col).alias("_id"), "_sig"
-    )
+    sig = minhash_signatures_df(
+        eligible, id_col, text_col, num_hashes, shingle_n, seed,
+        carry_cols=carry_cols,
+    ).select(F.col(id_col).alias("_id"), "_sig", *carry_cols)
     return sig.select(
         "_id",
         "_sig",
+        *carry_cols,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -220,7 +235,8 @@ def banded_minhash_signatures(
                 ),
             )
         ).alias("_band"),
-    ).select("_id", "_sig", F.col("_band.band_idx").cast("int").alias("band_idx"),
+    ).select("_id", "_sig", *carry_cols,
+             F.col("_band.band_idx").cast("int").alias("band_idx"),
              "_band.band_hash")
 
 

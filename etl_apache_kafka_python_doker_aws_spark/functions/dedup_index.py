@@ -9,8 +9,12 @@ anything already indexed (or each other)?" with one equi-join.
 
 Index layout at ``path``:
   * data rows, ``partitionBy("band_idx", "_bgroup")`` parquet:
-      (_id, _sig array<long>, band_hash long, _batch string, band_idx,
-      _bgroup) where ``_bgroup = pmod(band_hash, bgroups)`` (r10,
+      (_id, _sig array<long>[, payload cols...], band_hash long,
+      _batch string, band_idx, _bgroup)
+    where ``payload cols`` are optional creation-pinned per-doc
+    attribute columns (r15 — served by ``pairs_vs_batch(where=...)``
+    as pushed scan predicates) and ``_bgroup = pmod(band_hash,
+    bgroups)`` (r10,
     VERDICT r9 #2). The second partition level exists for DELETE
     locality: every doc lands in ALL band_idx partitions 0..bands-1,
     so band_idx alone localizes nothing — a retraction under the flat
@@ -30,7 +34,9 @@ Index layout at ``path``:
     per billion docs, a flat parquet table any executor count can scan.
   * ``_graft_meta/`` — one JSON row pinning (num_hashes, bands,
     shingle_n, seed) + ``bgroups`` (r10, layout — pinned at creation
-    like the table tier's bucket count). Appends with different LSH
+    like the table tier's bucket count) + ``payload_cols`` (r15, the
+    attribute schema — every append must carry it). Appends with
+    different LSH
     params are REJECTED loudly: signatures hashed under different
     seeds never collide, so a silent mismatch wouldn't fail — it would
     just find nothing.
@@ -95,6 +101,63 @@ _META_DIR = "_graft_meta"
 _BATCH_DIR = "_graft_batches"
 _COUNTS_DIR = "_graft_counts"
 _PARAMS = ("num_hashes", "bands", "shingle_n", "seed")
+
+#: Column names the band-index machinery owns — a payload column
+#: shadowing one would silently corrupt the layout or the guard
+#: (r15, the ann_index _RESERVED_COLS rule on the band tier).
+_RESERVED_BAND_COLS = frozenset(
+    {"_id", "_sig", "band_idx", "band_hash", "_batch", "_bgroup", "cnt",
+     "del_seq"}
+)
+
+
+def _check_payload_request(df: DataFrame, payload_cols: list, who: str) -> None:
+    """Creation-time payload schema validation (r15): reserved-name
+    shadowing, duplicates, and absence from the batch frame are all
+    caller bugs — reject loudly before anything is written."""
+    bad = [c for c in payload_cols if c in _RESERVED_BAND_COLS]
+    if bad:
+        raise ValueError(
+            f"{who}: payload column(s) {bad} shadow index-owned columns; "
+            f"reserved names: {sorted(_RESERVED_BAND_COLS)}"
+        )
+    if len(set(payload_cols)) != len(payload_cols):
+        raise ValueError(f"{who}: duplicate payload column names {payload_cols}")
+    missing = [c for c in payload_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{who}: payload column(s) {missing} not in the input frame "
+            f"(columns: {df.columns})"
+        )
+
+
+def _pinned_payloads(
+    df: DataFrame, meta: dict | None, payload_cols, who: str
+) -> list[str]:
+    """Resolve the effective payload column list for an append (r15):
+    the index's pinned schema wins once it exists — a conflicting
+    explicit request is a caller bug, and every later batch must carry
+    the pinned columns (a silent NULL payload would corrupt ``where=``
+    filtering downstream, the ann_index_append rule)."""
+    if meta is None:
+        req = list(payload_cols or [])
+        _check_payload_request(df, req, who)
+        return req
+    pinned = list(meta.get("payload_cols") or [])
+    if payload_cols is not None and list(payload_cols) != pinned:
+        raise ValueError(
+            f"{who}: index pins payload_cols={pinned}, append requested "
+            f"{list(payload_cols)} — the payload schema is a creation-time "
+            "layout property; rebuild to change it"
+        )
+    missing = [c for c in pinned if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{who}: index pins payload column(s) {pinned} but the batch "
+            f"lacks {missing} — every append must carry the creation-time "
+            "payload schema"
+        )
+    return pinned
 
 
 def _require_local_path(path: str, who: str) -> None:
@@ -177,6 +240,13 @@ def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
         int(row.bgroups)
         if "bgroups" in row.__fields__ and row.bgroups is not None
         else None
+    )
+    # pre-r15 indexes (and payload-less creates) read as [] — every
+    # consumer treats [] as "no payload machinery"
+    meta["payload_cols"] = (
+        list(row.payload_cols)
+        if "payload_cols" in row.__fields__ and row.payload_cols
+        else []
     )
     return meta
 
@@ -292,9 +362,24 @@ def minhash_index_append(
     shingle_n: int = 3,
     seed: int = 42,
     bgroups: int | None = 16,
+    payload_cols: list[str] | None = None,
 ) -> None:
     """Sign ``df`` and APPEND its band rows to the index at ``path``
     (creating the index, and pinning the LSH params, on first use).
+
+    ``payload_cols`` (r15, the ann_index payload rule on the band
+    tier): caller-named per-doc ATTRIBUTE columns (lang, license,
+    source, doc ids — keep them SLIM) stored on every band row and
+    pinned in meta at CREATION. Later appends must carry the pinned
+    columns (absence fails loudly — a silent NULL payload would
+    corrupt ``where=`` filtering); a conflicting explicit list is
+    rejected. ``minhash_index_pairs_vs_batch(where=...)`` then filters
+    on stored attributes as a PUSHED parquet predicate — zero
+    caller-side allowed frames at any selectivity. Payload values ride
+    the zero-shuffle signature projection (``carry_cols``), are
+    replicated per band row (bands× the attribute bytes — the price of
+    scan-time filtering), and survive delete/compact/relayout
+    unchanged (whole-row rewrites).
 
     ``bgroups`` (r10) pins the delete-locality sub-partition count at
     CREATION — like the table tier's bucket count, it is a LAYOUT
@@ -342,15 +427,21 @@ def minhash_index_append(
         )
     # layout is creation-pinned: an existing index's bgroups wins
     g = meta["bgroups"] if meta is not None else bgroups
+    pay = _pinned_payloads(df, meta, payload_cols, "minhash_index_append")
     if meta is None:
         row = dict(params)
         if g:
             row["bgroups"] = g
+        if pay:
+            # key written only when non-empty — minhash_index_meta reads
+            # an absent field as [] (the payload-less layout)
+            row["payload_cols"] = pay
         tiny_rows_df(spark, [row]).coalesce(1).write.mode("overwrite").json(
             f"{path}/{_META_DIR}"
         )
     banded = banded_minhash_signatures(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        carry_cols=tuple(pay),
     ).withColumn("_batch", F.lit(batch_id))
     part_cols = ["band_idx"]
     if g:
@@ -402,6 +493,7 @@ def minhash_index_pairs_vs_batch(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     allowed: DataFrame | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) where AT LEAST
     ONE side belongs to ``batch_id`` — batch-vs-index candidates plus
@@ -409,7 +501,13 @@ def minhash_index_pairs_vs_batch(
     index (no signature recomputation for any previously indexed doc).
     ``allowed`` restricts BOTH pair sides to a caller-evaluated id set
     before the band join (per-filtered-corpus enumeration — semantics
-    and cost documented on ``_pairs_for_batch``).
+    and cost documented on ``_pairs_for_batch``). ``where`` (r15) is
+    the PREDICATE form: a SQL boolean expression over stored columns
+    (append-time ``payload_cols``; ``_id`` is also legal), applied to
+    both sides as a PUSHED parquet filter — the right form for broad
+    attribute filters ("lang = 'en'"), where an ``allowed`` id frame
+    would be corpus-sized and shuffle the index on ``_id``. Composes
+    with ``allowed`` (AND).
 
     Across batches b0..bn this tiles the whole-corpus pair set exactly:
     every pair (x ∈ bi, y ∈ bj, i ≤ j) is emitted by the bj query and
@@ -479,7 +577,7 @@ def minhash_index_pairs_vs_batch(
         per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
         full, per_batch, batch_id, meta["num_hashes"], threshold,
-        max_bucket_size, allowed,
+        max_bucket_size, allowed, where,
     )
 
 
@@ -491,6 +589,7 @@ def _pairs_for_batch(
     threshold: float,
     max_bucket_size: int,
     allowed: DataFrame | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """The shared batch-vs-index pair plan (path-backed and
     table-bucketed forms must never drift): guard whitelist from the
@@ -511,7 +610,15 @@ def _pairs_for_batch(
     (null-rejecting equality). The skew guard keeps reading the
     UNFILTERED counts sidecar — a conservative resource bound (filtered
     buckets are never bigger), so the bounded-candidate-mass contract
-    is untouched."""
+    is untouched.
+
+    ``where`` (r15 — the predicate form): a stored-column SQL filter
+    applied to the WHOLE frame before the batch split, so BOTH pair
+    sides satisfy it and enumeration is per-filtered-corpus, exactly
+    like ``allowed``. Being a deterministic expression over scan
+    columns it PUSHES into the parquet reader (plan-pinned) — zero
+    extra frames, joins, or shuffles at any selectivity. The skew
+    guard stays on the UNFILTERED counts, same as ``allowed``."""
     if per_batch is None:
         # recompute from the UNFILTERED frame (below, before the allowed
         # semi-join narrows `full`): the guard statistic must not drift
@@ -521,6 +628,8 @@ def _pairs_for_batch(
         per_batch = full.groupBy("band_idx", "band_hash").agg(
             F.count("*").alias("cnt")
         )
+    if where is not None:
+        full = full.filter(where)
     if allowed is not None:
         akey = allowed.columns[0]
         full = full.join(
@@ -560,12 +669,16 @@ def minhash_index_dedup_batch(
     batch_id: str,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    where: str | None = None,
 ) -> DataFrame:
     """Convenience production step: append the new batch to the index,
     then return its near-dup pairs vs everything indexed (itself
     included). Equivalent to ``minhash_index_append`` +
     ``minhash_index_pairs_vs_batch``; LSH params come from the index
     meta (a fresh path gets the defaults via an explicit append first).
+    ``where`` (r15) passes to the pairs query — filter both pair sides
+    by a stored-payload predicate; note the append itself is UNfiltered
+    (the whole batch becomes searchable for later snapshots).
     """
     spark = new_df.sparkSession
     meta = minhash_index_meta(spark, path)
@@ -583,7 +696,8 @@ def minhash_index_dedup_batch(
         **meta,
     )
     return minhash_index_pairs_vs_batch(
-        spark, path, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
+        spark, path, batch_id, threshold=threshold,
+        max_bucket_size=max_bucket_size, where=where,
     )
 
 
@@ -612,7 +726,15 @@ def minhash_table_meta(spark: SparkSession, table: str) -> dict | None:
     row = spark.table(f"{table}_meta").first()
     if row is None:
         return None
-    return {k: int(row[k]) for k in _PARAMS + ("buckets",)}
+    meta = {k: int(row[k]) for k in _PARAMS + ("buckets",)}
+    # pre-r15 meta tables lack the column — read as [] (see the path
+    # tier's minhash_index_meta)
+    meta["payload_cols"] = (
+        list(row.payload_cols)
+        if "payload_cols" in row.__fields__ and row.payload_cols
+        else []
+    )
+    return meta
 
 
 def _table_marker_rows(spark: SparkSession, table: str) -> list:
@@ -637,6 +759,7 @@ def minhash_table_append(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    payload_cols: list[str] | None = None,
 ) -> None:
     """Sign ``df`` and APPEND its band rows to the bucketed index table
     (created, with params+buckets pinned in ``<table>_meta``, on first
@@ -645,7 +768,12 @@ def minhash_table_append(
     written LAST. ``buckets`` sizes the (band_idx, band_hash) bucketing
     — at 10⁹ docs pick buckets so each holds a few hundred MB; it is
     pinned at creation because appends into a different bucket count
-    would silently break join co-location."""
+    would silently break join co-location. ``payload_cols`` (r15): same
+    contract as the path tier (see ``minhash_index_append``) — pinned
+    at creation, required of every append, served by
+    ``minhash_table_pairs_vs_batch(where=...)`` as a scan predicate
+    that keeps this tier's zero-Exchange property (unlike a broad
+    ``allowed`` set, which shuffles on ``_id``)."""
     spark = df.sparkSession
     _table_swap_recover(spark, table)
     meta = minhash_table_meta(spark, table)
@@ -656,7 +784,9 @@ def minhash_table_append(
         "seed": seed,
         "buckets": buckets,
     }
-    if meta is not None and meta != params:
+    if meta is not None and {
+        k: meta[k] for k in _PARAMS + ("buckets",)
+    } != params:
         raise ValueError(
             f"minhash_table_append: index {table} was built with {meta}, "
             f"append requested {params} — rebuild or match its params"
@@ -667,12 +797,17 @@ def minhash_table_append(
             f"minhash_table_append: batch_id {batch_id!r} already appended "
             f"to {table} — use a fresh batch_id per delivery"
         )
+    pay = _pinned_payloads(df, meta, payload_cols, "minhash_table_append")
     if meta is None:
-        tiny_rows_df(spark, [params]).coalesce(1).write.mode(
+        row = dict(params)
+        if pay:
+            row["payload_cols"] = pay
+        tiny_rows_df(spark, [row]).coalesce(1).write.mode(
             "overwrite"
         ).saveAsTable(f"{table}_meta")
     banded = banded_minhash_signatures(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        carry_cols=tuple(pay),
     ).withColumn("_batch", F.lit(batch_id))
     banded.persist()
     try:
@@ -710,14 +845,18 @@ def minhash_table_pairs_vs_batch(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     allowed: DataFrame | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs for one batch vs the bucketed index — the
     same plan as ``minhash_index_pairs_vs_batch`` (shared
     ``_pairs_for_batch``, including the r14 ``allowed`` pre-filter —
     note a BROAD allowed set costs this tier its zero-Exchange property
     for the call: the semi-join shuffles on ``_id``, not the bucket
-    keys; a selective set broadcasts and keeps it) except the band
-    equi-join is CO-LOCATED:
+    keys; a selective set broadcasts and keeps it — and the r15
+    ``where`` predicate on stored payload columns, which being a scan
+    filter keeps zero-Exchange at ANY selectivity: the predicate form
+    is strictly better than ``allowed`` here whenever a stored column
+    encodes the filter) except the band equi-join is CO-LOCATED:
     both sides are bucketed scans of ``table`` on exactly the join
     keys, so SortMergeJoin plans with zero Exchange (pinned in
     tests/test_plans.py::test_bucketed_index_join_has_no_exchange).
@@ -763,7 +902,7 @@ def minhash_table_pairs_vs_batch(
         per_batch = per_batch.filter(F.col("_batch").isin(marked))
     return _pairs_for_batch(
         full, per_batch, batch_id, meta["num_hashes"], threshold,
-        max_bucket_size, allowed,
+        max_bucket_size, allowed, where,
     )
 
 
@@ -834,6 +973,7 @@ def minhash_table_dedup_batch(
     batch_id: str,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    where: str | None = None,
 ) -> DataFrame:
     """Bucketed-tier mirror of ``minhash_index_dedup_batch``: append the
     new batch (signed with the table's pinned params/buckets), then
@@ -860,7 +1000,8 @@ def minhash_table_dedup_batch(
         **meta,
     )
     return minhash_table_pairs_vs_batch(
-        spark, table, batch_id, threshold=threshold, max_bucket_size=max_bucket_size
+        spark, table, batch_id, threshold=threshold,
+        max_bucket_size=max_bucket_size, where=where,
     )
 
 
@@ -1468,6 +1609,10 @@ def minhash_index_relayout(
     ).json(f"{new_path}/{_BATCH_DIR}")
     row = {k: meta[k] for k in _PARAMS}
     row["bgroups"] = g
+    if meta.get("payload_cols"):
+        # payload schema is part of the index contract (r15) — the data
+        # rows above carried the values verbatim, meta must keep the pin
+        row["payload_cols"] = list(meta["payload_cols"])
     tiny_rows_df(spark, [row]).coalesce(1).write.mode("overwrite").json(
         f"{new_path}/{_META_DIR}"
     )

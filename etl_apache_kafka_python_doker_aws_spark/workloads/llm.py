@@ -424,6 +424,111 @@ def l2_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l2_payload_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           (doc_id % 50 = 0) AS pair_en,
+           TRUE AS hit_iff_en,
+           TRUE AS all_pairs_en,
+           TRUE AS broad_hit
+    FROM t WHERE doc_id % 25 = 0 AND n >= 3
+    """,
+)
+def l2_payload_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: PREDICATE-PUSHDOWN filtered near-dup pairs over STORED
+    payload columns (r15 — the l3_payload_ann rule on the band tier):
+    "near-duplicates among the English subset" with the attribute
+    living IN the index. ``minhash_index_append(payload_cols=["lang"])``
+    stores the attribute on every band row;
+    ``minhash_index_pairs_vs_batch(where="lang = 'en'")`` filters BOTH
+    pair sides as a PUSHED parquet scan predicate (plan-pinned in
+    test_plans) — no caller-materialized allowed-id frame, no semi-join
+    shuffle, at ANY selectivity. This closes the broad-filter gap of
+    l2_filtered_pairs' id-set API exactly as l3_payload_ann closes
+    l3_filtered_ann's.
+
+    Script: index corpus + verbatim copies of every 25th eligible doc
+    under id+100000, payload ``lang`` = 'en' iff doc_id is even
+    (+100000 preserves parity, so a copy shares its source's lang and
+    the planted pair is en-en iff source id % 50 == 0). Contract
+    (oracle enumerates every plant): (a) ``hit_iff_en`` — the planted
+    pair appears under the narrow predicate iff both endpoints are
+    'en' (identical signature ⇒ certain candidate; found when
+    permitted, filtered when not); (b) ``all_pairs_en`` — zero emitted
+    pairs name an odd (non-'en') id on either side (engine-side audit
+    via the id-derived lang rule); (c) ``broad_hit`` — under the
+    all-covering predicate ``lang IN ('en','de')`` every planted pair
+    is found (a broad predicate costs nothing and drops nothing —
+    the scan-filter form's whole point)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter(
+        (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+        & (F.size(tx.tokenize("text")) >= 3)
+    )
+    lang_of = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("en")
+    ).otherwise(F.lit("de"))
+    aug = _with_planted_copies(d, min_tokens=3).withColumn("lang", lang_of)
+    path = _scratch_dir(spark, "mh_idx_payload")
+    minhash_index_append(
+        aug, "doc_id", "text", path, batch_id="b0", payload_cols=["lang"]
+    )
+    narrow = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang = 'en'"
+    ).localCheckpoint(eager=True)  # two consumers (pair join + audit):
+    # pin one evaluation (the r10 multi-consumer determinism rule)
+    broad = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang IN ('en', 'de')"
+    )
+    # lang is a pure function of the id — the audit needs no corpus scan
+    n_bad = narrow.filter(
+        (F.pmod(F.col("id_a"), F.lit(2)) != 0)
+        | (F.pmod(F.col("id_b"), F.lit(2)) != 0)
+    ).agg(F.count("*").alias("_nb"))
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    b_pair = broad.select(
+        F.col("id_a").alias("_ba"), F.col("id_b").alias("_bb")
+    )
+    return (
+        expected.join(narrow, ["id_a", "id_b"], "left")
+        .join(
+            b_pair,
+            (F.col("id_a") == F.col("_ba")) & (F.col("id_b") == F.col("_bb")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_bad))
+        .select(
+            "id_a",
+            "id_b",
+            (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0).alias(
+                "pair_en"
+            ),
+            (
+                F.col("est_jaccard").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0)
+            ).alias("hit_iff_en"),
+            (F.col("_nb") == 0).alias("all_pairs_en"),
+            F.col("_ba").isNotNull().alias("broad_hit"),
+        )
+    )
+
+
+@query(
     "l2_incremental_dedup_bucketed",
     scale_form="bounded",
     oracle="""
@@ -1018,6 +1123,144 @@ def l3_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l3_payload_ann",
+    oracle="""
+    SELECT vec_id AS id_a,
+           vec_id + 100000 AS id_b,
+           (vec_id % 50 = 0) AS twin_en,
+           TRUE AS hit_iff_en,
+           TRUE AS all_hits_en,
+           TRUE AS payload_doc_ok,
+           TRUE AS broad_hit_iff_even
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def l3_payload_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: PREDICATE-PUSHDOWN filtered ANN search over stored PAYLOAD
+    columns (r15, VERDICT r14 #2) — the production shape "nearest
+    neighbors WHERE lang = 'en'" with the attribute living IN the
+    index: ``ann_index_build(payload_cols=["doc_id","lang"])`` stores
+    the attributes next to the codes, ``ann_index_search(where=...)``
+    evaluates the predicate as a PUSHED parquet filter on the slim tier
+    (plan-pinned in test_ann_index) — no caller-materialized allowed-id
+    frame, no semi-join shuffle, at ANY selectivity. This closes the
+    broad-filter gap of l3_filtered_ann's id-set API: there,
+    "lang = 'en'" forces a corpus-sized allowed frame; here it is one
+    scan predicate. Hits RETURN the stored payload columns, which the
+    contract audits directly.
+
+    Script: index the corpus (payloads: doc_id = vec_id % 100, lang =
+    'base') + verbatim copies of every 25th vector under id+100000
+    (lang 'en' when the source id % 50 == 0, else 'de'). NARROW
+    predicate ``lang = 'en'`` (only half the copies qualify); BROAD
+    predicate ``doc_id % 2 = 0`` (half the index).
+
+    Contract (oracle enumerates every plant): (a) ``hit_iff_en`` — a
+    source pairs with its copy at dist 0 under the narrow predicate iff
+    the copy is 'en' (identical vector ⇒ found when permitted; filtered
+    out when not, though it is the GLOBAL nearest — the pre-filter +
+    probe re-targeting at work); (b) ``all_hits_en`` — every narrow-leg
+    hit's RETURNED ``lang`` payload is 'en' (predicate semantics AND
+    payload round-trip, engine-side audit); (c) ``payload_doc_ok`` —
+    every hit's returned ``doc_id`` equals neighbor_id % 100 (stored
+    values, not recomputed ones); (d) ``broad_hit_iff_even`` — under
+    the broad predicate the copy is found iff the source doc id is even
+    (copies share the source's doc parity: +100000 ≡ 0 mod 100).
+    dist ≤ 0.25 is the planted-vs-natural separation bound."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(100)).alias("doc_id"),
+        F.lit("base").alias("lang"),
+    )
+    planted = e.filter(F.pmod(F.col("vec_id"), F.lit(_PLANT_STEP)) == 0)
+    new = planted.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+    ).select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(100)).alias("doc_id"),
+        F.when(
+            F.pmod(F.col("vec_id"), F.lit(2 * _PLANT_STEP)) == 0, F.lit("en")
+        ).otherwise(F.lit("de")).alias("lang"),
+    )
+    path = _scratch_dir(spark, "ann_idx_payload")
+    ann_index_build(
+        corpus, "vec_id", "embedding", path, dim=64, n_cells=16,
+        n_subspaces=8, n_centroids=32, payload_cols=["doc_id", "lang"],
+    )
+    ann_index_append(new, "vec_id", "embedding", path, batch_id="b1")
+    shortlist = _ann_shortlist(e)
+    narrow = (
+        ann_index_search(
+            planted, path, "vec_id", "embedding", k=5,
+            n_probe=8, shortlist=shortlist, where="lang = 'en'",
+        )
+        .filter(F.col("dist") <= F.lit(0.25))
+        .localCheckpoint(eager=True)  # three consumers below (pair join
+        # + two payload audits): pin one evaluation (the r10 rule)
+    )
+    n_bad_lang = narrow.filter(F.col("lang") != "en").agg(
+        F.count("*").alias("_nl")
+    )
+    n_bad_doc = narrow.filter(
+        F.col("doc_id") != F.pmod(F.col("neighbor_id"), F.lit(100))
+    ).agg(F.count("*").alias("_ndc"))
+    broad = ann_index_search(
+        planted, path, "vec_id", "embedding", k=5,
+        n_probe=8, shortlist=shortlist, where="doc_id % 2 = 0",
+    ).filter(F.col("dist") <= F.lit(0.25))
+    expected = planted.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    n_pair = narrow.select(
+        F.col("query_id").alias("_nq"), F.col("neighbor_id").alias("_nn")
+    )
+    b_pair = broad.select(
+        F.col("query_id").alias("_bq"), F.col("neighbor_id").alias("_bn")
+    )
+    return (
+        expected.join(
+            n_pair,
+            (F.col("id_a") == F.col("_nq")) & (F.col("id_b") == F.col("_nn")),
+            "left",
+        )
+        .join(
+            b_pair,
+            (F.col("id_a") == F.col("_bq")) & (F.col("id_b") == F.col("_bn")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_bad_lang))
+        .crossJoin(F.broadcast(n_bad_doc))
+        .select(
+            "id_a",
+            "id_b",
+            (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0).alias(
+                "twin_en"
+            ),
+            (
+                F.col("_nn").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2 * _PLANT_STEP)) == 0)
+            ).alias("hit_iff_en"),
+            (F.col("_nl") == 0).alias("all_hits_en"),
+            (F.col("_ndc") == 0).alias("payload_doc_ok"),
+            (
+                F.col("_bn").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2)) == 0)
+            ).alias("broad_hit_iff_even"),
+        )
+    )
+
+
+@query(
     "l2_ngram_jaccard",
     oracle="""
     WITH toks AS (
@@ -1231,7 +1474,12 @@ def l2_grouped_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it); (b) ``no_extra`` — zero pairs beyond the 5 planted ones at
     threshold 0.25 (natural inter-doc distances far exceed it — the
     planted-vs-natural separation rule), same-doc pairs excluded by
-    construction."""
+    construction.
+
+    r15 (VERDICT r14 #1): the index stores ``doc_id`` as a PAYLOAD
+    column and the serving call passes NO doc_map — the neighbor's doc
+    id rides each hit and the query's rides the batch frame (zero
+    corpus-cardinality map scans per snapshot)."""
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
         ann_index_build,
     )
@@ -1241,25 +1489,20 @@ def l2_grouped_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     doc_of = F.pmod(F.col("vec_id"), F.lit(100))
+    corpus = e.withColumn("doc_id", doc_of)
     twins_src = e.filter(doc_of < 5)
     new = twins_src.select(
-        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
-    )
-    doc_map = e.select(
-        F.col("vec_id").alias("chunk_id"), doc_of.alias("doc_id")
-    ).unionByName(
-        twins_src.select(
-            (F.col("vec_id") + _PLANT_OFFSET).alias("chunk_id"),
-            (doc_of + _GDOC_OFFSET).alias("doc_id"),
-        )
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        "embedding",
+        (doc_of + _GDOC_OFFSET).alias("doc_id"),
     )
     path = _scratch_dir(spark, "ann_idx_gsemdedup")
     ann_index_build(
-        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
-        n_centroids=32,
+        corpus, "vec_id", "embedding", path, dim=64, n_cells=16,
+        n_subspaces=8, n_centroids=32, payload_cols=["doc_id"],
     )
     pairs = ann_grouped_dedup_batch(
-        new, "vec_id", "embedding", path, doc_map,
+        new, "vec_id", "embedding", path,
         batch_id="b1", threshold=0.25, chunk_k=20, n_probe=8,
         shortlist=_ann_shortlist(e),
     ).localCheckpoint(eager=True)  # two consumers (pair join + no-extra
@@ -1319,11 +1562,18 @@ def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cell+codes under pinned models ⇒ exact re-rank 0);
     (b) ``twin_hit_iff_allowed`` — under a DOC-level filter allowing
     only the twins of EVEN sources, the twin pair appears iff q is even
-    (the doc→chunk filter translation + per-filtered-corpus semantics,
+    (payload-column semi-join + per-filtered-corpus semantics,
     mirroring l3_filtered_ann); (c) ``recall_ok`` — grouped top-3 docs
     vs the ENGINE-COMPUTED exact grouped min-squared-L2 top-3 over
     corpus∪twins, recall ≥ 0.6 (the l3_pq_search pattern); (d)
-    ``k_bound_ok`` — at most k doc rows per query."""
+    ``k_bound_ok`` — at most k doc rows per query.
+
+    r15 (VERDICT r14 #1): the index is built with
+    ``payload_cols=["doc_id"]`` and the serving calls pass NO doc_map —
+    doc ids come straight off the hits (zero corpus-cardinality map
+    scans per call; the doc_map form stays unit-tested for payload-less
+    indexes). The exact recall reference constructs its own chunk→doc
+    frame, as any engine-side verification may."""
     from pyspark.sql.window import Window
 
     from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
@@ -1337,22 +1587,22 @@ def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     doc_of = F.pmod(F.col("vec_id"), F.lit(100))
+    corpus = e.withColumn("doc_id", doc_of)
     twins_src = e.filter(doc_of < 5)
     twins = twins_src.select(
-        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "embedding"
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        "embedding",
+        (doc_of + _GDOC_OFFSET).alias("doc_id"),
     )
-    doc_map = e.select(
-        F.col("vec_id").alias("chunk_id"), doc_of.alias("doc_id")
+    doc_map = corpus.select(
+        F.col("vec_id").alias("chunk_id"), "doc_id"
     ).unionByName(
-        twins_src.select(
-            (F.col("vec_id") + _PLANT_OFFSET).alias("chunk_id"),
-            (doc_of + _GDOC_OFFSET).alias("doc_id"),
-        )
+        twins.select(F.col("vec_id").alias("chunk_id"), "doc_id")
     )
     path = _scratch_dir(spark, "ann_idx_grouped")
     ann_index_build(
-        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
-        n_centroids=32,
+        corpus, "vec_id", "embedding", path, dim=64, n_cells=16,
+        n_subspaces=8, n_centroids=32, payload_cols=["doc_id"],
     )
     ann_index_append(twins, "vec_id", "embedding", path, batch_id="b1")
     q = e.filter(F.col("vec_id") < 5)
@@ -1360,7 +1610,7 @@ def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers below (twin check, recall join, k-bound) — pin one
     # evaluation (the r10 multi-consumer determinism rule)
     got = ann_grouped_topk(
-        q, path, doc_map, "vec_id", "embedding", k=3,
+        q, path, id_col="vec_id", vec_col="embedding", k=3,
         chunk_k=20, n_probe=8, shortlist=shortlist,
     ).localCheckpoint(eager=True)
     # engine-exact grouped min-squared-L2 top-3 (the recall reference):
@@ -1377,7 +1627,7 @@ def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist").asc(), F.col("doc_id").asc()
     )
     exact = (
-        e.unionByName(twins)
+        e.unionByName(twins.select("vec_id", "embedding"))
         .join(F.broadcast(qn), F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("chunk_id"), d2.alias("dist"))
         .join(doc_map, "chunk_id")
@@ -1412,7 +1662,7 @@ def l3_grouped_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long",
     )
     filt = ann_grouped_topk(
-        q, path, doc_map, "vec_id", "embedding", k=3,
+        q, path, id_col="vec_id", vec_col="embedding", k=3,
         chunk_k=20, n_probe=8, shortlist=shortlist, allowed=allowed_docs,
     )
     tw = got.filter((F.col("rk") == 1) & (F.col("dist") == 0.0)).select(

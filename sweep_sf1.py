@@ -76,8 +76,16 @@ def main() -> None:
         t0 = time.time()
         sql = ORACLES.get(name)
         timed_out = {"hit": False}
+        settled = {"done": False}
 
         def _interrupt():
+            # ADVICE r14: a timer firing in the window between compare()
+            # returning and timer.cancel() would interrupt an idle
+            # connection and mislabel the NEXT oracle as interrupted —
+            # the settled flag (set before cancel) makes the late fire
+            # a no-op
+            if settled["done"]:
+                return
             timed_out["hit"] = True
             con.interrupt()
 
@@ -109,6 +117,7 @@ def main() -> None:
                         "(engine side may be fine — oracle infeasible at sf1)"
                     )
                 finally:
+                    settled["done"] = True
                     timer.cancel()
         except KeyboardInterrupt:
             raise

@@ -416,6 +416,10 @@ def test_rebuild_upgrades_legacy_refine_tier(spark, tmp_path):
     m = ann_index_meta(spark, path)
     m.pop("vec_buckets")
     m.pop("vec_batch")  # a true pre-r9 index predates BOTH fields
+    # meta() surfaces payload_cols as [] for pre-r15 indexes — pop it
+    # before the createDataFrame round-trip (an empty list infers as
+    # array<null> and fails; a true legacy meta predates the field)
+    m.pop("payload_cols")
     spark.createDataFrame([m]).coalesce(1).write.mode("overwrite").json(
         f"{path}/_graft_meta")
     assert ann_index_meta(spark, path)["vec_buckets"] is None
@@ -964,3 +968,270 @@ def test_grouped_dedup_batch_doc_filter(spark, tmp_path):
     ).collect()
     assert {(r.query_doc, r.neighbor_doc) for r in p2} == {(203, 3)}, p2
     assert p2[0].dist == 0.0
+
+
+# ---------------------------------------------------------------------------
+# r15: payload columns (VERDICT r14 #1/#2) — stored attributes in the
+# codes tier, returned on hits, predicate-pushable, doc_map-free grouped.
+
+
+def _payload_fixture(spark, tmp_path, tag="ann_payload"):
+    """60 chunks, doc = vec_id % 10, lang 'en' for even ids / 'de' odd;
+    index built with payload_cols=["doc_id", "lang"]; twin of doc 3's
+    chunks appended under chunk id +1000 / doc 103 / lang 'tw'."""
+    corpus, rows = _corpus(spark)
+    pc = corpus.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 10).alias("doc_id"),
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    path = str(tmp_path / tag)
+    ann_index_build(pc, "vec_id", "embedding", path, dim=16, n_cells=4,
+                    n_subspaces=4, n_centroids=8,
+                    payload_cols=["doc_id", "lang"])
+    twin = spark.createDataFrame(
+        [(i + 1000, v, 103, "tw") for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>, doc_id long, lang string",
+    )
+    ann_index_append(twin, "vec_id", "embedding", path, batch_id="b1")
+    return pc, rows, path
+
+
+def test_payload_roundtrip_and_guards(spark, tmp_path):
+    """Payload columns round-trip build → append → search: every hit
+    carries its STORED doc_id/lang values appended after rk, in both
+    the re-rank and the ADC-only (shortlist=None) paths. Guards:
+    reserved/duplicate/missing names at build, missing columns at
+    append — all loud."""
+    pc, rows, path = _payload_fixture(spark, tmp_path)
+    q = pc.filter("vec_id = 3")
+    hits = ann_index_search(q, path, k=5, n_probe=4, shortlist=20)
+    assert hits.columns == ["query_id", "neighbor_id", "dist", "rk",
+                            "doc_id", "lang"]
+    got = hits.collect()
+    assert got[0].neighbor_id == 1003 and got[0].dist == 0.0
+    assert got[0].doc_id == 103 and got[0].lang == "tw"
+    for r in got:
+        if r.neighbor_id < 1000:
+            assert r.doc_id == r.neighbor_id % 10
+            assert r.lang == ("en" if r.neighbor_id % 2 == 0 else "de")
+    # ADC-only path carries payloads too
+    adc = ann_index_search(q, path, k=5, n_probe=4, shortlist=None)
+    assert adc.columns == hits.columns
+    assert all(r.doc_id is not None for r in adc.collect())
+    # guards
+    with pytest.raises(ValueError, match="shadow index-owned"):
+        ann_index_build(pc.withColumnRenamed("lang", "cell"),
+                        "vec_id", "embedding", str(tmp_path / "g1"),
+                        dim=16, n_subspaces=4, payload_cols=["cell"])
+    with pytest.raises(ValueError, match="duplicate payload"):
+        ann_index_build(pc, "vec_id", "embedding", str(tmp_path / "g2"),
+                        dim=16, n_subspaces=4,
+                        payload_cols=["lang", "lang"])
+    with pytest.raises(ValueError, match="not in corpus"):
+        ann_index_build(pc, "vec_id", "embedding", str(tmp_path / "g3"),
+                        dim=16, n_subspaces=4, payload_cols=["nope"])
+    bare = spark.createDataFrame([(5000, rows[0][1])],
+                                 "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="lacks \\['doc_id', 'lang'\\]"):
+        ann_index_append(bare, "vec_id", "embedding", path, batch_id="b2")
+
+
+def test_payload_where_pushdown_semantics_and_plan(spark, tmp_path):
+    """``where=`` (VERDICT r14 #2): a stored-attribute predicate is a
+    PUSHED parquet filter on the codes scan (plan-pinned on the lazy
+    prune=False / retarget=False form, whose lineage stays visible) —
+    and semantics are per-filtered-corpus: the verbatim twin (lang
+    'tw') is the global nearest of query 3 but invisible under
+    lang = 'en'; every returned hit satisfies the predicate."""
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_where")
+    q = pc.filter("vec_id = 3")
+    en = ann_index_search(q, path, k=3, n_probe=4, shortlist=20,
+                          where="lang = 'en'")
+    got = en.collect()
+    assert len(got) == 3
+    assert all(r.lang == "en" for r in got)
+    assert all(r.neighbor_id % 2 == 0 and r.neighbor_id < 1000 for r in got)
+    assert all(r.dist > 0.0 for r in got)  # the 'tw' twin is filtered out
+    # plan pin: the predicate reaches the parquet reader
+    lazy = ann_index_search(q, path, k=3, n_probe=4, shortlist=20,
+                            where="lang = 'en'", prune=False,
+                            retarget_probes=False)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = lazy._jdf.queryExecution().explainString(mode)
+    import re
+
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        re.search(r"(EqualTo|StringStartsWith).*lang", ln) for ln in pushed
+    ), plan
+    # twin visible without the filter, at dist 0
+    allf = ann_index_search(q, path, k=3, n_probe=4, shortlist=20).collect()
+    assert allf[0].neighbor_id == 1003 and allf[0].dist == 0.0
+
+
+def test_payload_where_empty_result_schema(spark, tmp_path):
+    """A predicate matching nothing returns the EMPTY frame with the
+    payload-extended schema in output order (the n_cand == 0 early exit
+    builds it explicitly) — on both the pruned and streaming paths."""
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_empty")
+    q = pc.filter("vec_id = 3")
+    for prune in (True, False):
+        out = ann_index_search(q, path, k=3, n_probe=4, shortlist=20,
+                               where="lang = 'zz'", prune=prune)
+        assert out.columns == ["query_id", "neighbor_id", "dist", "rk",
+                               "doc_id", "lang"]
+        assert out.count() == 0
+
+
+def test_payload_survives_delete_compact_rebuild(spark, tmp_path):
+    """The payload schema is part of the index contract: values survive
+    tombstone delete + physical compaction, and ann_index_rebuild
+    carries both the meta pin and the stored values into the new
+    index."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_compact,
+        ann_index_delete,
+        ann_index_rebuild,
+    )
+
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_life")
+    assert ann_index_delete(spark, path, [7, 11], compact_threshold=2.0) == 2
+    assert ann_index_compact(spark, path) == 2
+    q = pc.filter("vec_id = 3")
+    got = ann_index_search(q, path, k=5, n_probe=4, shortlist=20).collect()
+    assert got[0].doc_id == 103 and got[0].lang == "tw"
+    assert all(
+        r.doc_id == r.neighbor_id % 10
+        for r in got if r.neighbor_id < 1000
+    )
+    new_path = str(tmp_path / "ann_life_rb")
+    ann_index_rebuild(spark, path, new_path)
+    assert ann_index_meta(spark, new_path)["payload_cols"] == [
+        "doc_id", "lang"
+    ]
+    got2 = ann_index_search(q, new_path, k=5, n_probe=4,
+                            shortlist=20).collect()
+    assert got2[0].doc_id == 103 and got2[0].lang == "tw"
+    assert all(
+        r.doc_id == r.neighbor_id % 10
+        for r in got2 if r.neighbor_id < 1000
+    )
+    # deleted ids stayed dead through the rebuild
+    assert all(r.neighbor_id not in (7, 11) for r in got2)
+
+
+def test_allowed_on_payload_column_and_guards(spark, tmp_path):
+    """``allowed_on=`` joins the allowed id set against a PAYLOAD column
+    (doc-level filtering on the slim tier): allowing doc 103 only
+    returns twin chunks exclusively; misuse is loud (allowed_on without
+    allowed, allowed_on naming a non-payload column)."""
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_aon")
+    q = pc.filter("vec_id = 3")
+    only_twin = spark.createDataFrame([(103,)], "doc_id long")
+    got = ann_index_search(q, path, k=5, n_probe=4, shortlist=20,
+                           allowed=only_twin, allowed_on="doc_id").collect()
+    assert got and all(r.doc_id == 103 for r in got)
+    assert got[0].neighbor_id == 1003 and got[0].dist == 0.0
+    with pytest.raises(ValueError, match="allowed_on given without"):
+        ann_index_search(q, path, k=3, allowed_on="doc_id")
+    with pytest.raises(ValueError, match="not a payload column"):
+        ann_index_search(q, path, k=3, allowed=only_twin,
+                         allowed_on="license")
+
+
+def test_grouped_topk_payload_form(spark, tmp_path):
+    """The doc_map-FREE grouped retrieval (VERDICT r14 #1): doc ids come
+    off the hits' payload — twin doc top-1 at dist 0, DOC-level allowed
+    filter via the stored column, and the plan scans NO frame but the
+    index tiers and the queries (the 1-3 per-call doc_map scans are
+    gone). A payload-less index without a doc_map is refused loudly."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_topk,
+    )
+
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_gpay")
+    q = pc.filter("vec_id = 3")
+    got = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30
+    ).collect()
+    assert got[0].doc_id == 103 and got[0].dist == 0.0 and got[0].rk == 1
+    assert len(got) == 3 and len({r.doc_id for r in got}) == 3
+    allow_one = spark.createDataFrame([(103,)], "doc_id long")
+    only = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30, allowed=allow_one
+    ).collect()
+    assert [r.doc_id for r in only] == [103] and only[0].dist == 0.0
+    # plan pin: exactly the two index tiers are file-scanned; no chunk→
+    # doc map frame appears anywhere in the plan
+    lazy = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30, prune=False
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = lazy._jdf.queryExecution().explainString(mode)
+    locs = [
+        ln.strip() for ln in plan.splitlines()
+        if ln.strip().startswith("Location:")
+    ]
+    assert locs and all(path in ln for ln in locs), plan
+    assert "chunk_id" not in plan
+    # payload-less index + no doc_map → loud
+    bare_path = str(tmp_path / "ann_gpay_bare")
+    corpus, _ = _corpus(spark)
+    ann_index_build(corpus, "vec_id", "embedding", bare_path, dim=16,
+                    n_cells=4, n_subspaces=4, n_centroids=8)
+    with pytest.raises(ValueError, match="stores no 'doc_id' payload"):
+        ann_grouped_topk(q, bare_path, k=3, chunk_k=12)
+
+
+def test_grouped_dedup_payload_form_and_resume(spark, tmp_path):
+    """doc_map-free grouped dedup: the neighbor's doc rides the hit
+    payload, the query's rides the batch frame. ``resume=True``
+    (VERDICT r14 #3): a rerun of the SAME delivery after the append
+    committed skips the append and returns the IDENTICAL pair set (the
+    r12 assert-effect rule); a same-batch_id rerun with DIFFERENT rows
+    raises; without resume the redelivery guard still fires."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+    )
+
+    corpus, rows = _corpus(spark)
+    pc = corpus.select(
+        "vec_id", "embedding", (F.col("vec_id") % 10).alias("doc_id")
+    )
+    path = str(tmp_path / "ann_gpay_dedup")
+    ann_index_build(pc, "vec_id", "embedding", path, dim=16, n_cells=4,
+                    n_subspaces=4, n_centroids=8, payload_cols=["doc_id"])
+    b1 = spark.createDataFrame(
+        [(i + 1000, v, 103) for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>, doc_id long",
+    )
+    kw = dict(batch_id="b1", threshold=0.25, chunk_k=12, n_probe=4,
+              shortlist=30)
+    p1 = ann_grouped_dedup_batch(
+        b1, "vec_id", "embedding", path, **kw
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in p1} == {(103, 3)}, p1
+    assert p1[0].dist == 0.0
+    # crash-after-append rerun: resume returns the identical pair set
+    p1b = ann_grouped_dedup_batch(
+        b1, "vec_id", "embedding", path, resume=True, **kw
+    ).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p1b))
+    # same batch_id, different rows — not a retry, a redelivery bug
+    with pytest.raises(ValueError, match="not the same delivery"):
+        ann_grouped_dedup_batch(
+            b1.limit(2), "vec_id", "embedding", path, resume=True, **kw
+        )
+    # without resume the duplicate-batch_id guard still fires
+    with pytest.raises(ValueError, match="already appended"):
+        ann_grouped_dedup_batch(b1, "vec_id", "embedding", path, **kw)
+    # batch frame missing the payload column is loud
+    with pytest.raises(ValueError, match="payload form needs 'doc_id'"):
+        ann_grouped_dedup_batch(
+            b1.select("vec_id", "embedding"), "vec_id", "embedding", path,
+            batch_id="b2", threshold=0.25,
+        )

@@ -705,3 +705,33 @@ def test_filtered_search_retargets_probes(spark, tmp_path):
     )
     # the query's single global probe is its own cell — zero allowed rows
     assert off.count() == 0
+
+
+def test_missing_file_error_canary(spark, tmp_path):
+    """VERDICT r14 #6: `_is_missing_file_error`'s substrings were
+    harvested from Spark 4.1 / Hadoop 3.4 messages — this canary
+    fabricates the REAL exception against the CURRENT Spark (a read of
+    a missing path) and asserts it still classifies as the
+    listed-then-deleted race class, so a Spark upgrade that rewords
+    PATH_NOT_FOUND fails here instead of silently widening (or
+    killing) the dead-tally retry. Also pins the ADVICE r14 narrowing:
+    with `under=` the message must NAME a path under that dir — a
+    deterministic failure about some OTHER path is not absorbed into
+    the race retry."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        _is_missing_file_error,
+    )
+
+    missing = str(tmp_path / "dead_dir" / "part-0001.json")
+    with pytest.raises(Exception) as ei:
+        spark.read.json(missing).collect()
+    e = ei.value
+    assert _is_missing_file_error(e), str(e)
+    assert _is_missing_file_error(e, under=str(tmp_path / "dead_dir"))
+    # the narrowing: same exception, wrong dir → NOT the race class
+    assert not _is_missing_file_error(e, under="/some/other/sidecar")
+    # deterministic failures never classify
+    assert not _is_missing_file_error(ValueError("schema mismatch"))
+    assert not _is_missing_file_error(
+        RuntimeError("corrupt footer in part-0001"), under=str(tmp_path)
+    )

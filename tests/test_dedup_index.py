@@ -1170,3 +1170,173 @@ def test_filtered_pairs_skew_guard_uses_unfiltered_counts(spark, tmp_path):
         spark, path, "b0", max_bucket_size=10
     ).collect()
     assert {(r.id_a, r.id_b) for r in ref} == {(1, 2), (1, 3), (2, 3)}
+
+
+def _with_lang(df):
+    # id-derived payload: 'en' iff even — pure function of the id, so
+    # assertions never need a lookup table
+    return df.withColumn(
+        "lang",
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("en")).otherwise(
+            F.lit("de")
+        ),
+    )
+
+
+def test_payload_where_both_tiers(spark, tmp_path):
+    """r15 payload columns + where= (the l3_payload_ann rule on the band
+    tier): predicate filters BOTH pair sides on stored attributes, on
+    the path AND bucketed tiers (shared _pairs_for_batch); composes
+    with allowed= (AND); a broad predicate drops nothing."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_index_meta,
+        minhash_table_append,
+        minhash_table_meta,
+        minhash_table_pairs_vs_batch,
+    )
+
+    _, _, full = _frames(spark)
+    path = str(tmp_path / "mh_payload")
+    minhash_index_append(
+        _with_lang(full), "doc_id", "text", path, batch_id="b0",
+        payload_cols=["lang"],
+    )
+    assert minhash_index_meta(spark, path)["payload_cols"] == ["lang"]
+    # verbatim pairs: (1,101) mixed lang (odd/odd -> de/de actually:
+    # 1 odd, 101 odd -> both 'de'); (102,103) = en/de mixed
+    ref = minhash_index_pairs_vs_batch(spark, path, "b0")
+    assert {(r.id_a, r.id_b) for r in ref.collect()} >= {(1, 101), (102, 103)}
+    got_de = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang = 'de'"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got_de} == {(1, 101)}, got_de
+    # (102,103) has one side each -> filtered out under either predicate
+    got_en = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang = 'en'"
+    ).collect()
+    assert (102, 103) not in {(r.id_a, r.id_b) for r in got_en}
+    # broad predicate == unfiltered pair set
+    got_all = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang IN ('en', 'de')"
+    )
+    assert {(r.id_a, r.id_b) for r in got_all.collect()} == {
+        (r.id_a, r.id_b) for r in ref.collect()
+    }
+    # composes with allowed= (AND): allowed covers (1,101) but where
+    # excludes 'de' -> empty
+    allowed = spark.createDataFrame([(1,), (101,)], "doc_id long")
+    got_and = minhash_index_pairs_vs_batch(
+        spark, path, "b0", where="lang = 'en'", allowed=allowed
+    ).collect()
+    assert got_and == [], got_and
+    # bucketed tier shares semantics + pins payloads in its meta table
+    tbl = "t_mh_payload_pairs"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(
+        _with_lang(full), "doc_id", "text", tbl, batch_id="b0", buckets=4,
+        payload_cols=["lang"],
+    )
+    assert minhash_table_meta(spark, tbl)["payload_cols"] == ["lang"]
+    got_t = minhash_table_pairs_vs_batch(
+        spark, tbl, "b0", where="lang = 'de'"
+    ).collect()
+    drop_minhash_table(spark, tbl)
+    assert {(r.id_a, r.id_b) for r in got_t} == {(1, 101)}, got_t
+
+
+def test_payload_append_guards(spark, tmp_path):
+    """r15: the payload schema is a creation-time layout property —
+    missing columns, conflicting explicit lists, reserved names and
+    duplicates all fail loudly (a silent NULL payload would corrupt
+    where= filtering downstream)."""
+    b0, b1, full = _frames(spark)
+    path = str(tmp_path / "mh_payload_guards")
+    with pytest.raises(ValueError, match="shadow"):
+        minhash_index_append(
+            b0.withColumn("_sig", F.lit("x")), "doc_id", "text", path,
+            batch_id="b0", payload_cols=["_sig"],
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        minhash_index_append(
+            _with_lang(b0), "doc_id", "text", path, batch_id="b0",
+            payload_cols=["lang", "lang"],
+        )
+    with pytest.raises(ValueError, match="not in the input frame"):
+        minhash_index_append(
+            b0, "doc_id", "text", path, batch_id="b0", payload_cols=["lang"]
+        )
+    minhash_index_append(
+        _with_lang(b0), "doc_id", "text", path, batch_id="b0",
+        payload_cols=["lang"],
+    )
+    # later appends must carry the pinned column...
+    with pytest.raises(ValueError, match="lacks"):
+        minhash_index_append(b1, "doc_id", "text", path, batch_id="b1")
+    # ...and may not request a different schema
+    with pytest.raises(ValueError, match="pins payload_cols"):
+        minhash_index_append(
+            _with_lang(b1).withColumn("lic", F.lit("mit")), "doc_id", "text",
+            path, batch_id="b1", payload_cols=["lic"],
+        )
+    # carrying the pinned column works, and where= sees both batches
+    minhash_index_append(_with_lang(b1), "doc_id", "text", path, batch_id="b1")
+    got = minhash_index_pairs_vs_batch(
+        spark, path, "b1", where="lang = 'de'"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 101)}, got
+
+
+def test_payload_survives_lifecycle(spark, tmp_path):
+    """r15: payload values and the meta pin survive relayout, localized
+    delete, and bucketed-table compact (whole-row rewrites — this pins
+    the contract, not the mechanism)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_index_delete,
+        minhash_index_meta,
+        minhash_index_relayout,
+        minhash_table_append,
+        minhash_table_compact,
+        minhash_table_delete,
+        minhash_table_pairs_vs_batch,
+    )
+
+    _, _, full = _frames(spark)
+    path = str(tmp_path / "mh_payload_life")
+    minhash_index_append(
+        _with_lang(full), "doc_id", "text", path, batch_id="b0",
+        payload_cols=["lang"], bgroups=4,
+    )
+    new = str(tmp_path / "mh_payload_life_v2")
+    minhash_index_relayout(spark, path, new, bgroups=2)
+    assert minhash_index_meta(spark, new)["payload_cols"] == ["lang"]
+    assert minhash_index_delete(spark, new, [102]) > 0
+    got = minhash_index_pairs_vs_batch(
+        spark, new, "b0", where="lang = 'de'"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 101)}, got
+    # stored values (not recomputed): every surviving row's lang matches
+    # the id-derived rule
+    rows = spark.read.parquet(new).select("_id", "lang").collect()
+    assert rows and all(
+        r.lang == ("en" if r._id % 2 == 0 else "de") for r in rows
+    )
+    # bucketed tier: tombstone delete + compact keep payloads + where=
+    tbl = "t_mh_payload_life"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(
+        _with_lang(full), "doc_id", "text", tbl, batch_id="b0", buckets=4,
+        payload_cols=["lang"],
+    )
+    assert minhash_table_delete(spark, tbl, [102], compact_threshold=2.0) > 0
+    assert minhash_table_compact(spark, tbl) > 0
+    got_t = minhash_table_pairs_vs_batch(
+        spark, tbl, "b0", where="lang = 'de'"
+    ).collect()
+    rows_t = spark.table(tbl).select("_id", "lang").collect()
+    drop_minhash_table(spark, tbl)
+    assert {(r.id_a, r.id_b) for r in got_t} == {(1, 101)}, got_t
+    assert rows_t and all(
+        r.lang == ("en" if r._id % 2 == 0 else "de") for r in rows_t
+    )

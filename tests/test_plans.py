@@ -512,6 +512,78 @@ def test_filtered_pairs_prefilter_lands_before_band_join(spark, tmp_path):
     )
 
 
+def test_payload_where_is_pushed_and_keeps_zero_exchange(spark, tmp_path):
+    """r15 payload where=: the stored-attribute predicate must reach the
+    parquet reader as a PUSHED filter on BOTH band-join inputs (path
+    tier) — the scan-filter form's whole point is zero extra frames,
+    joins, or shuffles at any selectivity. On the bucketed tier the
+    same predicate must keep the zero-band-Exchange property that a
+    broad `allowed=` set forfeits (the r14 documented trade this form
+    closes)."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_index_append,
+        minhash_index_pairs_vs_batch,
+        minhash_table_append,
+        minhash_table_pairs_vs_batch,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(80)
+        .withColumn(
+            "lang",
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("en")).otherwise(
+                F.lit("de")
+            ),
+        )
+    )
+    path = str(tmp_path / "band_idx_payload_plan")
+    minhash_index_append(
+        docs, "doc_id", "text", path, batch_id="b0", payload_cols=["lang"]
+    )
+    df = minhash_index_pairs_vs_batch(spark, path, "b0", where="lang = 'en'")
+    plan = plan_of_df(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    lang_pushed = [p for p in pushed if "EqualTo(lang,en)" in p]
+    # both sides of the band self-join scan with the predicate pushed
+    assert len(lang_pushed) >= 2, (
+        "payload predicate not pushed to both band-join scans:\n" + plan
+    )
+    assert any("EqualTo(_batch,b0)" in p for p in pushed), plan
+    assert "Window" not in plan
+    # no join machinery beyond the unfiltered form's (whose only
+    # LeftSemi is the band-keyed skew-guard whitelist): the predicate
+    # must add no id-keyed semi-join — that's the allowed= shape this
+    # form exists to avoid
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    id_semis = [
+        c for c in re.findall(r"Join LeftSemi, \(([^\n]*)\)", opt)
+        if "_id#" in c
+    ]
+    assert not id_semis, (
+        "where= must be a scan filter, not an id semi-join:\n" + opt
+    )
+    # bucketed tier: zero band-key Exchange survives the predicate
+    tbl = "t_mh_payload_plan"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(
+        docs, "doc_id", "text", tbl, batch_id="b0", buckets=4,
+        payload_cols=["lang"],
+    )
+    tplan = (
+        minhash_table_pairs_vs_batch(spark, tbl, "b0", where="lang = 'en'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    drop_minhash_table(spark, tbl)
+    exchanges = re.findall(r"Exchange (?:hash|range)partitioning\(([^)]*)\)", tplan)
+    band_ex = [e for e in exchanges if "band_" in e]
+    assert not band_ex, f"where= cost the bucketed tier its co-location: {band_ex}"
+    assert "SelectedBucketsCount" in tplan
+
+
 def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
     """Round-8 bucketed-table tier: with the band index AND its counts
     sidecar bucketed on (band_idx, band_hash), the per-batch pairs
@@ -618,6 +690,9 @@ def test_every_broadcast_hint_site_is_classified():
         ("workloads/llm.py", "n_diff"): ONE_ROW,
         ("workloads/llm.py", "n_excluded"): ONE_ROW,
         ("workloads/llm.py", "n_outside"): ONE_ROW,    # r13 l3_filtered_ann audit count
+        ("workloads/llm.py", "n_bad_lang"): ONE_ROW,   # r15 l3_payload_ann audit count
+        ("workloads/llm.py", "n_bad"): ONE_ROW,        # r15 l2_payload_pairs audit count
+        ("workloads/llm.py", "n_bad_doc"): ONE_ROW,    # r15 l3_payload_ann audit count
         ("workloads/llm.py", "q"): DIM,                # r13 l3_grouped_maxsim: ≤5 query vectors (literal vec_id < 5 bound)
         ("workloads/llm.py", "qn"): DIM,               # r14 l3_grouped_ann: ≤5 query vectors (literal vec_id < 5 bound)
         ("workloads/llm.py", "recall"): ONE_ROW,       # r14 l3_grouped_ann
