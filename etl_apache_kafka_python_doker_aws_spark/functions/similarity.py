@@ -1090,6 +1090,7 @@ def ann_grouped_topk(
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
     allowed: DataFrame | None = None,
+    where: str | None = None,
     prune: bool | str = "auto",
     retarget_probes: bool = True,
     doc_col: str = "doc_id",
@@ -1150,7 +1151,14 @@ def ann_grouped_topk(
     doc ids) in both forms, per-filtered-corpus top-k with probes
     re-targeted to the cells that hold allowed docs' chunks
     (``retarget_probes`` passes through — keep the default for
-    selective filters, pass False for broad ones). Self-chunk matches
+    selective filters, pass False for broad ones). ``where`` (r15)
+    passes a stored-payload SQL predicate to the underlying search
+    (pushed scan filter, composes with ``allowed`` by AND) — with a
+    doc-level attribute stored per chunk (e.g. ``payload_cols=
+    ["doc_id","lang"]``) this is doc-level attribute filtering with
+    zero caller frames at any selectivity; on the doc_map form the
+    predicate may only reference ``_id``/``cell`` (a payload-less
+    index stores nothing else). Self-chunk matches
     are excluded by the index (shared-id-space rule); a query's own
     document may still rank via its other chunks — same semantics as
     the exact form.
@@ -1187,6 +1195,7 @@ def ann_grouped_topk(
             prune=prune,
             allowed=allowed,
             allowed_on=doc_col if allowed is not None else None,
+            where=where,
             retarget_probes=retarget_probes,
         )
         pooled = (
@@ -1216,6 +1225,7 @@ def ann_grouped_topk(
             shortlist=shortlist,
             prune=prune,
             allowed=chunk_allowed,
+            where=where,
             retarget_probes=retarget_probes,
         )
         # the gate needs the query-batch size: caller-supplied, or one
@@ -1255,6 +1265,7 @@ def ann_grouped_dedup_batch(
     n_probe: int = 8,
     shortlist: int | str | None = "auto",
     allowed: DataFrame | None = None,
+    where: str | None = None,
     retarget_probes: bool = True,
     doc_col: str = "doc_id",
     resume: bool = False,
@@ -1311,7 +1322,11 @@ def ann_grouped_dedup_batch(
     ("does this snapshot duplicate anything in the licensed subset?");
     probes re-target per ``retarget_probes``. The batch's own docs pair
     only if listed in ``allowed`` — the chunk-level NOTE above applies
-    at doc granularity.
+    at doc granularity. ``where`` (r15) passes a stored-payload SQL
+    predicate to the search side (pushed scan filter, ANDs with
+    ``allowed``); note the predicate filters NEIGHBOR candidates only —
+    the batch's own appended rows are subject to it like any other
+    indexed row.
 
     ``resume`` (r15, VERDICT r14 #3): retry contract for a crash AFTER
     the append committed but before the caller consumed the pairs —
@@ -1351,6 +1366,7 @@ def ann_grouped_dedup_batch(
             n_probe=n_probe, shortlist=shortlist,
             allowed=allowed,
             allowed_on=doc_col if allowed is not None else None,
+            where=where,
             retarget_probes=retarget_probes, resume=resume,
         )
         n_new = new_chunks.select(id_col).count()
@@ -1394,8 +1410,8 @@ def ann_grouped_dedup_batch(
         new_chunks, id_col, vec_col, path,
         batch_id=batch_id, threshold=float("inf"), k=chunk_k,
         n_probe=n_probe, shortlist=shortlist,
-        allowed=chunk_allowed, retarget_probes=retarget_probes,
-        resume=resume,
+        allowed=chunk_allowed, where=where,
+        retarget_probes=retarget_probes, resume=resume,
     )
     n_new = new_chunks.select(id_col).count()
     slim_map = doc_map.select(

@@ -1235,3 +1235,56 @@ def test_grouped_dedup_payload_form_and_resume(spark, tmp_path):
             b1.select("vec_id", "embedding"), "vec_id", "embedding", path,
             batch_id="b2", threshold=0.25,
         )
+
+
+def test_grouped_ops_where_passthrough(spark, tmp_path):
+    """r15: the grouped serving ops pass ``where=`` through to the
+    underlying search — a stored-payload predicate filters the chunk
+    candidates (pushed scan filter, probes re-targeted), so doc-level
+    attribute filtering needs no caller frames: the twin doc (lang
+    'tw', rank 1 at dist 0 unfiltered) vanishes under
+    ``lang <> 'tw'`` and is the ONLY result under ``lang = 'tw'``."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+        ann_grouped_topk,
+    )
+
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_gwhere")
+    q = pc.filter("vec_id = 3")
+    base = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30
+    ).collect()
+    assert base[0].doc_id == 103 and base[0].dist == 0.0
+    no_tw = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30,
+        where="lang <> 'tw'",
+    ).collect()
+    assert no_tw and all(r.doc_id != 103 for r in no_tw), no_tw
+    only_tw = ann_grouped_topk(
+        q, path, k=3, chunk_k=12, n_probe=4, shortlist=30,
+        where="lang = 'tw'",
+    ).collect()
+    assert [r.doc_id for r in only_tw] == [103] and only_tw[0].dist == 0.0
+    # grouped dedup: the twin batch pairs its source docs unfiltered,
+    # but a predicate excluding the source langs leaves only pairs
+    # whose neighbor satisfies it (the twin rows themselves, lang 'tw',
+    # are same-doc and filtered by the doc inequality)
+    b2 = spark.createDataFrame(
+        [(i + 2000, v, 203, "b2") for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>, doc_id long, lang string",
+    )
+    kw = dict(batch_id="b2", threshold=0.25, chunk_k=12, n_probe=4,
+              shortlist=30)
+    p_all = ann_grouped_dedup_batch(
+        b2, "vec_id", "embedding", path, **kw
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in p_all} == {
+        (203, 3), (203, 103)
+    }, p_all
+    # rerun the search side only (resume) with a predicate excluding
+    # the original corpus rows: only the 'tw' twin neighbor survives
+    p_tw = ann_grouped_dedup_batch(
+        b2, "vec_id", "embedding", path, resume=True,
+        where="lang IN ('tw', 'b2')", **kw
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in p_tw} == {(203, 103)}, p_tw
