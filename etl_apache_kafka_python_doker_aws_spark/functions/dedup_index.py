@@ -439,6 +439,9 @@ def minhash_index_append(
         tiny_rows_df(spark, [row]).coalesce(1).write.mode("overwrite").json(
             f"{path}/{_META_DIR}"
         )
+    # n_rows on the marker (r15): the resume contract's "same delivery"
+    # evidence — one count job over the batch lineage, batch-sized
+    n_in = df.count()
     banded = banded_minhash_signatures(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed,
         carry_cols=tuple(pay),
@@ -481,7 +484,9 @@ def minhash_index_append(
     # counted=True is only ever written AFTER the counts write above —
     # a marked batch with the flag provably has its guard counts
     tiny_rows_df(
-        spark, [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
+        spark,
+        [{"batch_id": batch_id, "seq": len(existing), "counted": True,
+          "n_rows": n_in}],
     ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
 
 
@@ -660,6 +665,33 @@ def _pairs_for_batch(
     return estimate_jaccard_pairs(cand, num_hashes, threshold)
 
 
+
+def _resume_skips_append(markers, batch_id: str, new_df: DataFrame,
+                         who: str) -> bool:
+    """Shared resume contract (r15 — the ann_index_dedup_batch rule on
+    the band tier): True = the batch marker proves THIS delivery already
+    appended (skip the append, re-run only the pairs side); False = no
+    marker, append normally. A marker whose recorded ``n_rows`` differs
+    from the input (or predates the field) raises — same batch_id with
+    different payload is a redelivery bug, not a retry."""
+    marked = next((r for r in markers if r.batch_id == batch_id), None)
+    if marked is None:
+        return False
+    n_in = new_df.count()
+    n_marked = (
+        int(marked.n_rows)
+        if "n_rows" in marked.__fields__ and marked.n_rows is not None
+        else None
+    )
+    if n_marked != n_in:
+        raise ValueError(
+            f"{who}: resume of batch_id {batch_id!r} found a marker with "
+            f"n_rows={n_marked} but the input has {n_in} rows — not the "
+            "same delivery; use a fresh batch_id for new data"
+        )
+    return True
+
+
 def minhash_index_dedup_batch(
     new_df: DataFrame,
     id_col: str,
@@ -670,6 +702,7 @@ def minhash_index_dedup_batch(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     where: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Convenience production step: append the new batch to the index,
     then return its near-dup pairs vs everything indexed (itself
@@ -679,6 +712,18 @@ def minhash_index_dedup_batch(
     ``where`` (r15) passes to the pairs query — filter both pair sides
     by a stored-payload predicate; note the append itself is UNfiltered
     (the whole batch becomes searchable for later snapshots).
+
+    ``resume`` (r15, the ann_index_dedup_batch retry contract): the
+    append commits (marker written LAST) before the caller consumes the
+    pairs, so a crash in between leaves a rerun hitting the
+    duplicate-batch_id guard. ``resume=True`` on a retry of the SAME
+    delivery skips the append when the batch marker's recorded
+    ``n_rows`` matches this input and re-runs only the pairs query —
+    identical pair set, since the index state is byte-identical to the
+    first run's post-append state. A count mismatch (or a pre-r15
+    marker without the field) raises; no marker at all means the crash
+    hit MID-append — clean up the unmarked files first (the append
+    contract above), then re-run.
     """
     spark = new_df.sparkSession
     meta = minhash_index_meta(spark, path)
@@ -687,14 +732,18 @@ def minhash_index_dedup_batch(
             f"minhash_index_dedup_batch: no index at {path} — create it "
             "with minhash_index_append (pinning the LSH params) first"
         )
-    minhash_index_append(
-        new_df,
-        id_col,
-        text_col,
-        path,
-        batch_id=batch_id,
-        **meta,
-    )
+    if not (resume and _resume_skips_append(
+        _marker_rows(spark, f"{path}/{_BATCH_DIR}"), batch_id, new_df,
+        "minhash_index_dedup_batch",
+    )):
+        minhash_index_append(
+            new_df,
+            id_col,
+            text_col,
+            path,
+            batch_id=batch_id,
+            **meta,
+        )
     return minhash_index_pairs_vs_batch(
         spark, path, batch_id, threshold=threshold,
         max_bucket_size=max_bucket_size, where=where,
@@ -805,6 +854,7 @@ def minhash_table_append(
         tiny_rows_df(spark, [row]).coalesce(1).write.mode(
             "overwrite"
         ).saveAsTable(f"{table}_meta")
+    n_in = df.count()
     banded = banded_minhash_signatures(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed,
         carry_cols=tuple(pay),
@@ -832,9 +882,18 @@ def minhash_table_append(
         ).format("parquet").saveAsTable(f"{table}_counts")
     finally:
         banded.unpersist()
-    tiny_rows_df(
-        spark, [{"batch_id": batch_id, "seq": len(existing), "counted": True}]
-    ).write.mode("append").saveAsTable(f"{table}_batches")
+    marker = {"batch_id": batch_id, "seq": len(existing), "counted": True,
+              "n_rows": n_in}
+    if _table_exists(spark, f"{table}_batches") and "n_rows" not in spark.table(
+        f"{table}_batches"
+    ).columns:
+        # pre-r15 marker table: appending an extra column would fail the
+        # saveAsTable schema match — keep the legacy shape (resume=True
+        # then reports n_rows=None, the "not provable" path)
+        marker.pop("n_rows")
+    tiny_rows_df(spark, [marker]).write.mode("append").saveAsTable(
+        f"{table}_batches"
+    )
 
 
 def minhash_table_pairs_vs_batch(
@@ -974,6 +1033,7 @@ def minhash_table_dedup_batch(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     where: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Bucketed-tier mirror of ``minhash_index_dedup_batch``: append the
     new batch (signed with the table's pinned params/buckets), then
@@ -983,7 +1043,8 @@ def minhash_table_dedup_batch(
     file names, and rewriting files outside ``bucketBy`` writes would
     silently break join co-location. Use
     ``sources/layout.compact_bucketed_table`` (r9), which rewrites
-    through a CTAS staging table with the pinned bucket spec."""
+    through a CTAS staging table with the pinned bucket spec.
+    ``where`` / ``resume`` (r15): same contracts as the path form."""
     spark = new_df.sparkSession
     meta = minhash_table_meta(spark, table)
     if meta is None:
@@ -991,14 +1052,18 @@ def minhash_table_dedup_batch(
             f"minhash_table_dedup_batch: no index table {table} — create it "
             "with minhash_table_append (pinning params + buckets) first"
         )
-    minhash_table_append(
-        new_df,
-        id_col,
-        text_col,
-        table,
-        batch_id=batch_id,
-        **meta,
-    )
+    if not (resume and _resume_skips_append(
+        _table_marker_rows(spark, table), batch_id, new_df,
+        "minhash_table_dedup_batch",
+    )):
+        minhash_table_append(
+            new_df,
+            id_col,
+            text_col,
+            table,
+            batch_id=batch_id,
+            **meta,
+        )
     return minhash_table_pairs_vs_batch(
         spark, table, batch_id, threshold=threshold,
         max_bucket_size=max_bucket_size, where=where,

@@ -674,6 +674,125 @@ def t14_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t15_stream_grouped_dedup",
+    oracle="""
+    SELECT DISTINCT (vec_id % 100) + 100000 AS query_doc,
+           vec_id % 100 AS neighbor_doc,
+           TRUE AS found,
+           TRUE AS dist_zero,
+           TRUE AS replay_identical
+    FROM embeddings WHERE vec_id % 100 < 5
+    """,
+)
+def t15_stream_grouped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 (r15): STREAMING doc-level grouped semantic dedup — the
+    grouped serving tier deployed as a continuous-ingest pipeline:
+    micro-batches of multi-chunk documents are doc-level-deduplicated
+    against the persisted ANN index via foreachBatch
+    (``similarity.ann_grouped_dedup_batch``, payload-backed form —
+    batch 0 builds the index with ``payload_cols=["doc_id"]`` and pins
+    the models; every later snapshot pays encode + batch-sized search
+    only). The at-least-once story upgrades t13/t14's loud-rejection
+    guard to the r15 RESUME contract: the sink re-runs the SAME
+    delivery with ``resume=True`` (what a foreachBatch replay after a
+    crash-past-append does) and the contract proves the replay returns
+    the IDENTICAL pair set instead of raising or double-indexing.
+
+    Staging: two mtime-ordered files (maxFilesPerTrigger=1 → pinned
+    micro-batch order) — batch 0 the chunk corpus (doc = vec_id % 100),
+    batch 1 verbatim copies of docs 0-4's chunks under chunk id+100000
+    / doc id+100000 (a re-crawled doc with ALL chunk ids renamed — the
+    case chunk-level dedup cannot pair). Contract per planted doc:
+    ``found`` (the new doc pairs its source doc), ``dist_zero``
+    (verbatim chunks ⇒ best-chunk-pair dist exactly 0),
+    ``replay_identical`` (the resume pass emitted exactly the same
+    (query_doc, neighbor_doc, dist) set — engine-side set-equality
+    audit)."""
+    from etl_apache_kafka_python_doker_aws_spark.catalog import load_table
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_meta,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+    )
+    from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
+        run_to_parquet,
+        stage_ordered_batches,
+    )
+
+    wd = _workdir()
+    staged = os.path.join(wd, "gchunks_staged")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        F.pmod(F.col("vec_id"), F.lit(100)).alias("doc_id"),
+    )
+    planted = e.filter(F.col("doc_id") < 5)
+    copies = planted.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        (F.col("doc_id") + 100000).alias("doc_id"),
+    )
+    stage_ordered_batches([e, copies], staged)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, doc_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    idx = os.path.join(wd, "gann_index")
+    pairs_out = os.path.join(wd, "gpairs_out")
+    replay_out = os.path.join(wd, "gpairs_replay_out")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = f"b{batch_id}"
+        sess = batch_df.sparkSession
+        if ann_index_meta(sess, idx) is None:
+            ann_index_build(
+                batch_df, "vec_id", "embedding", idx, dim=64, n_cells=16,
+                n_subspaces=8, n_centroids=32, batch_id=bid,
+                payload_cols=["doc_id"],
+            )
+            return
+        kw = dict(batch_id=bid, threshold=0.25, chunk_k=20, n_probe=8)
+        ann_grouped_dedup_batch(
+            batch_df, "vec_id", "embedding", idx, **kw
+        ).write.mode("append").parquet(pairs_out)
+        # the replayed delivery (foreachBatch is at-least-once): resume
+        # skips the already-committed append, re-runs the search side
+        ann_grouped_dedup_batch(
+            batch_df, "vec_id", "embedding", idx, resume=True, **kw
+        ).write.mode("append").parquet(replay_out)
+
+    run_to_parquet(stream, wd, _qname("t15"), batch_fn=_sink)
+    pairs = spark.read.parquet(pairs_out)
+    replay = spark.read.parquet(replay_out)
+    n_diff_g = (
+        pairs.exceptAll(replay).unionByName(replay.exceptAll(pairs))
+        .agg(F.count("*").alias("_nd"))
+    )
+    expected = planted.select(
+        (F.col("doc_id") + 100000).alias("query_doc"),
+        F.col("doc_id").alias("neighbor_doc"),
+    ).distinct()
+    return (
+        expected.join(pairs, ["query_doc", "neighbor_doc"], "left")
+        .crossJoin(F.broadcast(n_diff_g))
+        .select(
+            "query_doc",
+            "neighbor_doc",
+            F.col("dist").isNotNull().alias("found"),
+            (F.col("dist") == 0.0).alias("dist_zero"),
+            (F.col("_nd") == 0).alias("replay_identical"),
+        )
+    )
+
+
+@query(
     "t12_stream_curation",
     oracle="""
     WITH quality AS (

@@ -78,7 +78,7 @@ def test_incremental_pairs_tile_the_whole_corpus(spark, tmp_path):
     assert minhash_index_batches(spark, path) == ["b0", "b1"]
     assert minhash_index_meta(spark, path) == {
         "num_hashes": 32, "bands": 4, "shingle_n": 3, "seed": 42,
-        "bgroups": 16,
+        "bgroups": 16, "payload_cols": [],
     }
 
 
@@ -1340,3 +1340,93 @@ def test_payload_survives_lifecycle(spark, tmp_path):
     assert rows_t and all(
         r.lang == ("en" if r._id % 2 == 0 else "de") for r in rows_t
     )
+
+
+def test_dedup_batch_resume_both_tiers(spark, tmp_path):
+    """r15 resume contract on the band tier (the ann_index_dedup_batch
+    rule): a rerun of the SAME delivery after the append committed
+    skips the append and returns the IDENTICAL pair set; a same-
+    batch_id rerun with different rows raises; without resume the
+    redelivery guard still fires; resume over a crashed (unmarked)
+    append falls through to the mid-append contract."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
+        drop_minhash_table,
+        minhash_table_append,
+        minhash_table_dedup_batch,
+    )
+
+    b0, b1, full = _frames(spark)
+    path = str(tmp_path / "mh_resume")
+    minhash_index_append(b0, "doc_id", "text", path, batch_id="b0")
+    p1 = minhash_index_dedup_batch(
+        b1, "doc_id", "text", path, batch_id="b1"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in p1} == {(1, 101), (102, 103)}
+    # crash-after-append rerun
+    p1b = minhash_index_dedup_batch(
+        b1, "doc_id", "text", path, batch_id="b1", resume=True
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in p1b) == sorted(
+        (r.id_a, r.id_b) for r in p1
+    )
+    # different rows under the same batch_id — a redelivery bug
+    with pytest.raises(ValueError, match="not the same delivery"):
+        minhash_index_dedup_batch(
+            b1.limit(2), "doc_id", "text", path, batch_id="b1", resume=True
+        )
+    # without resume the duplicate-batch_id guard still fires
+    with pytest.raises(ValueError, match="already appended"):
+        minhash_index_dedup_batch(b1, "doc_id", "text", path, batch_id="b1")
+    # bucketed tier mirrors the contract
+    tbl = "t_mh_resume"
+    drop_minhash_table(spark, tbl)
+    minhash_table_append(b0, "doc_id", "text", tbl, batch_id="b0", buckets=4)
+    t1 = minhash_table_dedup_batch(
+        b1, "doc_id", "text", tbl, batch_id="b1"
+    ).collect()
+    t1b = minhash_table_dedup_batch(
+        b1, "doc_id", "text", tbl, batch_id="b1", resume=True
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in t1b) == sorted(
+        (r.id_a, r.id_b) for r in t1
+    )
+    with pytest.raises(ValueError, match="not the same delivery"):
+        minhash_table_dedup_batch(
+            b1.limit(1), "doc_id", "text", tbl, batch_id="b1", resume=True
+        )
+    drop_minhash_table(spark, tbl)
+
+
+def test_resume_rejects_pre_r15_marker(spark, tmp_path):
+    """A pre-r15 marker (no n_rows field) cannot prove "same delivery"
+    — resume must raise rather than silently skip the append on
+    unprovable evidence."""
+    import glob
+    import json
+
+    b0, b1, full = _frames(spark)
+    path = str(tmp_path / "mh_resume_legacy")
+    minhash_index_append(b0, "doc_id", "text", path, batch_id="b0")
+    minhash_index_append(b1, "doc_id", "text", path, batch_id="b1")
+    # strip n_rows from the markers — the genuine pre-r15 shape (with
+    # the .crc sidecar removal the in-place edit requires)
+    import os
+
+    for f in glob.glob(f"{path}/_graft_batches/*.json"):
+        rows = []
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    row = json.loads(line)
+                    row.pop("n_rows", None)
+                    rows.append(row)
+        with open(f, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row) + "\n")
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    with pytest.raises(ValueError, match="n_rows=None"):
+        minhash_index_dedup_batch(
+            b1, "doc_id", "text", path, batch_id="b1", resume=True
+        )

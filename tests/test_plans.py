@@ -705,6 +705,7 @@ def test_every_broadcast_hint_site_is_classified():
         ("workloads/llm.py", "total"): ONE_ROW,
         ("workloads/sql_surface.py", "lossless"): ONE_ROW,
         ("workloads/streaming.py", "mx"): ONE_ROW,
+        ("workloads/streaming.py", "n_diff_g"): ONE_ROW,  # r15 t15 replay audit count
         ("sources/layout.py", "nmap"): DIM,             # partition-dir rename map (metadata-sized)
         ("functions/ann_index.py", "cand.select('query_id').distinct()"): GATED,
         ("functions/ann_index.py", "cand"): GATED,
