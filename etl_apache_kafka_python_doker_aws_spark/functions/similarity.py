@@ -1238,7 +1238,18 @@ def ann_grouped_topk(
                 F.col(chunk_col).alias("neighbor_id"),
                 F.col(map_doc_col).alias("doc_id"),
             )
-            .join(_hint_if_bounded(hits, n_q * chunk_k * 4), "neighbor_id")
+            # slim the hits to the pooled keys BEFORE the map join
+            # (review r15): a payload-backed index returns its stored
+            # columns on every hit, and a payload named doc_id would
+            # collide with the map's — AMBIGUOUS_REFERENCE at best,
+            # silently pooling on the wrong column at worst
+            .join(
+                _hint_if_bounded(
+                    hits.select("query_id", "neighbor_id", "dist"),
+                    n_q * chunk_k * 4,
+                ),
+                "neighbor_id",
+            )
             .groupBy("query_id", "doc_id")
             .agg(F.min("dist").alias("dist"))
         )
@@ -1438,7 +1449,14 @@ def ann_grouped_dedup_batch(
     pooled = (
         slim_map.withColumnRenamed("_chunk", "neighbor_id")
         .withColumnRenamed("_doc", "neighbor_doc")
-        .join(_hint_if_bounded(hits, mass), "neighbor_id")
+        # slim hits to the join keys (review r15 — the ann_grouped_topk
+        # payload-collision rule; also halves the hinted build side)
+        .join(
+            _hint_if_bounded(
+                hits.select("query_id", "neighbor_id", "dist"), mass
+            ),
+            "neighbor_id",
+        )
         .join(_hint_if_bounded(query_map, n_new * 2), "query_id")
         .filter(F.col("query_doc") != F.col("neighbor_doc"))
         .groupBy("query_doc", "neighbor_doc")

@@ -1288,3 +1288,49 @@ def test_grouped_ops_where_passthrough(spark, tmp_path):
         where="lang IN ('tw', 'b2')", **kw
     ).collect()
     assert {(r.query_doc, r.neighbor_doc) for r in p_tw} == {(203, 103)}, p_tw
+
+
+def test_doc_map_form_on_payload_backed_index(spark, tmp_path):
+    """review r15: the doc_map forms must work on an index that ALSO
+    stores payload columns — hits then carry a stored `doc_id`, and an
+    unslimmed hits side would collide with the map's doc_id column
+    (AMBIGUOUS_REFERENCE at construction; with non-conflicting names,
+    the risk is pooling on the wrong column). The caller's doc_map must
+    WIN: pooled doc ids come from the map, not the stored payload."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.similarity import (
+        ann_grouped_dedup_batch,
+        ann_grouped_topk,
+    )
+
+    pc, rows, path = _payload_fixture(spark, tmp_path, tag="ann_gmapclash")
+    # a doc_map that DISAGREES with the stored payload: docs shifted by
+    # 500 — results must follow the map
+    doc_map = spark.read.parquet(path).select(
+        F.col("_id").alias("chunk_id"),
+        (F.col("doc_id") + 500).alias("doc_id"),
+    )
+    q = pc.filter("vec_id = 3")
+    got = ann_grouped_topk(
+        q, path, doc_map, "vec_id", "embedding", k=3, chunk_k=12,
+        n_probe=4, shortlist=30,
+    ).collect()
+    assert got[0].doc_id == 603 and got[0].dist == 0.0, got
+    assert all(r.doc_id >= 500 for r in got), got
+    # grouped dedup doc_map form on the same payload-backed index
+    b2 = spark.createDataFrame(
+        [(i + 2000, v, 203, "b2") for i, v in rows if i % 10 == 3],
+        "vec_id long, embedding array<double>, doc_id long, lang string",
+    )
+    full_map = doc_map.unionByName(
+        b2.select(
+            F.col("vec_id").alias("chunk_id"),
+            (F.col("doc_id") + 500).alias("doc_id"),
+        )
+    )
+    pairs = ann_grouped_dedup_batch(
+        b2, "vec_id", "embedding", path, full_map,
+        batch_id="b9", threshold=0.25, chunk_k=12, n_probe=4, shortlist=30,
+    ).collect()
+    assert {(r.query_doc, r.neighbor_doc) for r in pairs} == {
+        (703, 503), (703, 603)
+    }, pairs
