@@ -111,15 +111,18 @@ _RESERVED_BAND_COLS = frozenset(
 )
 
 
-def _check_payload_request(df: DataFrame, payload_cols: list, who: str) -> None:
+def _check_payload_request(df: DataFrame, payload_cols: list, who: str,
+                           reserved: frozenset = _RESERVED_BAND_COLS) -> None:
     """Creation-time payload schema validation (r15): reserved-name
     shadowing, duplicates, and absence from the batch frame are all
-    caller bugs — reject loudly before anything is written."""
-    bad = [c for c in payload_cols if c in _RESERVED_BAND_COLS]
+    caller bugs — reject loudly before anything is written.
+    ``reserved`` lets other tiers (exact_index) pass their own
+    index-owned column set."""
+    bad = [c for c in payload_cols if c in reserved]
     if bad:
         raise ValueError(
             f"{who}: payload column(s) {bad} shadow index-owned columns; "
-            f"reserved names: {sorted(_RESERVED_BAND_COLS)}"
+            f"reserved names: {sorted(reserved)}"
         )
     if len(set(payload_cols)) != len(payload_cols):
         raise ValueError(f"{who}: duplicate payload column names {payload_cols}")
@@ -132,7 +135,8 @@ def _check_payload_request(df: DataFrame, payload_cols: list, who: str) -> None:
 
 
 def _pinned_payloads(
-    df: DataFrame, meta: dict | None, payload_cols, who: str
+    df: DataFrame, meta: dict | None, payload_cols, who: str,
+    reserved: frozenset = _RESERVED_BAND_COLS,
 ) -> list[str]:
     """Resolve the effective payload column list for an append (r15):
     the index's pinned schema wins once it exists — a conflicting
@@ -141,7 +145,7 @@ def _pinned_payloads(
     filtering downstream, the ann_index_append rule)."""
     if meta is None:
         req = list(payload_cols or [])
-        _check_payload_request(df, req, who)
+        _check_payload_request(df, req, who, reserved)
         return req
     pinned = list(meta.get("payload_cols") or [])
     if payload_cols is not None and list(payload_cols) != pinned:

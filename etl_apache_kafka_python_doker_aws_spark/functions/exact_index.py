@@ -44,19 +44,33 @@ from etl_apache_kafka_python_doker_aws_spark.functions.dedup_index import (
     _apply_tombstones,
     _drop_table_and_location,
     _marker_seq_join,
+    _pinned_payloads,
     _table_exists,
     _table_marker_rows,
     _tombstones,
 )
+
+#: Column names this tier owns (r15 payload columns must not shadow
+#: them — the band tier's _RESERVED_BAND_COLS rule)
+_RESERVED_SHA_COLS = frozenset({"content_hash", "_id", "_batch", "del_seq"})
 from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
 
 
 def sha_table_meta(spark: SparkSession, table: str) -> dict | None:
-    """Pinned bucket count, or None if the index doesn't exist yet."""
+    """Pinned bucket count (+ r15 payload schema), or None if the
+    index doesn't exist yet."""
     if not _table_exists(spark, f"{table}_meta"):
         return None
     row = spark.table(f"{table}_meta").first()
-    return None if row is None else {"buckets": int(row.buckets)}
+    if row is None:
+        return None
+    meta = {"buckets": int(row.buckets)}
+    meta["payload_cols"] = (
+        list(row.payload_cols)
+        if "payload_cols" in row.__fields__ and row.payload_cols
+        else []
+    )
+    return meta
 
 
 def _require_data_table(spark: SparkSession, table: str, who: str) -> None:
@@ -104,6 +118,7 @@ def sha_table_append(
     *,
     batch_id: str,
     buckets: int = 64,
+    payload_cols: list[str] | None = None,
 ) -> None:
     """Hash ``df``'s content (sha256 of the text column) and APPEND to
     the bucketed index table (created, with ``buckets`` pinned in
@@ -114,7 +129,14 @@ def sha_table_append(
     batch_id after a compact (or clean the rows), never blind.
     Duplicate content WITHIN the batch is stored as-is — dedup
     semantics are defined at query time (first occurrence by
-    (batch seq, id) wins)."""
+    (batch seq, id) wins).
+
+    ``payload_cols`` (r15 — the payload rule completed across all
+    three dedup tiers): per-doc attribute columns stored on every
+    index row, pinned in meta at creation, required of every later
+    append; ``sha_table_dedup_batch(where=...)`` then filters the
+    verdict's corpus by a stored-column predicate as a pushed scan
+    filter (keeps the co-located zero-shuffle plan)."""
     spark = df.sparkSession
     _sha_recover(spark, table)
     meta = sha_table_meta(spark, table)
@@ -130,8 +152,13 @@ def sha_table_append(
             f"sha_table_append: batch_id {batch_id!r} already appended to "
             f"{table} — use a fresh batch_id per delivery"
         )
+    pay = _pinned_payloads(df, meta, payload_cols, "sha_table_append",
+                           _RESERVED_SHA_COLS)
     if meta is None:
-        tiny_rows_df(spark, [{"buckets": buckets}]).coalesce(1).write.mode(
+        mrow = {"buckets": buckets}
+        if pay:
+            mrow["payload_cols"] = pay
+        tiny_rows_df(spark, [mrow]).coalesce(1).write.mode(
             "overwrite"
         ).saveAsTable(f"{table}_meta")
     from etl_apache_kafka_python_doker_aws_spark.functions.dedup import (
@@ -143,6 +170,7 @@ def sha_table_append(
     rows = df.select(
         content_hash(F.col(text_col).cast("string")).alias("content_hash"),
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in pay],
         F.lit(batch_id).alias("_batch"),
     )
     # repartition ON the bucket column first (ADVICE r12, the r10
@@ -160,7 +188,8 @@ def sha_table_append(
 
 
 def sha_table_dedup_batch(
-    spark: SparkSession, table: str, batch_id: str
+    spark: SparkSession, table: str, batch_id: str,
+    *, where: str | None = None,
 ) -> DataFrame:
     """Exact-duplicate verdict for one MARKED batch against everything
     ingested BEFORE it: one row per batch row — ``(doc_id, is_dup,
@@ -176,7 +205,15 @@ def sha_table_dedup_batch(
     Retraction semantics compose: tombstoned rows are anti-joined out
     (request-sized build side), so content whose every earlier copy was
     GDPR-deleted reads as NEW again, and the keeper is always a LIVE
-    row."""
+    row.
+
+    ``where`` (r15): a stored-payload SQL predicate applied to BOTH
+    sides (batch rows and prior-occurrence candidates) — "is this
+    batch a duplicate of any LICENSED earlier document?" Filtered-out
+    batch rows are absent from the verdict (per-filtered-corpus, the
+    band/ANN tier rule); a keeper always satisfies the predicate. A
+    pushed scan filter, so the co-located zero-Exchange plan is
+    untouched at any selectivity."""
     _sha_recover(spark, table)
     _require_data_table(spark, table, "sha_table_dedup_batch")
     markers = _table_marker_rows(spark, table)
@@ -193,6 +230,8 @@ def sha_table_dedup_batch(
         _tombstones(spark, table),
         markers,
     )
+    if where is not None:
+        live = live.filter(where)
     live_seq = _marker_seq_join(live, markers, "inner")
     batch = live_seq.filter(F.col("_batch") == F.lit(batch_id)).select(
         F.col("_id").alias("doc_id"), "content_hash"

@@ -188,6 +188,121 @@ def l1_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l1_payload_verdict",
+    oracle="""
+    WITH dup AS (
+      SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1
+    )
+    SELECT doc_id AS id_a,
+           doc_id + 100000 AS id_b,
+           (doc_id % 2 = 0) AS copy_en,
+           TRUE AS en_hit_iff_en,
+           TRUE AS en_verdict_ok,
+           TRUE AS broad_all_dup
+    FROM documents
+    WHERE doc_id % 25 = 0 AND text IS NOT NULL
+      AND text NOT IN (SELECT text FROM dup)
+    """,
+)
+def l1_payload_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: stored-payload PREDICATE on the exact-dedup verdict (r15 —
+    the payload rule completed across all THREE dedup tiers):
+    ``sha_table_append(payload_cols=["lang"])`` stores the attribute on
+    every hash row; ``sha_table_dedup_batch(where="lang = 'en'")``
+    answers "is this batch a duplicate of any LICENSED earlier
+    document?" with the predicate as a pushed scan filter on the
+    co-located bucketed plan (zero extra joins/shuffles — the
+    l2_payload_pairs / l3_payload_ann rule on the exact tier).
+
+    Script: index corpus with ``lang`` = 'en' iff doc_id even; batch =
+    verbatim copies of every 25th unique-text doc under id+100000
+    (+100000 preserves parity, so a copy shares its source's lang).
+    Contract (oracle enumerates every plant): (a) ``en_hit_iff_en`` —
+    the copy appears in the 'en'-filtered verdict iff it is 'en'
+    (filtered-out batch rows are ABSENT, per-filtered-corpus); (b)
+    ``en_verdict_ok`` — every 'en' verdict row is flagged dup with
+    keeper = its source doc (the keeper satisfies the predicate;
+    unique texts make it well-defined); (c) ``broad_all_dup`` — under
+    the all-covering predicate every planted copy is flagged."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.exact_index import (
+        drop_sha_table,
+        sha_table_append,
+        sha_table_dedup_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lang_of = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("en")
+    ).otherwise(F.lit("de"))
+    dup_texts = (
+        d.groupBy("text").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1).select("text")
+    )
+    eligible = (
+        d.filter(
+            (F.pmod(F.col("doc_id"), F.lit(_PLANT_STEP)) == 0)
+            & F.col("text").isNotNull()
+        )
+        .join(dup_texts, "text", "left_anti")
+        .persist()
+    )
+    b1 = eligible.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    tbl = _session_table(spark, "l1_sha_payload")
+    drop_sha_table(spark, tbl)
+    sha_table_append(
+        d.withColumn("lang", lang_of), "doc_id", "text", tbl,
+        batch_id="b0", buckets=8, payload_cols=["lang"],
+    )
+    sha_table_append(
+        b1.withColumn("lang", lang_of), "doc_id", "text", tbl,
+        batch_id="b1", buckets=8,
+    )
+    en = sha_table_dedup_batch(
+        spark, tbl, "b1", where="lang = 'en'"
+    ).localCheckpoint(eager=True)  # two consumers (presence join +
+    # verdict audit): pin one evaluation (the r10 rule)
+    broad = sha_table_dedup_batch(
+        spark, tbl, "b1", where="lang IN ('en', 'de')"
+    )
+    n_bad_en = en.filter(
+        (~F.col("is_dup"))
+        | (F.col("keeper_id") != F.col("doc_id") - _PLANT_OFFSET)
+    ).agg(F.count("*").alias("_nbe"))
+    expected = eligible.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(
+            en.select(F.col("doc_id").alias("_ed")),
+            F.col("id_b") == F.col("_ed"),
+            "left",
+        )
+        .join(
+            broad.select(
+                F.col("doc_id").alias("_bd"), F.col("is_dup").alias("_bdup")
+            ),
+            F.col("id_b") == F.col("_bd"),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_bad_en))
+        .select(
+            "id_a",
+            "id_b",
+            (F.pmod(F.col("id_a"), F.lit(2)) == 0).alias("copy_en"),
+            (
+                F.col("_ed").isNotNull()
+                == (F.pmod(F.col("id_a"), F.lit(2)) == 0)
+            ).alias("en_hit_iff_en"),
+            (F.col("_nbe") == 0).alias("en_verdict_ok"),
+            F.coalesce(F.col("_bdup"), F.lit(False)).alias("broad_all_dup"),
+        )
+    )
+
+
 #: Planted-duplicate scaffold shared by the near-dup contract queries:
 #: copy every 25th document verbatim under doc_id + 100000 (far above the
 #: fixture id range). A verbatim copy has Jaccard 1.0 with its original

@@ -64,7 +64,7 @@ def test_append_guards(spark, tbl):
         sha_table_append(b, "doc_id", "text", tbl, batch_id="b1", buckets=8)
     with pytest.raises(ValueError, match="not a MARKED"):
         sha_table_dedup_batch(spark, tbl, "ghost")
-    assert sha_table_meta(spark, tbl) == {"buckets": 4}
+    assert sha_table_meta(spark, tbl) == {"buckets": 4, "payload_cols": []}
 
 
 def test_delete_seq_scoped_reappend_lives(spark, tbl):
@@ -232,3 +232,84 @@ def test_delete_writes_one_tombstone_file_per_request(spark, tbl):
     )
     files = glob.glob(os.path.join(loc, "*.parquet"))
     assert len(files) == 2, files  # one request-sized file per delete
+
+
+def _lang(df):
+    return df.withColumn(
+        "lang",
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("en")).otherwise(
+            F.lit("de")
+        ),
+    )
+
+
+def test_payload_where_verdict(spark, tbl):
+    """r15: payload columns on the EXACT tier (completing the rule
+    across all three dedup tiers) — where= filters BOTH the batch rows
+    and the prior-occurrence candidates, so the verdict is "duplicate
+    of any LICENSED earlier doc"; keepers always satisfy the
+    predicate; filtered-out batch rows are absent."""
+    b0 = _lang(_docs(spark, [(i, f"doc number {i} content") for i in range(20)]))
+    sha_table_append(b0, "doc_id", "text", tbl, batch_id="b0", buckets=4,
+                     payload_cols=["lang"])
+    assert sha_table_meta(spark, tbl)["payload_cols"] == ["lang"]
+    # 103 copies doc 3 ('de'), 104 copies doc 4 ('en'); batch rows:
+    # 103 odd->'de', 104 even->'en'
+    b1 = _lang(_docs(spark, [
+        (103, "doc number 3 content"),
+        (104, "doc number 4 content"),
+    ]))
+    sha_table_append(b1, "doc_id", "text", tbl, batch_id="b1", buckets=4)
+    full = {r.doc_id: r for r in sha_table_dedup_batch(spark, tbl, "b1").collect()}
+    assert full[103].keeper_id == 3 and full[104].keeper_id == 4
+    en = {r.doc_id: r
+          for r in sha_table_dedup_batch(spark, tbl, "b1",
+                                         where="lang = 'en'").collect()}
+    # only the 'en' batch row appears, and its keeper is the 'en' copy
+    assert set(en) == {104} and en[104].is_dup and en[104].keeper_id == 4
+    de = {r.doc_id: r
+          for r in sha_table_dedup_batch(spark, tbl, "b1",
+                                         where="lang = 'de'").collect()}
+    assert set(de) == {103} and de[103].keeper_id == 3
+    # append guards: pinned schema required and conflicting lists loud
+    with pytest.raises(ValueError, match="lacks"):
+        sha_table_append(_docs(spark, [(300, "z")]), "doc_id", "text", tbl,
+                         batch_id="b2", buckets=4)
+    with pytest.raises(ValueError, match="pins payload_cols"):
+        sha_table_append(_lang(_docs(spark, [(300, "z")]))
+                         .withColumnRenamed("lang", "lic"),
+                         "doc_id", "text", tbl, batch_id="b2", buckets=4,
+                         payload_cols=["lic"])
+    with pytest.raises(ValueError, match="shadow"):
+        sha_table_append(
+            _docs(spark, [(1, "x")]).withColumn("content_hash", F.lit("y")),
+            "doc_id", "text", tbl + "_fresh", batch_id="b0", buckets=4,
+            payload_cols=["content_hash"],
+        )
+
+
+def test_payload_survives_delete_and_compact(spark, tbl):
+    """r15: stored payload values and the where= verdict survive the
+    tombstone delete + physical compact cycle (whole-row rewrite)."""
+    b0 = _lang(_docs(spark, [(i, f"doc number {i} content") for i in range(20)]))
+    sha_table_append(b0, "doc_id", "text", tbl, batch_id="b0", buckets=4,
+                     payload_cols=["lang"])
+    b1 = _lang(_docs(spark, [(104, "doc number 4 content"),
+                             (106, "doc number 6 content")]))
+    sha_table_append(b1, "doc_id", "text", tbl, batch_id="b1", buckets=4)
+    # retract keeper 4 -> 104's 'en' verdict loses its keeper
+    assert sha_table_delete(spark, tbl, [4], compact_threshold=2.0) == 1
+    en = {r.doc_id: r
+          for r in sha_table_dedup_batch(spark, tbl, "b1",
+                                         where="lang = 'en'").collect()}
+    assert not en[104].is_dup and en[106].keeper_id == 6
+    assert sha_table_compact(spark, tbl) > 0
+    en2 = {r.doc_id: r
+           for r in sha_table_dedup_batch(spark, tbl, "b1",
+                                          where="lang = 'en'").collect()}
+    assert {d: (r.is_dup, r.keeper_id) for d, r in en.items()} == \
+           {d: (r.is_dup, r.keeper_id) for d, r in en2.items()}
+    rows = spark.table(tbl).select("_id", "lang").collect()
+    assert rows and all(
+        r.lang == ("en" if r._id % 2 == 0 else "de") for r in rows
+    )

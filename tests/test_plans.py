@@ -692,6 +692,7 @@ def test_every_broadcast_hint_site_is_classified():
         ("workloads/llm.py", "n_outside"): ONE_ROW,    # r13 l3_filtered_ann audit count
         ("workloads/llm.py", "n_bad_lang"): ONE_ROW,   # r15 l3_payload_ann audit count
         ("workloads/llm.py", "n_bad"): ONE_ROW,        # r15 l2_payload_pairs audit count
+        ("workloads/llm.py", "n_bad_en"): ONE_ROW,     # r15 l1_payload_verdict audit count
         ("workloads/llm.py", "n_bad_doc"): ONE_ROW,    # r15 l3_payload_ann audit count
         ("workloads/llm.py", "q"): DIM,                # r13 l3_grouped_maxsim: ≤5 query vectors (literal vec_id < 5 bound)
         ("workloads/llm.py", "qn"): DIM,               # r14 l3_grouped_ann: ≤5 query vectors (literal vec_id < 5 bound)
