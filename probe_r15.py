@@ -25,6 +25,14 @@ Usage:
   python probe_r15.py plain      # unfiltered pairs (baseline)
   python probe_r15.py where      # broad predicate via where=
   python probe_r15.py allowed    # same filter via the id-set API
+
+ANN-side legs (the same claim on the L3 tier — 1M × 64d vectors,
+IVF-PQ index with a `lang` payload, 100-query batch):
+  python probe_r15.py abuild         # synthesize + build (cached)
+  python probe_r15.py asearch        # unfiltered top-5 (baseline)
+  python probe_r15.py awhere         # broad predicate, retarget on
+  python probe_r15.py awhere_nort    # broad predicate, retarget off
+  python probe_r15.py aallowed       # same filter via the id-set API
 """
 
 from __future__ import annotations
@@ -117,10 +125,84 @@ def _time_pairs(tag: str, **kw):
                       "pairs": n}))
 
 
+VEC_PARQUET = f"{BASE}/vecs.parquet"
+ANN_INDEX = f"{BASE}/ann_idx"
+ANN_DONE = f"{BASE}/.abuild_done"
+NV = int(os.environ.get("PROBE_R15_VECS", "1000000"))
+DIM = 64
+
+
+def phase_abuild():
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+    )
+
+    if os.path.exists(ANN_DONE):
+        print(json.dumps({"leg": "abuild", "cached": True}))
+        return
+    spark = _spark()
+    os.makedirs(BASE, exist_ok=True)
+    t0 = time.time()
+    comp = lambda i: (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(10000)).cast("double")
+        / 5000.0 - 1.0
+    )
+    spark.range(NV).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(DIM)]).alias("embedding"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+        .alias("lang"),
+    ).repartition(64).write.mode("overwrite").parquet(VEC_PARQUET)
+    vecs = spark.read.parquet(VEC_PARQUET)
+    ann_index_build(
+        vecs, "vec_id", "embedding", ANN_INDEX, dim=DIM, n_cells=64,
+        n_subspaces=8, n_centroids=64, payload_cols=["lang"],
+    )
+    open(ANN_DONE, "w").write("ok")
+    print(json.dumps({"leg": "abuild", "sec": round(time.time() - t0, 1),
+                      "n": NV}))
+
+
+def _time_search(tag: str, **kw):
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_search,
+    )
+
+    spark = _spark()
+    q = spark.read.parquet(VEC_PARQUET).filter("vec_id < 100").select(
+        "vec_id", "embedding"
+    )
+    t0 = time.time()
+    n = ann_index_search(
+        q, ANN_INDEX, k=5, n_probe=8, shortlist=2000, **kw
+    ).count()
+    print(json.dumps({"leg": tag, "sec": round(time.time() - t0, 2),
+                      "hits": n}))
+
+
 def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else ""
     if phase == "build":
         phase_build()
+    elif phase == "abuild":
+        phase_abuild()
+    elif phase == "asearch":
+        _time_search("ann_plain")
+    elif phase == "awhere":
+        _time_search("ann_where_broad", where="lang = 'de'")
+    elif phase == "awhere_nort":
+        _time_search("ann_where_broad_nort", where="lang = 'de'",
+                     retarget_probes=False)
+    elif phase == "aallowed":
+        spark = _spark()
+        allowed = (
+            spark.read.parquet(VEC_PARQUET)
+            .filter("lang = 'de'")
+            .select("vec_id")
+        )
+        _time_search("ann_allowed_broad", allowed=allowed)
     elif phase == "plain":
         _time_pairs("plain")
     elif phase == "where":
