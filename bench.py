@@ -100,6 +100,10 @@ HEADLINE = [
     # search with probe re-targeting default-on (one distinct-cells job
     # + the allowed semi-join), previously untracked round-over-round.
     "l3_filtered_ann_search",
+    # r15: the stored-payload PREDICATE serving path (where= pushed
+    # scan filter on a payload-backed index) — the round's headline
+    # filtering form, tracked separately from the id-set path above.
+    "l3_payload_ann_search",
 ]
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
@@ -367,6 +371,40 @@ def _op_filtered_ann_search(spark, sf_dir: str):
     )
 
 
+def _op_payload_ann_search(spark, sf_dir: str):
+    """Operator path (r15): stored-payload PREDICATE top-k search — the
+    where= pushed scan filter on a payload-backed index (zero caller
+    frames/joins at any selectivity; the broad-filter serving form).
+    Setup (untimed): one ann_index_build with payload_cols. Broad
+    predicate (half the corpus by id parity — the shape where the
+    id-set API would need a corpus-sized allowed frame)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_apache_kafka_python_doker_aws_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "embedding",
+        F.when(F.pmod("vec_id", F.lit(2)) == 0, F.lit("en"))
+        .otherwise(F.lit("de")).alias("lang"),
+    )
+    path = tempfile.mkdtemp(prefix="bench_ann_pay_")
+    _BENCH_TMP.append(path)
+    ann_index_build(
+        e, "vec_id", "embedding", path, dim=64, n_cells=16, n_subspaces=8,
+        n_centroids=32, payload_cols=["lang"],
+    )
+    q = e.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    return lambda: ann_index_search(
+        q, path, k=5, n_probe=8, shortlist=200, where="lang = 'en'"
+    )
+
+
 # name -> setup(spark, sf_dir) -> zero-arg thunk returning the DataFrame
 # to drain. Setup runs ONCE, before the warm pass, outside every timer.
 OPERATOR_OPS = {
@@ -377,6 +415,7 @@ OPERATOR_OPS = {
     "l1_sha_dedup_batch": _op_sha_dedup_batch,
     "l3_grouped_ann_search": _op_grouped_ann_search,
     "l3_filtered_ann_search": _op_filtered_ann_search,
+    "l3_payload_ann_search": _op_payload_ann_search,
 }
 
 # persisted-index fixtures built by the setups — removed after the run
