@@ -179,11 +179,18 @@ _PRUNE_MIN_ROWS = 4_000_000
 
 
 def ann_index_meta(spark: SparkSession, path: str) -> dict | None:
-    """Read params + trained models, or None if no index at ``path``."""
+    """Read params + trained models, or None if no index at ``path``.
+    Driver-side Hadoop-FS read (r15, ``util.sidecar_json_rows``): the
+    meta dir is ONE small JSON row, and the old ``spark.read.json +
+    first()`` paid two Spark jobs (schema inference + fetch) on every
+    search/append/delete call — a fixed scheduling tax, not data work."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_rows
+
     try:
-        row = spark.read.json(f"{path}/{_META_DIR}").first()
+        rows = sidecar_json_rows(spark, f"{path}/{_META_DIR}")
     except Exception:
         return None
+    row = rows[0] if rows else None
     if row is None:
         return None
     return {
@@ -234,13 +241,14 @@ def _ann_marker_rows(spark: SparkSession, path: str) -> list:
     """Raw batch-marker rows in append order (empty for a fresh index).
     One tiny JSON row per batch — metadata-cheap at any index size.
     Absence is an explicit existence check; a READ error on an existing
-    marker dir propagates (review r12 — ``util.sidecar_read``)."""
-    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+    marker dir propagates (review r12). Driver-side FS read (r15,
+    ``util.sidecar_json_rows``) — no Spark job per marker read."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_rows
 
-    df = sidecar_read(spark, f"{path}/{_BATCH_DIR}", "json")
-    if df is None:
+    rows = sidecar_json_rows(spark, f"{path}/{_BATCH_DIR}")
+    if rows is None:
         return []
-    return sorted(df.collect(), key=lambda r: r.seq)
+    return sorted(rows, key=lambda r: r.seq)
 
 
 def ann_index_batches(spark: SparkSession, path: str) -> list[str]:
@@ -396,18 +404,29 @@ def _ann_dead_total(spark: SparkSession, path: str) -> int:
     covers, so a reader that listed a covered file just before the
     cleanup unlinked it can die mid-scan with PATH_NOT_FOUND; one
     re-read lands on the folded state. Corruption and permission errors
-    propagate immediately (ABSENT-vs-UNREADABLE, review r12)."""
-    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+    propagate immediately (ABSENT-vs-UNREADABLE, review r12).
+    Driver-side FS read (r15, ``util.sidecar_json_rows``) — the tally
+    is one tiny row per un-folded delete (≤ ``_DEAD_FOLD_FILES`` + a
+    fold row), so the read is py4j listing + opens, no Spark job."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_rows
 
     dead_dir = f"{path}/{_DEAD_DIR}"
 
     def _read() -> int:
-        df = sidecar_read(spark, dead_dir, "json")
-        if df is None:
+        import json as _json
+
+        try:
+            rows = sidecar_json_rows(spark, dead_dir, with_file=True)
+        except _json.JSONDecodeError as e:
+            # malformed line = deterministic corruption, same loud
+            # failure class as a row without n_dead (never retried)
+            raise ValueError(
+                f"unreadable dead-tally row in {dead_dir}: {e} — the "
+                "sidecar is corrupt; rebuild the index or restore the file"
+            ) from e
+        if rows is None:
             return 0
-        return _resolve_tally_rows(
-            df.withColumn("_f", F.input_file_name()).collect()
-        )
+        return _resolve_tally_rows(rows)
 
     try:
         return _read()
@@ -1120,9 +1139,16 @@ def _write_batch(
     )
     _write_vec_tier(vecs, path, meta, wide)
     n_rows = df.count()
-    tiny_rows_df(
-        spark, [{"batch_id": batch_id, "seq": seq, "n_rows": n_rows}]
-    ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_append
+
+    # marker = one tiny JSON row; driver-side FS append (r15) — the
+    # Spark write job per batch append was fixed scheduling tax
+    sidecar_json_append(
+        spark,
+        f"{path}/{_BATCH_DIR}",
+        {"batch_id": batch_id, "seq": seq, "n_rows": n_rows},
+        name_hint="marker",
+    )
 
 
 def ann_index_search(
@@ -1775,9 +1801,17 @@ def ann_index_delete(
     tomb_rows.withColumn("del_seq", F.lit(del_seq)).coalesce(1).write.mode(
         "append"
     ).parquet(f"{path}/{_TOMB_DIR}")
-    tiny_rows_df(spark, [{"del_seq": del_seq, "n_dead": removed}]).coalesce(
-        1
-    ).write.mode("append").json(f"{path}/{_DEAD_DIR}")
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_append
+
+    # driver-side one-row append (r15): the tally increment is ~60
+    # bytes — a Spark write job here was pure scheduling tax on the
+    # latency-sensitive delete endpoint
+    sidecar_json_append(
+        spark,
+        f"{path}/{_DEAD_DIR}",
+        {"del_seq": del_seq, "n_dead": removed},
+        name_hint="dead",
+    )
     from urllib.parse import urlparse
 
     will_compact = bool(
@@ -1828,16 +1862,38 @@ def _fold_dead_tally(
     it). Concurrent FOLDS remain excluded: ``ann_index_delete`` is
     single-writer per index (same contract as append/compact — del_seq
     itself is derived from shared marker state)."""
-    rows = (
-        spark.read.json([f"{dead_dir}/{n}" for n in names])
-        .withColumn("_f", F.input_file_name())
-        .collect()
-    )
-    total = _resolve_tally_rows(rows)
-    tiny_rows_df(
-        spark, [{"del_seq": del_seq, "n_dead": total, "covers": names}]
-    ).coalesce(1).write.mode("append").json(dead_dir)
+    # driver-side FS read/write (r15, util.sidecar_json_rows/_append):
+    # the fold touches ≤ _DEAD_FOLD_FILES tiny files — reading EXACTLY
+    # the caller's listing and appending one row needs no Spark jobs
+    # (the pre-r15 form paid a read.json + a tiny write job here)
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_append
+
     fs, jpath_cls = _tally_fs(spark, dead_dir)
+    ioutils = spark.sparkContext._jvm.org.apache.commons.io.IOUtils
+    rows = []
+    for n in names:
+        jp = jpath_cls(f"{dead_dir}/{n}")
+        stream = fs.open(jp)
+        try:
+            text = ioutils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        for line in text.splitlines():
+            if line.strip():
+                d = _json.loads(line)
+                d["_f"] = jp.toString()
+                rows.append(Row(**d))
+    total = _resolve_tally_rows(rows)
+    sidecar_json_append(
+        spark,
+        dead_dir,
+        {"del_seq": del_seq, "n_dead": total, "covers": names},
+        name_hint="fold",
+    )
     for n in names:
         fs.delete(jpath_cls(f"{dead_dir}/{n}"), False)
 

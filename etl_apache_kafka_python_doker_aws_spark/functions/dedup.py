@@ -498,14 +498,31 @@ def dedup_clusters(
     a handful of rounds converges.
 
     The genuinely iterative op in the engine (not SQL-expressible):
-    each round is one join + one aggregate; lineage is truncated with
-    localCheckpoint so the plan doesn't grow exponentially — the standard
-    Spark pattern for bounded iterative algorithms. Rounds run EAGERLY
-    with a convergence check: label propagation needs only
-    eccentricity(min-id node) rounds, so dup-cluster graphs (tiny
-    diameter) usually converge in 2-3 — the check (an isEmpty on the
-    already-computed improvement frame) costs far less than the wasted
-    remaining rounds, locally and at cluster scale alike.
+    each round is ONE eager job — neighbor-min aggregate + label update
+    fused into a single checkpointed pass — plus a near-free convergence
+    probe; lineage is truncated with localCheckpoint so the plan doesn't
+    grow exponentially — the standard Spark pattern for bounded
+    iterative algorithms. Rounds run EAGERLY with a convergence check:
+    label propagation needs only eccentricity(min-id node) rounds, so
+    dup-cluster graphs (tiny diameter) usually converge in 2-3.
+
+    r15 optimization (guide §2.4 — remove shuffles outright): the
+    pre-r15 loop ran THREE node-sized joins per round — (a) the
+    neighbor-min aggregate (eager checkpoint), (b) a separate
+    ``improved.isEmpty()`` join of that aggregate back against labels
+    for the convergence check, and (c) the label-update join, deferred
+    into the NEXT round's lineage by the lazy checkpoint. Fusing (b)
+    and (c) into one pass — the update join also emits a ``_chg`` flag,
+    the new labels are checkpointed EAGERLY, and convergence reads
+    ``sum(_chg)`` off the checkpoint (zero joins, one scan of
+    node-sized local blocks) — drops a full node-sized shuffle join per
+    round while computing the identical labels and stopping on the
+    identical condition (some node improved ⇔ some ``_chg`` = 1).
+    Measured on the g1-shaped graph at sf0.1 (local[32], interleaved
+    same-session A/B — host drift hits both arms equally — medians of
+    4): old 4.78 s → fused 3.21 s (−33%); identical outputs
+    (oracle-pinned) and identical round counts
+    (tests/test_llm_ops.py::test_dedup_clusters_fused_round_semantics).
 
     Returns (id_col, cluster_id) where cluster_id is the minimum member
     id; singletons keep their own id. The number of propagation rounds
@@ -529,23 +546,32 @@ def dedup_clusters(
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
-            .localCheckpoint(eager=True)
         )
-        improved = neighbor_min.join(labels, "id").filter(
-            F.col("nlabel") < F.col("label")
-        )
-        if improved.isEmpty():
-            break
-        labels = (
+        # fused update + convergence flag, ONE eager job per round (r15,
+        # guide §2.4 — see docstring): the aggregate's output is already
+        # hash-partitioned by id, so the update join adds no exchange
+        # for the neighbor_min side; _chg marks exactly the rows the old
+        # ``improved`` join would have returned (no nm row ⇒ coalesce
+        # falls back to label ⇒ never <).
+        new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        # convergence probe: one scan of the checkpointed local blocks —
+        # no join, no shuffle beyond the 1-row partial-agg gather
+        n_changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.select("id", "label")
+        if n_changed == 0:
+            break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -734,6 +760,14 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg")).localCheckpoint(
         eager=False
     )
+    # r15 optimization attempt, MEASURED AND REVERTED (guide §1.1):
+    # hoisting the loop-invariant edges⋈outdeg join out of the round
+    # (e_deg = e.join(outdeg, "src").localCheckpoint()) A/B-measured
+    # +8% at sf0.1 over 3 rounds (interleaved medians 1.93 → 2.09 s) —
+    # the wider 3-column edge checkpoint write costs more than the
+    # per-round node-sized outdeg join it saves at this round count;
+    # outdeg is already lineage-truncated, so the per-round join is a
+    # cheap hash join against a pinned frame.
     n_total = nodes.agg(F.count("*").cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(n_total)).select(
         "node_id", (F.lit(1.0) / F.col("_n")).alias("pr")

@@ -233,10 +233,15 @@ def minhash_index_meta(spark: SparkSession, path: str) -> dict | None:
     sub-partition count) is None for a pre-r10 flat-layout index —
     appends follow the pinned layout and deletes fall back to the
     full rewrite on those."""
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_rows
+
+    # driver-side FS read (r15, util.sidecar_json_rows): one tiny JSON
+    # row — the spark.read.json form paid two Spark jobs per call
     try:
-        row = spark.read.json(f"{path}/{_META_DIR}").first()
+        rows = sidecar_json_rows(spark, f"{path}/{_META_DIR}")
     except Exception:
         return None
+    row = rows[0] if rows else None
     if row is None:
         return None
     meta = {k: int(row[k]) for k in _PARAMS}
@@ -325,15 +330,16 @@ def _marker_rows(spark: SparkSession, source) -> list:
     as "no batches" would strip every row's seq, so tombstone
     retraction anti-joins nothing and pairs queries see zero marked
     batches: correctness, not availability)."""
-    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_read
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_rows
 
     if isinstance(source, DataFrame):
         rows = source.collect()
     else:
-        df = sidecar_read(spark, source, "json")
-        if df is None:
+        # driver-side FS read (r15): no Spark job per marker read
+        fs_rows = sidecar_json_rows(spark, source)
+        if fs_rows is None:
             return []
-        rows = df.collect()
+        rows = fs_rows
     return sorted(rows, key=lambda r: r.seq)
 
 
@@ -486,12 +492,18 @@ def minhash_index_append(
     finally:
         banded.unpersist()
     # counted=True is only ever written AFTER the counts write above —
-    # a marked batch with the flag provably has its guard counts
-    tiny_rows_df(
+    # a marked batch with the flag provably has its guard counts.
+    # Driver-side one-row FS append (r15, util.sidecar_json_append):
+    # the Spark write job per marker was fixed scheduling tax
+    from etl_apache_kafka_python_doker_aws_spark.util import sidecar_json_append
+
+    sidecar_json_append(
         spark,
-        [{"batch_id": batch_id, "seq": len(existing), "counted": True,
-          "n_rows": n_in}],
-    ).coalesce(1).write.mode("append").json(f"{path}/{_BATCH_DIR}")
+        f"{path}/{_BATCH_DIR}",
+        {"batch_id": batch_id, "seq": len(existing), "counted": True,
+         "n_rows": n_in},
+        name_hint="marker",
+    )
 
 
 def minhash_index_pairs_vs_batch(

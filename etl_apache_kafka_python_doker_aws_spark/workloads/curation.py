@@ -364,6 +364,15 @@ def l11_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contamination_rate").isNull() | (F.col("contamination_rate") <= 0.5)
     ).cast("long")
 
+    # r15 optimization attempt, MEASURED AND REVERTED (guide §1.1 —
+    # empirical loop wins): fusing n0/n1/n2 into one conditional
+    # aggregate (count + sum(quality) + count_distinct(when(quality,
+    # hash))) to save two tokenize scans A/B-measured SLOWER at sf0.1
+    # (interleaved same-session medians: 0.33 s for these three
+    # subtrees vs 0.42 s fused, +27%) — the distinct aggregate plans an
+    # Expand that doubles the corpus rows through the hash agg, costing
+    # more than the two extra columnar scans it saves. The three
+    # 1-row aggregates stay separate.
     counts = (
         corpus.agg(F.count("*").alias("n0"))
         .crossJoin(quality.agg(F.count("*").alias("n1")))

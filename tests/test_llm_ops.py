@@ -164,6 +164,51 @@ def test_dedup_corpus_collapses_duplicate_clusters(spark):
     assert got >= n_unique_texts - 2  # near-dups inside the base corpus may merge
 
 
+def test_dedup_clusters_fused_round_semantics(spark):
+    """r15 fused-round rewrite of dedup_clusters (one eager job per
+    round instead of agg + isEmpty-join + deferred update): labels,
+    convergence behavior and the last_rounds counter must match the
+    pre-r15 three-join form exactly. A 5-node chain needs 4 propagation
+    rounds for the min label to reach the far end plus 1 no-change
+    round to detect convergence; a disconnected singleton keeps its own
+    id; an empty edge set converges in 1 round with identity labels."""
+    from etl_apache_kafka_python_doker_aws_spark.functions.dedup import dedup_clusters
+    from etl_apache_kafka_python_doker_aws_spark.util import tiny_rows_df
+
+    # chain 1-2-3-4-5 plus singleton 99
+    pairs = tiny_rows_df(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    ids = tiny_rows_df(spark, [(i,) for i in (1, 2, 3, 4, 5, 99)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, ids, "doc_id", max_iter=8).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 99: 99}
+    assert dedup_clusters.last_rounds == 5  # 4 propagation + 1 convergence
+
+    # max_iter caps propagation mid-chain: 2 rounds move the min label
+    # at most 2 hops, so node 5 (3+ hops from 1) must NOT carry label 1
+    capped = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, ids, "doc_id", max_iter=2).collect()
+    }
+    assert capped[1] == 1 and capped[2] == 1 and capped[3] == 1
+    assert capped[5] != 1
+    assert dedup_clusters.last_rounds == 2
+
+    # empty edge set: identity labels, single convergence round
+    no_edges = tiny_rows_df(spark, [], "id_a long, id_b long")
+    alone = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(no_edges, ids, "doc_id", max_iter=8).collect()
+    }
+    assert alone == {i: i for i in (1, 2, 3, 4, 5, 99)}
+    assert dedup_clusters.last_rounds == 1
+
+
 def test_raw8_decode_exact_and_poison_safe(spark):
     """RAW8: known 2x2 image decodes to exact stats; malformed payloads
     produce valid=false rows instead of executor crashes."""
