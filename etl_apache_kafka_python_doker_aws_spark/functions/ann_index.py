@@ -640,7 +640,7 @@ def _encode_with_models(
         "_id",
         "_v",
         *carry,
-        _subspace_dists(F.col("_v"), meta["centroids"]).alias("_d"),
+        _subspace_dists("_v", meta["centroids"]).alias("_d"),
     ).select(
         "_id",
         "_v",

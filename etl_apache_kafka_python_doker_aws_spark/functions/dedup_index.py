@@ -1566,25 +1566,47 @@ def _minhash_delete_localized(
     }
     hit_dirs = {(bi, bg) for bi, gs in by_band.items() for bg in gs}
     keep = drop(full.filter(affected))
-    if keep.count() == 0 and not (live_dirs - hit_dirs):
-        raise ValueError(
-            f"minhash_index_delete: deleting these ids would EMPTY the "
-            f"index at {path} — an empty parquet dir cannot be read back; "
-            "remove the index path instead (live index left untouched)"
-        )
     rels = [
         f"band_idx={bi}/_bgroup={bg}"
         for bi, gs in sorted(by_band.items())
         for bg in sorted(gs)
     ]
-    _dir_swap(
-        path,
-        "band_idx",
-        rels,
-        lambda staging: keep.repartition(F.col("band_idx"), F.col("_bgroup"))
-        .write.partitionBy("band_idx", "_bgroup")
-        .parquet(staging),
-    )
+
+    # r15 (guide §1.2 — don't compute things you throw away): the
+    # would-EMPTY refusal needs keep.count() ONLY when every live dir is
+    # affected (live_dirs == hit_dirs — the all-ids GDPR edge). The
+    # common delete has untouched dirs, so the refusal can never fire
+    # and the old unconditional count() re-ran the whole
+    # affected-dir anti-join once per delete just to discard it. When
+    # the check IS needed, it now counts the already-written staging
+    # parquet (footer statistics, no data scan) and raises BEFORE the
+    # swap — _dir_swap never runs its renames on a raise, so the live
+    # index stays untouched exactly as before (refusal test unchanged).
+    would_empty_possible = not (live_dirs - hit_dirs)
+
+    def _write_staging(staging: str) -> None:
+        keep.repartition(F.col("band_idx"), F.col("_bgroup")).write.partitionBy(
+            "band_idx", "_bgroup"
+        ).parquet(staging)
+        if would_empty_possible:
+            try:
+                n_kept = spark.read.parquet(staging).count()
+            except Exception:
+                n_kept = 0  # empty write commits only _SUCCESS — no schema
+            if n_kept == 0:
+                import shutil
+
+                # drop the staging dir ourselves — _dir_swap only cleans
+                # it after a write_staging that RETURNED
+                shutil.rmtree(staging, ignore_errors=True)
+                raise ValueError(
+                    f"minhash_index_delete: deleting these ids would EMPTY "
+                    f"the index at {path} — an empty parquet dir cannot be "
+                    "read back; remove the index path instead (live index "
+                    "left untouched)"
+                )
+
+    _dir_swap(path, "band_idx", rels, _write_staging)
     # counts sidecar: sidecar-proportional rewrite (70× smaller than the
     # index) — drop the affected buckets' rows, append recomputed
     # survivor counts; sentinels (band_idx −1) never match a real dir so

@@ -357,7 +357,7 @@ def _kmeans_cells(
     km = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
     centroids = [list(map(float, c)) for c in km.clusterCenters()]
     assigned = dense.select(
-        "_id", "_v", _subspace_dists(F.col("_v"), centroids).alias("_d")
+        "_id", "_v", _subspace_dists("_v", centroids).alias("_d")
     ).select(
         "_id",
         "_v",
@@ -378,7 +378,7 @@ def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
     out = dense
     for s, book in enumerate(codebooks):
         out = out.withColumn(
-            f"_d{s}", _subspace_dists(F.slice("_v", s * sub + 1, sub), book)
+            f"_d{s}", _subspace_dists(f"slice(_v, {s * sub + 1}, {sub})", book)
         )
     sel = [F.col(c) for c in dense.columns]
     for s in range(len(codebooks)):
@@ -406,6 +406,54 @@ def _model_lit(values: list) -> Column:
     The 'D' suffix pins DOUBLE — a bare decimal literal in Spark SQL
     is DECIMAL (the CLAUDE.md r6 literal trap)."""
 
+    return _expr_cached(_model_sql(values))
+
+
+#: (applicationId, sha1(sql)) -> parsed Column. Session-scoped memo of
+#: PARSED MODEL-LITERAL EXPRESSIONS (r15): a pinned index model renders
+#: to the identical SQL text on every search/encode call, and Catalyst
+#: re-parsing the ~45 KB literal was the remaining driver-side
+#: construction wall (~0.4 s/call A/B-measured after the one-parse-per-
+#: LUT fix). A Column is an immutable expression DESCRIPTION — reusing
+#: it across plans is exactly what shared `F.col` expressions do — and
+#: nothing data-derived is memoized beyond what the caller already
+#: passed in as a literal. Keyed on applicationId so a restarted
+#: session never sees a stale JVM handle; bounded by eviction below.
+_EXPR_CACHE: dict = {}
+_EXPR_CACHE_MAX = 64
+
+
+def _expr_cached(sql: str) -> Column:
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return F.expr(sql)
+    key = (
+        spark.sparkContext.applicationId,
+        hashlib.sha1(sql.encode()).hexdigest(),
+    )
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+            # drop entries from other sessions first, else oldest
+            for k in [k for k in _EXPR_CACHE if k[0] != key[0]] or [
+                next(iter(_EXPR_CACHE))
+            ]:
+                _EXPR_CACHE.pop(k, None)
+        col = F.expr(sql)
+        _EXPR_CACHE[key] = col
+    return col
+
+
+def _model_sql(values) -> str:
+    """The SQL-text form of ``_model_lit`` (r15: exposed so whole
+    expressions — e.g. a full 8-book ADC LUT — can render as ONE
+    ``F.expr`` parse instead of one per book; see
+    ``_subspace_dists_sql``)."""
+
     def render(v):
         if isinstance(v, (list, tuple)):
             return "array(" + ",".join(render(x) for x in v) + ")"
@@ -414,7 +462,7 @@ def _model_lit(values: list) -> Column:
             raise ValueError(f"_model_lit: non-finite model value {v!r}")
         return repr(f) + "D"
 
-    return F.expr(render(values))
+    return render(values)
 
 
 def _residual(vec_col: Column, cell_col: Column, centroids: list[list[float]]) -> Column:
@@ -476,7 +524,11 @@ def _query_probe_luts(
     probes, and builds the ADC lookup tables: per query for global
     codebooks, per (query, probed cell) over (qvec − centroid[cell])
     when ``residual``."""
-    q_dists = _subspace_dists(F.col("_qvec"), centroids)
+    # SQL-string forms (r15): each _subspace_dists call used to build
+    # ~6 py4j lambda Columns; with 8 codebooks + the centroid ranking
+    # that was ~0.46 s of driver time per search call (A/B-measured,
+    # same session, vs 0.09 s after) — one F.expr parse per LUT now
+    q_dists = _subspace_dists("_qvec", centroids)
     ranked = F.array_sort(
         F.zip_with(
             q_dists,
@@ -506,24 +558,45 @@ def _query_probe_luts(
                 "query_id",
                 "_qvec",
                 "cell",
-                F.array(
-                    *[
-                        _subspace_dists(F.slice("_qres", s * sub + 1, sub), book)
-                        for s, book in enumerate(codebooks)
-                    ]
-                ).alias("_lut"),
+                _lut_expr("_qres", codebooks, sub).alias("_lut"),
             )
         )
     return q_base.select(
         "query_id",
         "_qvec",
-        F.array(
-            *[
-                _subspace_dists(F.slice("_qvec", s * sub + 1, sub), book)
-                for s, book in enumerate(codebooks)
-            ]
-        ).alias("_lut"),
+        _lut_expr("_qvec", codebooks, sub).alias("_lut"),
         probe,
+    )
+
+
+def _lut_expr(vec_name: str, codebooks: list, sub: int) -> Column:
+    """The full per-query ADC lookup table — one array entry per
+    subspace codebook — rendered as a SINGLE ``F.expr`` (r15): the
+    per-book Python-HOF construction was the remaining driver-side
+    wall of every search call (see ``_subspace_dists``)."""
+    return _expr_cached(
+        "array("
+        + ",".join(
+            _subspace_dists_sql(f"slice({vec_name}, {s * sub + 1}, {sub})", book)
+            for s, book in enumerate(codebooks)
+        )
+        + ")"
+    )
+
+
+def _subspace_dists_sql(slice_sql: str, book: list[list[float]]) -> str:
+    """SQL text of the squared-L2 distance array from ``slice_sql`` (a
+    SQL expression string, e.g. ``"_qvec"`` or ``"slice(_qvec, 1, 8)"``)
+    to each centroid of one codebook — the string form of
+    ``_subspace_dists``, composable into ONE ``F.expr`` for a whole LUT
+    (r15, see ``_subspace_dists``). ``0.0D``/the literal suffix pin
+    DOUBLE (the r6 bare-decimal trap); the lambda bodies are exactly the
+    ones the Python-HOF form built, so the parsed expression tree — and
+    therefore every float result — is identical."""
+    return (
+        f"transform({_model_sql(book)}, cen -> "
+        f"aggregate(zip_with({slice_sql}, cen, (x, cc) -> (x - cc) * (x - cc)), "
+        f"0.0D, (acc, v) -> acc + v))"
     )
 
 
@@ -537,7 +610,17 @@ def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     the bulk of the measured wall, not execution. This form is one py4j
     call per book with bit-identical results (measured equal), and the
     inner zip_with/aggregate were interpreted HOFs either way, so
-    executor-side cost is unchanged."""
+    executor-side cost is unchanged.
+
+    r15: ``slice_col`` may be a SQL STRING — the whole expression then
+    renders as one ``F.expr`` parse instead of ~6 py4j lambda
+    constructions per book (8 books per LUT made this the remaining
+    driver-side construction wall after the r10 ``_model_lit`` fix:
+    ~0.46 s of the ann_index_search call, A/B-measured — see
+    ``_query_probe_luts``). The SQL lambda bodies are byte-for-byte the
+    ones the Python HOFs built, so results are bit-identical."""
+    if isinstance(slice_col, str):
+        return _expr_cached(_subspace_dists_sql(slice_col, book))
     return F.transform(
         _model_lit(book),
         lambda cen: F.aggregate(
@@ -678,12 +761,7 @@ def pq_topk(
     ).select(
         "query_id",
         "_qvec",
-        F.array(
-            *[
-                _subspace_dists(F.slice("_qvec", s * sub + 1, sub), book)
-                for s, book in enumerate(codebooks)
-            ]
-        ).alias("_lut"),
+        _lut_expr("_qvec", codebooks, sub).alias("_lut"),
     )
     adc = F.aggregate(
         F.zip_with(

@@ -18,6 +18,7 @@ from etl_apache_kafka_python_doker_aws_spark.streaming.ops import (
     EVENTS_STREAM_SCHEMA,
     run_available_now,
     session_counts,
+    stream_state_partitions,
     sliding_counts,
     stage_events_stream,
     stateful_user_totals,
@@ -61,6 +62,9 @@ def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         tumbling_counts(stream, watermark_delay="3650 days"),
         wd, _qname("t2"), output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
     )
 
 
@@ -158,7 +162,13 @@ def t2b_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _workdir()
     staged = _stage_two_phase_events(spark, sf_dir, wd)
     agg = tumbling_counts(_two_phase_stream(spark, staged), watermark_delay="10 minutes")
-    return run_available_now(agg, wd, _qname("t2b"), output_mode="append")
+    # r15: state partitions derived from the staged bytes (guide §2.2 —
+    # the state exchange is pinned at checkpoint creation, AQE cannot
+    # coalesce it; see streaming.ops.stream_state_partitions)
+    return run_available_now(
+        agg, wd, _qname("t2b"), output_mode="append",
+        state_partitions=stream_state_partitions(spark, [staged]),
+    )
 
 
 @query(
@@ -189,7 +199,13 @@ def t3b_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _workdir()
     staged = _stage_two_phase_events(spark, sf_dir, wd)
     agg = sliding_counts(_two_phase_stream(spark, staged), watermark_delay="10 minutes")
-    return run_available_now(agg, wd, _qname("t3b"), output_mode="append")
+    # r15: state partitions derived from the staged bytes (guide §2.2 —
+    # the state exchange is pinned at checkpoint creation, AQE cannot
+    # coalesce it; see streaming.ops.stream_state_partitions)
+    return run_available_now(
+        agg, wd, _qname("t3b"), output_mode="append",
+        state_partitions=stream_state_partitions(spark, [staged]),
+    )
 
 
 @query(
@@ -232,7 +248,13 @@ def t4b_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _workdir()
     staged = _stage_two_phase_events(spark, sf_dir, wd)
     agg = session_counts(_two_phase_stream(spark, staged), watermark_delay="10 minutes")
-    return run_available_now(agg, wd, _qname("t4b"), output_mode="append")
+    # r15: state partitions derived from the staged bytes (guide §2.2 —
+    # the state exchange is pinned at checkpoint creation, AQE cannot
+    # coalesce it; see streaming.ops.stream_state_partitions)
+    return run_available_now(
+        agg, wd, _qname("t4b"), output_mode="append",
+        state_partitions=stream_state_partitions(spark, [staged]),
+    )
 
 
 @query(
@@ -256,6 +278,9 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sliding_counts(stream, watermark_delay="3650 days"),
         wd, _qname("t3"), output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
     )
 
 
@@ -290,6 +315,9 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         session_counts(stream, watermark_delay="3650 days"),
         wd, _qname("t4"), output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
     )
 
 
@@ -320,7 +348,9 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     deduped = run_available_now(
-        stream_dedup(stream, ["event_id"], watermark_delay="3650 days"), wd, _qname("t5")
+        stream_dedup(stream, ["event_id"], watermark_delay="3650 days"),
+        wd, _qname("t5"),
+        state_partitions=stream_state_partitions(spark, [staged]),
     )
     return deduped.agg(
         F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_ids")
@@ -345,7 +375,10 @@ def t6_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = _workdir()
     stream = stage_events_stream(spark, sf_dir, wd)
     updates = run_available_now(
-        stateful_user_totals(stream), wd, _qname("t6"), output_mode="update"
+        stateful_user_totals(stream), wd, _qname("t6"), output_mode="update",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
     )
     final = updates.groupBy("user_id").agg(
         F.max_by("total_value", "n_events").alias("total_value"),
@@ -407,7 +440,12 @@ def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         money_sum(money("value"), "total_value"),
     )
-    return run_available_now(agg, wd, _qname("j9"), output_mode="complete")
+    return run_available_now(
+        agg, wd, _qname("j9"), output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
+    )
 
 
 @query(
@@ -456,7 +494,12 @@ def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     ).select("purchase_id", "click_id", "user_id")
-    return run_available_now(joined, wd, _qname("j10"), output_mode="append")
+    return run_available_now(
+        joined, wd, _qname("j10"), output_mode="append",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
+    )
 
 
 @query(
@@ -857,4 +900,9 @@ def t12_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
-    return run_available_now(agg, wd, _qname("t12"), output_mode="complete")
+    return run_available_now(
+        agg, wd, _qname("t12"), output_mode="complete",
+        state_partitions=stream_state_partitions(
+            spark, [f"{sf_dir}/events.parquet"]
+        ),
+    )
