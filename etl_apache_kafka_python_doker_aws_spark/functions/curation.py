@@ -61,34 +61,47 @@ def contamination_stats(
     # the full-corpus-width DISTINCT shuffle disappears — measured 41.7 s →
     # 9.3 s at 200k worst-case docs (steady-state, local[32]). Only the benchmark side still runs a
     # global distinct (eval sets are small by construction).
+    #
+    # r15 (guide §2.4 — one pass, not three): the pre-r15 shape
+    # evaluated the CORPUS LINEAGE three times in one plan — a totals
+    # aggregate, a hits join+aggregate, and a corpus.select(id) spine
+    # joined back for zero-gram docs (Catalyst does not CSE across join
+    # branches, and when `corpus` is itself an expensive frame — l11
+    # feeds the near-dedup survivor lineage here — each evaluation
+    # re-ran it). explode_OUTER keeps a NULL-gram row per gram-less
+    # doc, so every doc survives the single pass: one LEFT join against
+    # the distinct benchmark grams (≤1 match per gram — bench_g is
+    # distinct — so no fan-out) and ONE groupBy computes n_grams
+    # (count(gram): NULL-excluded) and n_hit (count of matches)
+    # together. A/B at sf0.1 (interleaved, identical outputs): raw
+    # corpus (the l6_contamination shape) 4.88 → 4.36 s (−11%); inside
+    # l11 the delta is parity (7.79 vs 7.80 — near-dedup's CC
+    # checkpoint already truncates the lineage there and
+    # ReusedExchange absorbed part of the old triple evaluation).
     grams_c = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+        F.explode_outer(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )
     bench_g = (
         benchmark.select(
             F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram")
         ).distinct()
     )
-    hits = (
-        grams_c.join(bench_g, "gram")
+    per_doc = (
+        grams_c.join(bench_g.withColumn("_hit", F.lit(1)), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit"))
-    )
-    totals = grams_c.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    return (
-        corpus.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0))
-                / F.nullif(F.coalesce("n_grams", F.lit(0)), F.lit(0))
-            ).alias("contamination_rate"),
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
         )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_hit"),
+        (F.col("n_hit") / F.nullif(F.col("n_grams"), F.lit(0))).alias(
+            "contamination_rate"
+        ),
     )
 
 
