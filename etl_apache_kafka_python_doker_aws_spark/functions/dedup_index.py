@@ -1589,10 +1589,23 @@ def _minhash_delete_localized(
             "band_idx", "_bgroup"
         ).parquet(staging)
         if would_empty_possible:
-            try:
-                n_kept = spark.read.parquet(staging).count()
-            except Exception:
-                n_kept = 0  # empty write commits only _SUCCESS — no schema
+            # ADVICE r15: the old ``try: count() except: n_kept = 0``
+            # misreported ANY transient read failure on a NON-empty
+            # staging dir as the would-EMPTY refusal, permanently
+            # blocking a legitimate delete under that fault. Emptiness
+            # is now an FS fact — an empty partitionBy write commits
+            # only _SUCCESS, so "no visible file anywhere under
+            # staging" ⇔ zero survivors — and real read errors have no
+            # swallow site left.
+            sc = spark.sparkContext
+            jstaging = sc._jvm.org.apache.hadoop.fs.Path(staging)
+            fs = jstaging.getFileSystem(sc._jsc.hadoopConfiguration())
+            it = fs.listFiles(jstaging, True)  # recursive
+            n_kept = 0
+            while it.hasNext():
+                if not it.next().getPath().getName().startswith(("_", ".")):
+                    n_kept = 1
+                    break
             if n_kept == 0:
                 import shutil
 

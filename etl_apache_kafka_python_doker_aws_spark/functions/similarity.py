@@ -392,21 +392,105 @@ def _pq_assign(dense: DataFrame, codebooks: list, sub: int) -> DataFrame:
 
 
 def _model_lit(values: list) -> Column:
-    """A nested array<double> literal in ONE py4j round trip (r10).
-    ``F.lit`` on a nested Python list recurses element-by-element —
-    one py4j Column object per scalar, ~1.4 s of DRIVER time for an
-    8×32×8 codebook set, paid on EVERY search/encode call (measured:
-    the bulk of ann_index_search's 2.6 s construction wall; the r8
-    _subspace_dists fix removed the unrolled aggregate trees but left
-    lit()'s own recursion). Rendering the same values as one SQL
-    ``array(array(…))`` expression is ~160× faster to construct and
-    BIT-IDENTICAL: repr() emits the shortest exact decimal for a
-    Python float and the JVM parser is correctly-rounded, so every
-    element round-trips (verified value-equal on random codebooks).
-    The 'D' suffix pins DOUBLE — a bare decimal literal in Spark SQL
-    is DECIMAL (the CLAUDE.md r6 literal trap)."""
+    """The model table as ONE Catalyst ``Literal`` node (r16, VERDICT
+    r15 #3). History of this hot spot: ``F.lit`` recursed one py4j
+    Column per scalar (~1.4 s per 8×32×8 codebook set, r10); the r10-r15
+    SQL ``array(array(…))`` text parses once (``_expr_cached``) and is
+    bit-identical (repr() shortest-exact + correctly-rounded JVM parse,
+    'D'-pinned DOUBLE) — but the parsed tree still holds ~n_elements
+    CreateArray/Literal nodes, and every subsequent DataFrame
+    composition step re-ANALYZES the whole plan, so ~12 steps per
+    search call × ~3k literal leaves stayed the construction wall
+    (~1.0 s/call). A single ``Literal`` whose VALUE is the prebuilt
+    ArrayData is O(1) for every analyzer walk: values cross py4j as raw
+    IEEE-754 bytes (struct.pack → ByteBuffer → UnsafeArrayData), so
+    they are bit-identical to both older forms (pinned element-wise in
+    tests/test_operators_misc.py::test_model_lit_bit_identical_to_lit),
+    and the plan prints/canonicalizes exactly like the constant-folded
+    form the optimizer produced anyway. The built Column is
+    session-cached keyed on CONTENT (``_model_key`` — expression
+    construction, never data); non-classic sessions or unexpected
+    shapes fall back to the r15 SQL form."""
 
-    return _expr_cached(_model_sql(values))
+    def build() -> Column:
+        col = _literal_col(values)
+        return col if col is not None else F.expr(_model_sql(values))
+
+    return _col_cached("lit:" + _model_key(values), build)
+
+
+def _model_key(values) -> str:
+    """Content digest of a (possibly nested) model table — the cache
+    key for built literal/LUT Columns. Raises on non-finite values
+    (model tables are finite by construction; NaN/Inf here means a
+    broken training step, rejected loudly like ``_model_sql`` always
+    did)."""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.sha1()
+
+    def walk(v):
+        if isinstance(v, (list, tuple)):
+            h.update(b"[")
+            for x in v:
+                walk(x)
+            h.update(b"]")
+        else:
+            f = float(v)
+            if f != f or f in (float("inf"), float("-inf")):
+                raise ValueError(f"_model_lit: non-finite model value {v!r}")
+            h.update(_struct.pack(">d", f))
+
+    walk(values)
+    return h.hexdigest()
+
+
+def _literal_col(values: list) -> Column | None:
+    """Build the single-``Literal`` Column for a non-empty depth-1 or
+    depth-2 float table via the classic py4j surface; None when the
+    shape or the session doesn't support it (caller falls back to the
+    SQL-text form). The ByteBuffer hop moves each row in ONE py4j
+    transfer instead of one call per scalar."""
+    import struct as _struct
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        gw = sc._gateway
+
+        def darr(vals):
+            packed = _struct.pack(f">{len(vals)}d", *[float(v) for v in vals])
+            bb = jvm.java.nio.ByteBuffer.wrap(bytearray(packed))
+            arr = gw.new_array(jvm.double, len(vals))
+            bb.asDoubleBuffer().get(arr)
+            return arr
+
+        uad = jvm.org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        jt = jvm.org.apache.spark.sql.types
+        dbl = jt.DataTypes.DoubleType
+        if values and all(
+            isinstance(r, (list, tuple)) and len(r) > 0 for r in values
+        ):
+            oarr = gw.new_array(jvm.java.lang.Object, len(values))
+            for i, r in enumerate(values):
+                oarr[i] = uad.fromPrimitiveArray(darr(r))
+            data = jvm.org.apache.spark.sql.catalyst.util.GenericArrayData(oarr)
+            dt = jt.ArrayType(jt.ArrayType(dbl, False), False)
+        elif values and all(not isinstance(v, (list, tuple)) for v in values):
+            data = uad.fromPrimitiveArray(darr(values))
+            dt = jt.ArrayType(dbl, False)
+        else:
+            return None
+        lit = jvm.org.apache.spark.sql.catalyst.expressions.Literal(data, dt)
+        return Column(jvm.org.apache.spark.sql.classic.ExpressionUtils.column(lit))
+    except Exception:
+        return None
 
 
 #: (applicationId, sha1(sql)) -> parsed Column. Session-scoped memo of
@@ -426,15 +510,25 @@ _EXPR_CACHE_MAX = 64
 def _expr_cached(sql: str) -> Column:
     import hashlib
 
+    return _col_cached(
+        "sql:" + hashlib.sha1(sql.encode()).hexdigest(), lambda: F.expr(sql)
+    )
+
+
+def _col_cached(tag: str, build) -> Column:
+    """Session-scoped memo of BUILT COLUMNS keyed on (applicationId,
+    content tag) — generalizes the r15 parsed-SQL cache to whole
+    composed expressions (single-Literal models, full ADC LUTs). A
+    Column is an immutable expression description; reusing one across
+    plans is exactly what shared ``F.col`` expressions do. Nothing
+    data-derived is memoized beyond what the caller already passed in
+    as a literal."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
     if spark is None:
-        return F.expr(sql)
-    key = (
-        spark.sparkContext.applicationId,
-        hashlib.sha1(sql.encode()).hexdigest(),
-    )
+        return build()
+    key = (spark.sparkContext.applicationId, tag)
     col = _EXPR_CACHE.get(key)
     if col is None:
         if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
@@ -443,16 +537,16 @@ def _expr_cached(sql: str) -> Column:
                 next(iter(_EXPR_CACHE))
             ]:
                 _EXPR_CACHE.pop(k, None)
-        col = F.expr(sql)
+        col = build()
         _EXPR_CACHE[key] = col
     return col
 
 
 def _model_sql(values) -> str:
-    """The SQL-text form of ``_model_lit`` (r15: exposed so whole
-    expressions — e.g. a full 8-book ADC LUT — can render as ONE
-    ``F.expr`` parse instead of one per book; see
-    ``_subspace_dists_sql``)."""
+    """The SQL-text form of ``_model_lit`` — since r16 only the
+    fallback for sessions where the single-``Literal`` py4j path is
+    unavailable (e.g. no classic SparkContext); bit-identical by the
+    repr()/correctly-rounded-parse round-trip, 'D'-pinned DOUBLE."""
 
     def render(v):
         if isinstance(v, (list, tuple)):
@@ -569,66 +663,60 @@ def _query_probe_luts(
     )
 
 
-def _lut_expr(vec_name: str, codebooks: list, sub: int) -> Column:
-    """The full per-query ADC lookup table — one array entry per
-    subspace codebook — rendered as a SINGLE ``F.expr`` (r15): the
-    per-book Python-HOF construction was the remaining driver-side
-    wall of every search call (see ``_subspace_dists``)."""
-    return _expr_cached(
-        "array("
-        + ",".join(
-            _subspace_dists_sql(f"slice({vec_name}, {s * sub + 1}, {sub})", book)
-            for s, book in enumerate(codebooks)
-        )
-        + ")"
+def _sq_l2(slice_col: Column):
+    """Closure factory for the per-centroid squared-L2 lambda (the
+    default-arg-closure HOF trap from CLAUDE.md: a two-param lambda
+    binds its second arg to the ARRAY INDEX). The body is byte-for-byte
+    the one the r15 SQL text built, so every float result is
+    identical."""
+    return lambda cen: F.aggregate(
+        F.zip_with(slice_col, cen, lambda x, cc: (x - cc) * (x - cc)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
-def _subspace_dists_sql(slice_sql: str, book: list[list[float]]) -> str:
-    """SQL text of the squared-L2 distance array from ``slice_sql`` (a
-    SQL expression string, e.g. ``"_qvec"`` or ``"slice(_qvec, 1, 8)"``)
-    to each centroid of one codebook — the string form of
-    ``_subspace_dists``, composable into ONE ``F.expr`` for a whole LUT
-    (r15, see ``_subspace_dists``). ``0.0D``/the literal suffix pin
-    DOUBLE (the r6 bare-decimal trap); the lambda bodies are exactly the
-    ones the Python-HOF form built, so the parsed expression tree — and
-    therefore every float result — is identical."""
-    return (
-        f"transform({_model_sql(book)}, cen -> "
-        f"aggregate(zip_with({slice_sql}, cen, (x, cc) -> (x - cc) * (x - cc)), "
-        f"0.0D, (acc, v) -> acc + v))"
+def _lut_expr(vec_name: str, codebooks: list, sub: int) -> Column:
+    """The full per-query ADC lookup table — one array entry per
+    subspace codebook — composed over single-``Literal`` codebooks and
+    session-cached as ONE built Column (r16; the r15 form rendered it
+    as one cached ``F.expr`` parse, but the parsed ~2k-literal tree
+    still charged every later composition step's analysis — see
+    ``_model_lit``)."""
+    return _col_cached(
+        f"lut:{vec_name}:{sub}:{_model_key(codebooks)}",
+        lambda: F.array(
+            *[
+                F.transform(
+                    _model_lit(book),
+                    _sq_l2(F.slice(F.col(vec_name), s * sub + 1, sub)),
+                )
+                for s, book in enumerate(codebooks)
+            ]
+        ),
     )
 
 
 def _subspace_dists(slice_col, book: list[list[float]]) -> Column:
     """Squared L2 distance from an array slice to each centroid of one
     codebook, as an array<double> expression. The codebook enters as ONE
-    nested-array LITERAL + a transform HOF (r8): the previous unrolled
-    array-of-aggregates form created thousands of py4j Column objects
-    per model (books × centroids × dim literals), costing 7-9 s of
-    DRIVER-side plan construction per ann_index_search call — that was
-    the bulk of the measured wall, not execution. This form is one py4j
-    call per book with bit-identical results (measured equal), and the
-    inner zip_with/aggregate were interpreted HOFs either way, so
-    executor-side cost is unchanged.
+    single-node LITERAL + a transform HOF (r8 shrank the unrolled
+    aggregate trees to one literal tree per book; r16 collapses that
+    tree to one Literal NODE — see ``_model_lit``), so executor-side
+    cost is unchanged while analyzer walks stop scaling with model
+    size.
 
-    r15: ``slice_col`` may be a SQL STRING — the whole expression then
-    renders as one ``F.expr`` parse instead of ~6 py4j lambda
-    constructions per book (8 books per LUT made this the remaining
-    driver-side construction wall after the r10 ``_model_lit`` fix:
-    ~0.46 s of the ann_index_search call, A/B-measured — see
-    ``_query_probe_luts``). The SQL lambda bodies are byte-for-byte the
-    ones the Python HOFs built, so results are bit-identical."""
+    ``slice_col`` may be a SQL STRING (a bare column name or an
+    expression like ``"slice(_v, 1, 8)"``) — the composed Column is
+    then session-cached keyed on (expression text, codebook content),
+    so repeat calls (every search/encode on a pinned-model index) reuse
+    the built expression outright."""
     if isinstance(slice_col, str):
-        return _expr_cached(_subspace_dists_sql(slice_col, book))
-    return F.transform(
-        _model_lit(book),
-        lambda cen: F.aggregate(
-            F.zip_with(slice_col, cen, lambda x, cc: (x - cc) * (x - cc)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+        return _col_cached(
+            f"sd:{slice_col}:{_model_key(book)}",
+            lambda: F.transform(_model_lit(book), _sq_l2(F.expr(slice_col))),
+        )
+    return F.transform(_model_lit(book), _sq_l2(slice_col))
 
 
 def pq_encode(

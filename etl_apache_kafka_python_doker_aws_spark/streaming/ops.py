@@ -297,12 +297,28 @@ def stream_state_partitions(spark, staged_paths: list[str]) -> int:
     sc = spark.sparkContext
     jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
     total = 0
+    seen_any = False
     for p in staged_paths:
         jp = jpath_cls(p)
         fs = jp.getFileSystem(sc._jsc.hadoopConfiguration())
         if fs.exists(jp):
+            seen_any = True
             total += fs.getContentSummary(jp).getLength()
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if not seen_any:
+        # ADVICE r15: every path absent (e.g. a renamed fixture file)
+        # must not silently pin a 1-partition state store into the
+        # checkpoint at any scale — warn loudly and inherit the session
+        # value (the pre-r15 behavior) instead.
+        import warnings
+
+        warnings.warn(
+            "stream_state_partitions: none of the staged paths exist "
+            f"({staged_paths}); falling back to the session "
+            f"spark.sql.shuffle.partitions={session}",
+            stacklevel=2,
+        )
+        return session
     return max(1, min(session, -(-total // (32 * 1024 * 1024))))
 
 

@@ -158,6 +158,27 @@ def sidecar_json_append(spark, path: str, row: dict, name_hint: str = "row") -> 
     tmp = jpath_cls(f"{path}/.{fname}.tmp")
     final = jpath_cls(f"{path}/{fname}")
     success = jpath_cls(f"{path}/_SUCCESS")
+    # ADVICE r15: a kill between create and rename strands the dot-tmp
+    # (plus its local .crc twin) FOREVER — marker dirs live for the
+    # index lifetime and nothing else sweeps dot litter. Drop stale tmp
+    # files opportunistically on the next append to the same dir. The
+    # age gate keeps a CONCURRENT writer's in-flight tmp safe (uuid
+    # names never collide, but its rename would fail if we deleted the
+    # file under it); one hour is ~6 orders of magnitude past a tiny
+    # file's create→rename window. fs.delete on a ChecksumFileSystem
+    # removes the .crc twin with the file.
+    if fs.exists(dirp):
+        import time as _time
+
+        cutoff = (_time.time() - 3600) * 1000  # Hadoop mtimes are ms
+        for st in fs.listStatus(dirp):
+            n = st.getPath().getName()
+            if (
+                n.startswith(".")
+                and n.endswith(".tmp")
+                and st.getModificationTime() < cutoff
+            ):
+                fs.delete(st.getPath(), False)
     out = fs.create(tmp, True)  # creates parent dirs like the committer
     try:
         data = (_json.dumps(row) + "\n").encode("utf-8")
